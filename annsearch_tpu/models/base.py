@@ -1,0 +1,151 @@
+"""Shared index machinery.
+
+Every index in the framework follows the reference's uniform shape
+(SURVEY §1: ``build`` / ``query`` / ``generate_knn`` / ``memory_usage_bytes``,
+e.g. ``src/cpu/exhaustive.rs``), plus ``save``/``load`` which the reference
+lacks (its only persistence is the mmap vector store,
+``src/binary/vec_store.rs``) — on TPU the index state is plain arrays, so
+persistence is nearly free.
+
+Conventions (matching the reference):
+  * ``query`` returns ``(indices [nq, k], distances [nq, k])`` sorted
+    ascending by distance; euclidean distances are *squared*.
+  * ``k`` is clamped to the number of stored vectors.
+  * self-query (``generate_knn``) includes the query point itself
+    (reference ``generate_knn`` simply re-queries each stored row,
+    cpu/exhaustive.rs:220-252).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dist import Dist, normalise, parse_ann_dist, sq_norms
+
+__all__ = ["BaseIndex", "as_f32_matrix", "DTYPE_BYTES"]
+
+DTYPE_BYTES = {
+    jnp.dtype(jnp.float32): 4,
+    jnp.dtype(jnp.float64): 8,
+    jnp.dtype(jnp.bfloat16): 2,
+    jnp.dtype(jnp.float16): 2,
+    jnp.dtype(jnp.int8): 1,
+    jnp.dtype(jnp.uint8): 1,
+    jnp.dtype(jnp.int32): 4,
+    jnp.dtype(jnp.uint32): 4,
+    jnp.dtype(jnp.int64): 8,
+}
+
+
+def as_f32_matrix(mat: Any) -> np.ndarray:
+    """Coerce input to a C-contiguous ``[n, d]`` float32 numpy matrix
+    (the reference's ``matrix_to_flat``, utils/mod.rs:40-53)."""
+    arr = np.asarray(mat, dtype=np.float32)
+    if arr.ndim != 2:
+        raise ValueError(f"expected a 2-D matrix, got shape {arr.shape}")
+    return np.ascontiguousarray(arr)
+
+
+class BaseIndex:
+    """Base class: stores vectors on device, handles metric preparation.
+
+    For cosine, vectors are stored L2-normalised (distance = ``1 − QXᵀ``);
+    for euclidean we keep raw vectors plus squared norms.
+    """
+
+    #: attribute names persisted by save/load (subclasses extend)
+    _state_arrays: tuple[str, ...] = ("vectors", "sqnorms")
+    _state_scalars: tuple[str, ...] = ("n", "dim")
+
+    def __init__(self, mat: Any, metric: str | Dist):
+        arr = as_f32_matrix(mat)
+        self.metric = parse_ann_dist(metric)
+        self.n, self.dim = arr.shape
+        x = jnp.asarray(arr)
+        if self.metric == Dist.COSINE:
+            self.vectors = normalise(x)
+            self.sqnorms = None
+        else:
+            self.vectors = x
+            self.sqnorms = sq_norms(x)
+
+    # -- query surface -------------------------------------------------
+
+    def query(self, query_mat: Any, k: int, **kw) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k for a batch of queries. Returns numpy (idx, dist)."""
+        raise NotImplementedError
+
+    def generate_knn(self, k: int, **kw) -> tuple[np.ndarray, np.ndarray]:
+        """Self-query: full kNN graph over stored vectors (self included)."""
+        raise NotImplementedError
+
+    # -- helpers ---------------------------------------------------------
+
+    def _prep_queries(self, query_mat: Any) -> jax.Array:
+        q = as_f32_matrix(query_mat)
+        if q.shape[1] != self.dim:
+            raise ValueError(
+                f"query dim {q.shape[1]} != index dim {self.dim}"
+            )
+        qj = jnp.asarray(q)
+        if self.metric == Dist.COSINE:
+            qj = normalise(qj)
+        return qj
+
+    def _clamp_k(self, k: int) -> int:
+        return max(1, min(int(k), self.n))
+
+    # -- accounting ------------------------------------------------------
+
+    def memory_usage_bytes(self) -> int:
+        """Bytes of device state (reference ``memory_usage_bytes`` parity)."""
+        total = 0
+        for name in self._state_arrays:
+            v = getattr(self, name, None)
+            if v is not None:
+                total += v.size * DTYPE_BYTES.get(jnp.dtype(v.dtype), 4)
+        return total
+
+    # -- persistence (new capability vs reference) -----------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        arrays, meta = {}, {"cls": type(self).__name__, "metric": self.metric.value}
+        for name in self._state_scalars:
+            meta[name] = getattr(self, name)
+        for name in self._state_arrays:
+            v = getattr(self, name, None)
+            if v is not None:
+                arrays[name] = np.asarray(v)
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "BaseIndex":
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+            if meta["cls"] != cls.__name__:
+                raise ValueError(f"{path} holds a {meta['cls']}, not {cls.__name__}")
+            obj = cls.__new__(cls)
+            obj.metric = parse_ann_dist(meta["metric"])
+            for name in cls._state_scalars:
+                setattr(obj, name, meta[name])
+            for name in cls._state_arrays:
+                setattr(
+                    obj,
+                    name,
+                    jnp.asarray(z[name]) if name in z.files else None,
+                )
+        obj._post_load()
+        return obj
+
+    def _post_load(self) -> None:
+        """Hook for subclasses to rebuild derived state after load."""

@@ -1,0 +1,78 @@
+"""Exhaustive (flat / brute-force) index.
+
+TPU-native rebuild of the reference's ``ExhaustiveIndex``
+(``src/cpu/exhaustive.rs:18-274`` — per-query linear scan with a bounded
+max-heap) and its GPU twin (``src/gpu/exhaustive_gpu.rs`` +
+``dist_gpu.rs:533-705``): here the scan is a blocked distance matmul on the
+MXU with a running top-k carried across database tiles
+(:mod:`annsearch_tpu.ops.topk`). Build = put vectors on device; this index is
+also the ground-truth engine for recall validation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..ops.topk import DEFAULT_DB_CHUNK, DEFAULT_QUERY_BLOCK, blocked_query_topk
+from .base import BaseIndex
+
+__all__ = ["ExhaustiveIndex"]
+
+
+class ExhaustiveIndex(BaseIndex):
+    """Flat index: exact top-k via full scan."""
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str = "euclidean",
+        precision=jax.lax.Precision.HIGHEST,
+    ):
+        super().__init__(mat, metric)
+        self.precision = precision
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        query_block: int = DEFAULT_QUERY_BLOCK,
+        db_chunk: int = DEFAULT_DB_CHUNK,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = self._prep_queries(query_mat)
+        k = self._clamp_k(k)
+        d, i = blocked_query_topk(
+            q,
+            self.vectors,
+            k,
+            self.metric,
+            x_sqnorm=self.sqnorms,
+            query_block=query_block,
+            db_chunk=db_chunk,
+            precision=self.precision,
+        )
+        return np.asarray(i), np.asarray(d)
+
+    def generate_knn(
+        self,
+        k: int,
+        query_block: int = DEFAULT_QUERY_BLOCK,
+        db_chunk: int = DEFAULT_DB_CHUNK,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        k = self._clamp_k(k)
+        d, i = blocked_query_topk(
+            self.vectors,
+            self.vectors,
+            k,
+            self.metric,
+            x_sqnorm=self.sqnorms,
+            query_block=query_block,
+            db_chunk=db_chunk,
+            precision=self.precision,
+        )
+        return np.asarray(i), np.asarray(d)
+
+    def _post_load(self) -> None:
+        self.precision = jax.lax.Precision.HIGHEST

@@ -1,0 +1,62 @@
+"""Distance kernel exactness tests (reference pattern: dist.rs tests —
+hand-computed fixtures + agreement with a straightforward implementation)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from annsearch_tpu.utils.dist import (
+    Dist,
+    normalise,
+    pairwise_cosine,
+    pairwise_sq_euclidean,
+    parse_ann_dist,
+    sq_norms,
+)
+
+
+def test_parse_ann_dist():
+    assert parse_ann_dist("euclidean") == Dist.EUCLIDEAN
+    assert parse_ann_dist("Cosine") == Dist.COSINE
+    assert parse_ann_dist("COSINE") == Dist.COSINE
+    # unknown falls back to euclidean like the reference's unwrap_or_default
+    assert parse_ann_dist("manhattan") == Dist.EUCLIDEAN
+
+
+def test_sq_euclidean_hand_computed():
+    q = jnp.array([[0.0, 0.0], [1.0, 1.0]])
+    x = jnp.array([[3.0, 4.0], [1.0, 1.0]])
+    d = pairwise_sq_euclidean(q, x)
+    expected = np.array([[25.0, 2.0], [13.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(d), expected, atol=1e-5)
+
+
+def test_sq_euclidean_matches_numpy(rng):
+    q = rng.standard_normal((17, 33)).astype(np.float32)
+    x = rng.standard_normal((29, 33)).astype(np.float32)
+    d = np.asarray(pairwise_sq_euclidean(jnp.asarray(q), jnp.asarray(x)))
+    expected = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_cosine_matches_numpy(rng):
+    q = rng.standard_normal((7, 16)).astype(np.float32)
+    x = rng.standard_normal((11, 16)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = np.asarray(pairwise_cosine(normalise(jnp.asarray(q)), normalise(jnp.asarray(x))))
+    expected = 1.0 - qn @ xn.T
+    np.testing.assert_allclose(d, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_sq_norms(rng):
+    x = rng.standard_normal((5, 9)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sq_norms(jnp.asarray(x))), (x**2).sum(-1), rtol=1e-5
+    )
+
+
+def test_self_distance_zero(rng):
+    x = rng.standard_normal((10, 8)).astype(np.float32) * 10
+    d = np.asarray(pairwise_sq_euclidean(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(np.diag(d), np.zeros(10), atol=1e-3)
+    assert (d >= 0).all()

@@ -1,0 +1,49 @@
+"""Sharded query tests on the virtual 8-device CPU mesh (reference analogue:
+GPU kernels tested on cubecl's CpuRuntime, ivf_gpu.rs:853-947)."""
+
+import numpy as np
+import jax
+
+from annsearch_tpu.parallel.mesh import make_mesh
+from annsearch_tpu.parallel.sharded import ShardedExhaustive
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_exhaustive_matches_brute(rng):
+    x = rng.standard_normal((200, 16)).astype(np.float32)  # not divisible by 8? 200/8=25 ok
+    q = rng.standard_normal((9, 16)).astype(np.float32)
+    mesh = make_mesh(8)
+    index = ShardedExhaustive(x, "euclidean", mesh=mesh)
+    idx, dist = index.query(q, 7, db_chunk=32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    expect = np.sort(full, axis=1)[:, :7]
+    np.testing.assert_allclose(dist, expect, rtol=1e-3, atol=1e-3)
+    assert (idx < 200).all()
+
+
+def test_sharded_with_padding(rng):
+    # n=77 not divisible by 8 → padded rows must never appear in results
+    x = rng.standard_normal((77, 8)).astype(np.float32)
+    q = x[:5]
+    mesh = make_mesh(8)
+    index = ShardedExhaustive(x, "euclidean", mesh=mesh)
+    idx, dist = index.query(q, 10, db_chunk=16)
+    assert (idx < 77).all()
+    np.testing.assert_allclose(dist[:, 0], np.zeros(5), atol=1e-4)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(5))
+
+
+def test_sharded_cosine(rng):
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    mesh = make_mesh(4)
+    index = ShardedExhaustive(x, "cosine", mesh=mesh)
+    idx, dist = index.query(q, 5, db_chunk=16)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    full = 1.0 - qn @ xn.T
+    expect = np.sort(full, axis=1)[:, :5]
+    np.testing.assert_allclose(dist, expect, rtol=1e-3, atol=1e-4)
