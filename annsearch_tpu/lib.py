@@ -17,11 +17,15 @@ from typing import Any
 import numpy as np
 
 from .models.exhaustive import ExhaustiveIndex
+from .models.ivf import IvfIndex
 
 __all__ = [
     "build_exhaustive_index",
     "query_exhaustive_index",
     "query_exhaustive_self",
+    "build_ivf_index",
+    "query_ivf_index",
+    "query_ivf_self",
 ]
 
 
@@ -56,4 +60,50 @@ def query_exhaustive_self(
     verbose: bool = False,
 ):
     idx, dist = index.generate_knn(k)
+    return _maybe_dist(idx, dist, return_dist)
+
+
+# ----------------------------------------------------------------------------
+# IVF (reference lib.rs:658-766)
+# ----------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    mat: Any,
+    nlist: int | None = None,
+    max_iters: int | None = None,
+    dist_metric: str = "euclidean",
+    seed: int = 42,
+    verbose: bool = False,
+) -> IvfIndex:
+    return IvfIndex(
+        mat,
+        dist_metric,
+        nlist=nlist,
+        max_iters=30 if max_iters is None else max_iters,
+        seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_ivf_index(
+    query_mat: Any,
+    index: IvfIndex,
+    k: int,
+    nprobe: int | None = None,
+    return_dist: bool = False,
+    verbose: bool = False,
+):
+    idx, dist = index.query(query_mat, k, nprobe=nprobe)
+    return _maybe_dist(idx, dist, return_dist)
+
+
+def query_ivf_self(
+    index: IvfIndex,
+    k: int,
+    nprobe: int | None = None,
+    return_dist: bool = False,
+    verbose: bool = False,
+):
+    idx, dist = index.generate_knn(k, nprobe=nprobe)
     return _maybe_dist(idx, dist, return_dist)

@@ -1,5 +1,6 @@
 """Index implementations."""
 
 from .exhaustive import ExhaustiveIndex
+from .ivf import IvfIndex
 
-__all__ = ["ExhaustiveIndex"]
+__all__ = ["ExhaustiveIndex", "IvfIndex"]

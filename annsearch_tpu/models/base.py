@@ -85,6 +85,12 @@ class BaseIndex:
         """Self-query: full kNN graph over stored vectors (self included)."""
         raise NotImplementedError
 
+    def vectors_original_order(self) -> np.ndarray:
+        """Stored vectors in *original* row order (indexes that reorder
+        storage — e.g. IVF's cluster-contiguous layout — override this);
+        row i corresponds to the id i returned by ``query``."""
+        return np.asarray(self.vectors)
+
     # -- helpers ---------------------------------------------------------
 
     def _prep_queries(self, query_mat: Any) -> jax.Array:

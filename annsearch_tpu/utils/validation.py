@@ -25,7 +25,7 @@ def validate_index(
     """Recall@k of ``index.query`` vs exact search on sampled stored vectors."""
     from ..models.exhaustive import ExhaustiveIndex
 
-    vecs = np.asarray(index.vectors)
+    vecs = index.vectors_original_order()
     n = vecs.shape[0]
     rng = np.random.default_rng(seed)
     sample = rng.permutation(n)[: min(n_samples, n)]

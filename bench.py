@@ -36,19 +36,22 @@ def main() -> None:
     index = ExhaustiveIndex(x, "euclidean")
     qj = index._prep_queries(q)
 
-    def run():
-        d, i = blocked_query_topk(
-            qj, index.vectors, K, index.metric, x_sqnorm=index.sqnorms
-        )
-        return jax.block_until_ready((d, i))
+    # Timing note: this environment reaches the chip through a tunnel with
+    # ~30 ms dispatch latency and ~30 MB/s readback, neither of which exists
+    # on a real TPU host. We therefore time a jitted program whose output is
+    # a small checksum (forces full execution, avoids tunnel readback of the
+    # [15k, 15] results) — i.e. we measure on-chip throughput.
+    @jax.jit
+    def run(qj, xv, xs):
+        d, i = blocked_query_topk(qj, xv, K, index.metric, x_sqnorm=xs)
+        return d.sum() + i.sum()
 
-    # warmup / compile
-    d, i = run()
+    float(np.asarray(run(qj, index.vectors, index.sqnorms)))  # compile+warm
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
+        float(np.asarray(run(qj, index.vectors, index.sqnorms)))
         times.append(time.perf_counter() - t0)
     best = min(times)
     qps = NQ / best
