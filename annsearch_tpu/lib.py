@@ -18,6 +18,16 @@ import numpy as np
 
 from .models.exhaustive import ExhaustiveIndex
 from .models.ivf import IvfIndex
+from .models.quantised import (
+    ExhaustiveIndexBf16,
+    ExhaustiveOpqIndex,
+    ExhaustivePqIndex,
+    ExhaustiveSq8Index,
+    IvfIndexBf16,
+    IvfOpqIndex,
+    IvfPqIndex,
+    IvfSq8Index,
+)
 
 __all__ = [
     "build_exhaustive_index",
@@ -26,6 +36,36 @@ __all__ = [
     "build_ivf_index",
     "query_ivf_index",
     "query_ivf_self",
+    "build_exhaustive_bf16_index",
+    "query_exhaustive_bf16_index",
+    "query_exhaustive_bf16_self",
+    "build_exhaustive_sq8_index",
+    "query_exhaustive_sq8_index",
+    "query_exhaustive_sq8_self",
+    "build_exhaustive_pq_index",
+    "query_exhaustive_pq_index",
+    "query_exhaustive_pq_index_self",
+    "build_exhaustive_opq_index",
+    "query_exhaustive_opq_index",
+    "query_exhaustive_opq_index_self",
+    "build_ivf_bf16_index",
+    "query_ivf_bf16_index",
+    "query_ivf_bf16_self",
+    "build_ivf_sq8_index",
+    "query_ivf_sq8_index",
+    "query_ivf_sq8_self",
+    "build_ivf_pq_index",
+    "query_ivf_pq_index",
+    "query_ivf_pq_index_self",
+    "build_ivf_opq_index",
+    "query_ivf_opq_index",
+    "query_ivf_opq_index_self",
+    "build_exhaustive_index_binary",
+    "query_exhaustive_index_binary",
+    "query_exhaustive_index_binary_self",
+    "build_ivf_index_binary",
+    "query_ivf_index_binary",
+    "query_ivf_index_binary_self",
 ]
 
 
@@ -107,3 +147,220 @@ def query_ivf_self(
 ):
     idx, dist = index.generate_knn(k, nprobe=nprobe)
     return _maybe_dist(idx, dist, return_dist)
+
+
+# ----------------------------------------------------------------------------
+# Quantised flat indexes (reference lib.rs:1191-1565)
+# ----------------------------------------------------------------------------
+
+
+def build_exhaustive_bf16_index(mat: Any, dist_metric: str = "euclidean") -> ExhaustiveIndexBf16:
+    return ExhaustiveIndexBf16(mat, dist_metric)
+
+
+def query_exhaustive_bf16_index(query_mat, index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k), return_dist)
+
+
+def query_exhaustive_bf16_self(index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k), return_dist)
+
+
+def build_exhaustive_sq8_index(mat: Any, dist_metric: str = "euclidean") -> ExhaustiveSq8Index:
+    return ExhaustiveSq8Index(mat, dist_metric)
+
+
+def query_exhaustive_sq8_index(query_mat, index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k), return_dist)
+
+
+def query_exhaustive_sq8_self(index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k), return_dist)
+
+
+def build_exhaustive_pq_index(
+    mat: Any, m: int = 16, dist_metric: str = "euclidean", seed: int = 42,
+    verbose: bool = False,
+) -> ExhaustivePqIndex:
+    return ExhaustivePqIndex(mat, m=m, metric=dist_metric, seed=seed)
+
+
+def query_exhaustive_pq_index(query_mat, index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k), return_dist)
+
+
+def query_exhaustive_pq_index_self(index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k), return_dist)
+
+
+def build_exhaustive_opq_index(
+    mat: Any, m: int = 16, dist_metric: str = "euclidean", seed: int = 42,
+    verbose: bool = False,
+) -> ExhaustiveOpqIndex:
+    return ExhaustiveOpqIndex(mat, m=m, metric=dist_metric, seed=seed)
+
+
+def query_exhaustive_opq_index(query_mat, index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k), return_dist)
+
+
+def query_exhaustive_opq_index_self(index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k), return_dist)
+
+
+# ----------------------------------------------------------------------------
+# Quantised IVF indexes (reference lib.rs:1567-1996)
+# ----------------------------------------------------------------------------
+
+
+def build_ivf_bf16_index(
+    mat: Any, nlist=None, max_iters=None, dist_metric="euclidean", seed=42,
+    verbose=False,
+) -> IvfIndexBf16:
+    return IvfIndexBf16(
+        mat, dist_metric, nlist=nlist,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_ivf_bf16_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+
+
+def query_ivf_bf16_self(index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, nprobe=nprobe), return_dist)
+
+
+def build_ivf_sq8_index(
+    mat: Any, nlist=None, max_iters=None, dist_metric="euclidean", seed=42,
+    verbose=False,
+) -> IvfSq8Index:
+    return IvfSq8Index(
+        mat, dist_metric, nlist=nlist,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_ivf_sq8_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+
+
+def query_ivf_sq8_self(index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, nprobe=nprobe), return_dist)
+
+
+def build_ivf_pq_index(
+    mat: Any, nlist=None, m: int = 16, max_iters=None, dist_metric="euclidean",
+    seed=42, verbose=False,
+) -> IvfPqIndex:
+    return IvfPqIndex(
+        mat, dist_metric, nlist=nlist, m=m,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_ivf_pq_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+
+
+def query_ivf_pq_index_self(index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, nprobe=nprobe), return_dist)
+
+
+def build_ivf_opq_index(
+    mat: Any, nlist=None, m: int = 16, max_iters=None, dist_metric="euclidean",
+    seed=42, verbose=False,
+) -> IvfOpqIndex:
+    return IvfOpqIndex(
+        mat, dist_metric, nlist=nlist, m=m,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_ivf_opq_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+
+
+def query_ivf_opq_index_self(index, k, nprobe=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, nprobe=nprobe), return_dist)
+
+
+# ----------------------------------------------------------------------------
+# Binary indexes (reference lib.rs:2402-2689)
+# ----------------------------------------------------------------------------
+
+
+def build_exhaustive_index_binary(
+    mat: Any, dist_metric: str = "euclidean", n_bits=None,
+    binarisation: str = "simhash", seed: int = 42, store=True,
+    verbose: bool = False,
+):
+    from .models.binary import ExhaustiveIndexBinary
+
+    return ExhaustiveIndexBinary(
+        mat, dist_metric, n_bits=n_bits, binarisation=binarisation,
+        seed=seed, store=store,
+    )
+
+
+def query_exhaustive_index_binary(
+    query_mat, index, k, rerank=None, rerank_factor=20,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(
+        *index.query(query_mat, k, rerank=rerank, rerank_factor=rerank_factor),
+        return_dist,
+    )
+
+
+def query_exhaustive_index_binary_self(
+    index, k, rerank=None, rerank_factor=20, return_dist=False, verbose=False
+):
+    return _maybe_dist(
+        *index.generate_knn(k, rerank=rerank, rerank_factor=rerank_factor),
+        return_dist,
+    )
+
+
+def build_ivf_index_binary(
+    mat: Any, dist_metric: str = "euclidean", nlist=None, n_bits=None,
+    binarisation: str = "simhash", max_iters=None, seed: int = 42,
+    store=True, verbose: bool = False,
+):
+    from .models.binary import IvfIndexBinary
+
+    return IvfIndexBinary(
+        mat, dist_metric, nlist=nlist, n_bits=n_bits,
+        binarisation=binarisation,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        store=store, verbose=verbose,
+    )
+
+
+def query_ivf_index_binary(
+    query_mat, index, k, nprobe=None, rerank=None, rerank_factor=20,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(
+        *index.query(
+            query_mat, k, nprobe=nprobe, rerank=rerank,
+            rerank_factor=rerank_factor,
+        ),
+        return_dist,
+    )
+
+
+def query_ivf_index_binary_self(
+    index, k, nprobe=None, rerank=None, rerank_factor=20,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(
+        *index.generate_knn(
+            k, nprobe=nprobe, rerank=rerank, rerank_factor=rerank_factor
+        ),
+        return_dist,
+    )

@@ -2,5 +2,29 @@
 
 from .exhaustive import ExhaustiveIndex
 from .ivf import IvfIndex
+from .quantised import (
+    ExhaustiveIndexBf16,
+    ExhaustiveOpqIndex,
+    ExhaustivePqIndex,
+    ExhaustiveSq8Index,
+    IvfIndexBf16,
+    IvfOpqIndex,
+    IvfPqIndex,
+    IvfSq8Index,
+)
+from .binary import ExhaustiveIndexBinary, IvfIndexBinary
 
-__all__ = ["ExhaustiveIndex", "IvfIndex"]
+__all__ = [
+    "ExhaustiveIndex",
+    "IvfIndex",
+    "ExhaustiveIndexBf16",
+    "ExhaustiveSq8Index",
+    "ExhaustivePqIndex",
+    "ExhaustiveOpqIndex",
+    "IvfIndexBf16",
+    "IvfSq8Index",
+    "IvfPqIndex",
+    "IvfOpqIndex",
+    "ExhaustiveIndexBinary",
+    "IvfIndexBinary",
+]

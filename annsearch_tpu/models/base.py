@@ -128,6 +128,10 @@ class BaseIndex:
         for name in self._state_arrays:
             v = getattr(self, name, None)
             if v is not None:
+                # npz cannot hold bfloat16 — store as f32, subclasses recast
+                # in _post_load
+                if jnp.dtype(v.dtype) == jnp.dtype(jnp.bfloat16):
+                    v = v.astype(jnp.float32)
                 arrays[name] = np.asarray(v)
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8

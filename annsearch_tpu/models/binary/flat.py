@@ -1,0 +1,181 @@
+"""Flat binary index: Hamming scan + optional asymmetric / exact rerank.
+
+TPU-native rebuild of the reference ``ExhaustiveIndexBinary``
+(``src/binary/exhaustive_binary.rs:24-589``): vectors are binarised (SimHash
+/ PCA / sign), queries scan packed codes with the ±1-matmul Hamming kernel,
+and results can be refined in two tiers —
+
+  * ``asymmetric``: float query projections × ±1 codes (reference
+    :254-295), no extra storage;
+  * ``exact``: gather ``k·rerank_factor`` candidates' full vectors from a
+    vector store and re-score exactly (reference :374-424 via the mmap
+    store).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.binary import (
+    chunked_topk_asymmetric,
+    chunked_topk_hamming,
+)
+from ...ops.rerank import rerank_exact
+from ...utils.dist import Dist, normalise
+from ..base import BaseIndex, as_f32_matrix
+from .binariser import Binariser
+from .vec_store import DeviceVectorStore, MmapVectorStore
+
+__all__ = ["ExhaustiveIndexBinary"]
+
+
+class ExhaustiveIndexBinary(BaseIndex):
+    """Flat Hamming-scan index over binarised vectors."""
+
+    _state_arrays = ("codes",)
+    _state_scalars = ("n", "dim", "n_bits", "bin_mode")
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str = "euclidean",
+        n_bits: int | None = None,
+        binarisation: str = "simhash",
+        seed: int = 42,
+        store: str | bool = True,
+    ):
+        """``store``: True → keep f32 vectors in HBM for exact rerank;
+        a path string → write an on-disk mmap store; False → no rerank."""
+        super().__init__(mat, metric)
+        x = self.vectors  # normalised if cosine
+        self.binariser = Binariser.train(x, n_bits, binarisation, seed)
+        self.n_bits = self.binariser.n_bits
+        self.bin_mode = self.binariser.mode
+        self.codes = self.binariser.encode(x)
+
+        if store is True:
+            self.store = DeviceVectorStore(x)
+        elif isinstance(store, str):
+            self.store = MmapVectorStore.write(store, np.asarray(x))
+        else:
+            self.store = None
+        self.vectors = None
+
+    # -- queries -----------------------------------------------------------
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        rerank: str | None = None,   # None|"asymmetric"|"exact"
+        rerank_factor: int = 20,
+        query_block: int = 1024,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = self._prep_q(query_mat)
+        k = self._clamp_k(k)
+        if rerank == "exact" and self.store is None:
+            raise ValueError("exact rerank requires a vector store")
+
+        if rerank is None:
+            q_codes = self.binariser.encode(q)
+            d, i = self._blocked(
+                q_codes,
+                query_block,
+                lambda b: chunked_topk_hamming(
+                    b, self.codes, k, self.n_bits, self.n
+                ),
+                k,
+            )
+            return i, d
+
+        kc = min(max(k, k * rerank_factor), self.n)
+        if rerank == "asymmetric":
+            q_proj = self.binariser.project(q)
+            pad = (-q_proj.shape[1]) % 32
+            if pad:
+                q_proj = jnp.concatenate(
+                    [q_proj, jnp.zeros((q_proj.shape[0], pad), q_proj.dtype)], axis=1
+                )
+            d, i = self._blocked(
+                q_proj,
+                query_block,
+                lambda b: chunked_topk_asymmetric(
+                    b, self.codes, k, self.codes.shape[1] * 32, self.n
+                ),
+                k,
+            )
+            return i, d
+
+        # exact: hamming-propose kc, gather, exact rerank
+        q_codes = self.binariser.encode(q)
+        _, cand = self._blocked(
+            q_codes,
+            query_block,
+            lambda b: chunked_topk_hamming(
+                b, self.codes, kc, self.n_bits, self.n
+            ),
+            kc,
+        )
+        return self._exact_rerank(q, cand, k)
+
+    def _exact_rerank(self, q, cand, k, block=1024):
+        ids_out, d_out = [], []
+        for s in range(0, q.shape[0], block):
+            qb = q[s : s + block]
+            cb = jnp.asarray(cand[s : s + block])
+            vecs = self.store.gather(np.asarray(cb))
+            valid = jnp.ones(cb.shape, bool)
+            d, i = rerank_exact(qb, vecs, cb, valid, k, self.metric)
+            ids_out.append(np.asarray(i))
+            d_out.append(np.asarray(d))
+        return np.concatenate(ids_out), np.concatenate(d_out)
+
+    def generate_knn(self, k: int, **kw):
+        if self.store is not None and isinstance(self.store, DeviceVectorStore):
+            return self.query(np.asarray(self.store.vectors), k, **kw)
+        # codes-only self-query: hamming between stored codes
+        k = self._clamp_k(k)
+        d, i = self._blocked(
+            self.codes,
+            1024,
+            lambda b: chunked_topk_hamming(b, self.codes, k, self.n_bits, self.n),
+            k,
+        )
+        return i, d
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _prep_q(self, query_mat):
+        q = as_f32_matrix(query_mat)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        qj = jnp.asarray(q)
+        return normalise(qj) if self.metric == Dist.COSINE else qj
+
+    def _blocked(self, q, query_block, kernel, k):
+        nq = q.shape[0]
+        qb = min(query_block, max(nq, 8))
+        pad = (-nq) % qb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+        blocks = q.reshape(-1, qb, q.shape[1])
+        d, i = jax.lax.map(kernel, blocks)
+        return (
+            np.asarray(d.reshape(-1, k)[:nq]),
+            np.asarray(i.reshape(-1, k)[:nq]),
+        )
+
+    def memory_usage_bytes(self) -> int:
+        total = int(self.codes.size) * 4 + self.binariser.memory_usage_bytes()
+        if self.store is not None:
+            total += self.store.memory_usage_bytes()
+        return total
+
+    def vectors_original_order(self) -> np.ndarray:
+        if isinstance(self.store, DeviceVectorStore):
+            return np.asarray(self.store.vectors)
+        raise ValueError("binary index without device store keeps no vectors")

@@ -1,0 +1,265 @@
+"""Quantisers: bf16 codec, scalar (SQ8), product (PQ), optimised product (OPQ).
+
+TPU-native rebuild of the reference's quantiser layer
+(``src/quantised/quantisers.rs``). Same semantics, MXU-shaped internals:
+
+  * bf16 — native MXU dtype; the codec is a cast (reference bit-shifts
+    bf16↔f32 in-register, quantisers.rs:31-91).
+  * SQ8 — per-dim symmetric scale ``max|x|/128`` → int8
+    (quantisers.rs:103-192). Distances are computed *in quantised integer
+    space* (reference ``VectorDistanceSq8``, utils/dist.rs:4228-4324), which
+    on TPU is an int8×int8→int32 MXU matmul.
+  * PQ — ``m`` sub-spaces × 256 centroids (quantisers.rs:199-460); training
+    via D²-seeded Lloyd (full batch ≤10k rows, else mini-batch — reference
+    quantised/k_means.rs); encode via per-subspace GEMM argmin.
+  * OPQ — alternating rotation/codebook optimisation: 3 rounds of
+    {rotate → train PQ → reconstruct → Procrustes SVD} on a ≤50k sample,
+    then a final full train (quantisers.rs:476-846).
+
+Query-side PQ scans do NOT use LUT gathers (slow on TPU): see
+``ops/quantised.py`` for the decode-by-one-hot-matmul design that is
+mathematically identical to ADC but rides the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.dist import Dist, sq_norms
+from ..kmeans import train_centroids_minibatch, _dsq_seed_init, _lloyd
+
+__all__ = [
+    "bf16_encode",
+    "bf16_decode",
+    "ScalarQuantiser",
+    "ProductQuantiser",
+    "OptimisedProductQuantiser",
+    "N_CLUSTERS_PQ",
+]
+
+#: sub-codebook size (fits u8 codes; reference N_CLUSTERS_PQ, quantisers.rs:199)
+N_CLUSTERS_PQ = 256
+
+#: full-batch Lloyd cutoff for PQ codebooks (reference quantised/k_means.rs)
+PQ_FULL_LLOYD_MAX_N = 10_000
+
+#: OPQ: alternating iterations and training-sample cap (quantisers.rs:202, 476)
+OPQ_ITER = 3
+OPQ_SAMPLE_CAP = 50_000
+
+
+def bf16_encode(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.bfloat16)
+
+
+def bf16_decode(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# SQ8
+# ---------------------------------------------------------------------------
+
+
+class ScalarQuantiser:
+    """Per-dimension symmetric int8 quantiser.
+
+    ``scales[d] = max|x[:, d]| / 128`` (1.0 where a dim is all-zero);
+    encode rounds-half-away-from-zero and clamps to [-128, 127] — matching
+    the reference's encode (quantisers.rs:152-163).
+    """
+
+    def __init__(self, scales: jax.Array):
+        self.scales = scales  # [d] f32
+
+    @classmethod
+    def train(cls, x: jax.Array) -> "ScalarQuantiser":
+        maxabs = jnp.max(jnp.abs(x), axis=0)
+        scales = jnp.where(maxabs > 0, maxabs / 128.0, 1.0)
+        return cls(scales)
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        scaled = x / self.scales
+        rounded = jnp.trunc(scaled + 0.5 * jnp.sign(scaled))
+        return jnp.clip(rounded, -128, 127).astype(jnp.int8)
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        return codes.astype(jnp.float32) * self.scales
+
+    def memory_usage_bytes(self) -> int:
+        return int(self.scales.size) * 4
+
+
+# ---------------------------------------------------------------------------
+# PQ
+# ---------------------------------------------------------------------------
+
+
+def _train_subspace_codebook(
+    x_sub: jax.Array, k: int, seed: int, max_iters: int = 25
+) -> jax.Array:
+    """Train one sub-codebook: D²-seed + full Lloyd for small n, mini-batch
+    for large n (reference quantised/k_means.rs:14-334 thresholds)."""
+    n = x_sub.shape[0]
+    key = jax.random.key(seed)
+    k = min(k, n)
+    init = _dsq_seed_init(key, x_sub, k) if k <= 256 else x_sub[:k]
+    if n <= PQ_FULL_LLOYD_MAX_N:
+        c, _ = _lloyd(x_sub, init, k, max_iters, 1e-5, spherical=False)
+    else:
+        c = train_centroids_minibatch(
+            x_sub, init, k, iters=max_iters, batch=10_240, seed=seed
+        )
+    if k < N_CLUSTERS_PQ:
+        # pad unused codebook rows far away so they are never argmin-selected
+        pad = jnp.full((N_CLUSTERS_PQ - k, x_sub.shape[1]), 1e30, jnp.float32)
+        c = jnp.concatenate([c, pad])
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _encode_pq(
+    x: jax.Array, codebooks: jax.Array, chunk: int = 16384
+) -> jax.Array:
+    """Per-subspace GEMM argmin encode (reference encode_batch GEMM
+    ``−2XCᵀ+‖c‖²`` argmin, quantisers.rs:404-459).
+
+    x: [n, d], codebooks: [m, 256, ds] → codes [n, m] uint8.
+    """
+    n, d = x.shape
+    m = codebooks.shape[0]
+    ds = d // m
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
+    xs = x.reshape(-1, chunk, m, ds)
+    c_sq = jnp.sum(codebooks**2, axis=-1)  # [m, 256]
+
+    def block(xb):  # [chunk, m, ds]
+        # dots[j]: [chunk, 256] for each subspace via batched matmul
+        dots = jnp.einsum(
+            "cjd,jkd->cjk", xb, codebooks, preferred_element_type=jnp.float32
+        )
+        dist = c_sq[None, :, :] - 2.0 * dots  # ‖x‖² constant per argmin
+        return jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+
+    codes = jax.lax.map(block, xs)
+    return codes.reshape(-1, m)[:n]
+
+
+class ProductQuantiser:
+    """Product quantiser: ``m`` sub-spaces × 256 centroids.
+
+    Asserts dim % m == 0 and dim ≥ 32 (reference quantisers.rs:258-263).
+    """
+
+    def __init__(self, codebooks: jax.Array, m: int, dim: int):
+        self.codebooks = codebooks  # [m, 256, dim//m] f32
+        self.m = m
+        self.dim = dim
+
+    @classmethod
+    def train(
+        cls, x: jax.Array, m: int, seed: int = 42, max_iters: int = 25
+    ) -> "ProductQuantiser":
+        n, d = x.shape
+        if d % m != 0:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        if d < 32:
+            raise ValueError("PQ requires dim >= 32")
+        ds = d // m
+        xs = np.asarray(x).reshape(n, m, ds)
+        books = []
+        for j in range(m):
+            books.append(
+                _train_subspace_codebook(
+                    jnp.asarray(xs[:, j, :]), N_CLUSTERS_PQ, seed + j, max_iters
+                )
+            )
+        return cls(jnp.stack(books), m, d)
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        return _encode_pq(x, self.codebooks)
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        """Gather decode — fine off the hot path (tests, reconstruction)."""
+        m, ds = self.m, self.dim // self.m
+        parts = [
+            jnp.take(self.codebooks[j], codes[:, j].astype(jnp.int32), axis=0)
+            for j in range(m)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
+    def code_sqnorms(self, codes: jax.Array) -> jax.Array:
+        """‖decode(code)‖² per row — sub-space sqnorm LUT gathers, once at
+        encode time."""
+        sn = jnp.sum(self.codebooks**2, axis=-1)  # [m, 256]
+        total = jnp.zeros((codes.shape[0],), jnp.float32)
+        for j in range(self.m):
+            total = total + jnp.take(sn[j], codes[:, j].astype(jnp.int32))
+        return total
+
+    def memory_usage_bytes(self) -> int:
+        return int(self.codebooks.size) * 4
+
+
+# ---------------------------------------------------------------------------
+# OPQ
+# ---------------------------------------------------------------------------
+
+
+class OptimisedProductQuantiser:
+    """OPQ: learned orthogonal rotation + PQ.
+
+    Alternating optimisation (reference quantisers.rs:476-846): for
+    ``OPQ_ITER`` rounds on a ≤50k sample — rotate data, train PQ, encode +
+    reconstruct, solve the Procrustes problem ``min_R ‖XR − Y‖`` via SVD of
+    ``XᵀY`` — then train the final codebooks on the fully rotated data.
+    """
+
+    def __init__(self, pq: ProductQuantiser, rotation: jax.Array):
+        self.pq = pq
+        self.rotation = rotation  # [d, d]
+        self.m = pq.m
+        self.dim = pq.dim
+
+    @classmethod
+    def train(
+        cls, x: jax.Array, m: int, seed: int = 42, max_iters: int = 25
+    ) -> "OptimisedProductQuantiser":
+        n, d = x.shape
+        key = jax.random.key(seed)
+        if n > OPQ_SAMPLE_CAP:
+            idx = jax.random.choice(key, n, (OPQ_SAMPLE_CAP,), replace=False)
+            xs = x[idx]
+        else:
+            xs = x
+
+        rot = jnp.eye(d, dtype=jnp.float32)
+        for it in range(OPQ_ITER):
+            xr = xs @ rot
+            pq = ProductQuantiser.train(xr, m, seed=seed + 1000 * it, max_iters=10)
+            y = pq.decode(pq.encode(xr))
+            # Procrustes: max tr(Rᵀ XᵀY) → R = U Vᵀ of XᵀY
+            u, _, vh = jnp.linalg.svd(xs.T @ y, full_matrices=False)
+            rot = u @ vh
+
+        pq = ProductQuantiser.train(x @ rot, m, seed=seed, max_iters=max_iters)
+        return cls(pq, rot)
+
+    def rotate(self, x: jax.Array) -> jax.Array:
+        return x @ self.rotation
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        return self.pq.encode(self.rotate(x))
+
+    def decode(self, codes: jax.Array) -> jax.Array:
+        """Decode to the *original* (un-rotated) space."""
+        return self.pq.decode(codes) @ self.rotation.T
+
+    def memory_usage_bytes(self) -> int:
+        return self.pq.memory_usage_bytes() + int(self.rotation.size) * 4

@@ -1,0 +1,235 @@
+"""Cluster-major IVF scan engine.
+
+The reference GPU IVF pipeline builds a host-side task list
+(query, cluster-range, write offset) and launches one mega-kernel over it
+(``src/gpu/ivf_gpu.rs:575-697``). The TPU reformulation keeps the host-built
+probe lists but inverts the loop to make every step a *dense* matmul:
+
+  scan over active clusters c:
+    cell   = storage[offsets[c] : offsets[c]+cap]          (one DMA, shared)
+    dec    = decode(cell)                                  (variant-specific)
+    qg     = queries[probe_lists[c]]                       ([maxq, d] gather)
+    dists  = distance(qg, dec)                             ([maxq, cap] MXU)
+    best[probe_lists[c]] = merge_topk(best[...], dists)    (scatter-merge)
+
+Each cell is read/decoded ONCE per query batch regardless of how many
+queries probe it, and the scoring matmul is [maxq, d] × [d, cap] — dense MXU
+work. Query ids within a step are unique except the sentinel padding slot
+(row nq, discarded by callers), so the scatter is race-free for real rows.
+
+Supports storage variants: f32, bf16, int8 (SQ8 integer-space), PQ codes
+(+ residual PQ for IVF-PQ/OPQ).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dist import Dist, sq_norms
+from .binary import unpack_pm1
+from .quantised import pq_decode_tile
+from .topk import merge_topk
+
+__all__ = ["ivf_cluster_scan", "build_probe_lists"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _next_pow2(v: int) -> int:
+    return 1 << (max(v, 1) - 1).bit_length()
+
+
+def build_probe_lists(
+    probes: np.ndarray, nlist: int, nq: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Invert [nq, nprobe] probe assignments into per-cluster query lists.
+
+    Returns ``(cluster_ids [ncl], lists [ncl, maxq])`` covering only clusters
+    probed by ≥1 query; ``lists`` is padded with ``nq`` (sentinel row of the
+    scatter target), ``cluster_ids`` is padded to a power of two with
+    ``nlist`` (sentinel cluster with zero count). Host-side — the analogue of
+    the reference's CPU task-list construction (ivf_gpu.rs:600-635). Both
+    dims are rounded up to powers of two to bound recompilation.
+    """
+    probes = np.asarray(probes)
+    flat_c = probes.reshape(-1)
+    flat_q = np.repeat(
+        np.arange(probes.shape[0], dtype=np.int32), probes.shape[1]
+    )
+    order = np.argsort(flat_c, kind="stable")
+    counts = np.bincount(flat_c, minlength=nlist)
+    active = np.nonzero(counts)[0]
+    ncl = _next_pow2(len(active))
+    maxq = _next_pow2(int(counts[active].max()) if len(active) else 1)
+
+    cluster_ids = np.full(ncl, nlist, dtype=np.int32)
+    cluster_ids[: len(active)] = active
+    lists = np.full((ncl, maxq), nq, dtype=np.int32)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    qs = flat_q[order]
+    for row, c in enumerate(active):
+        lists[row, : counts[c]] = qs[starts[c] : ends[c]]
+    return cluster_ids, lists
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "cap", "mode", "k_cell"),
+)
+def ivf_cluster_scan(
+    queries: jax.Array,      # [nq, d] effective queries (f32, or int8 for sq8)
+    cluster_ids: jax.Array,  # [ncl] int32 active clusters (pad = nlist)
+    probe_lists: jax.Array,  # [ncl, maxq] int32 query ids (pad = nq)
+    storage: jax.Array,      # [n_pad, d] (f32/bf16/int8) or [n_pad, m] u8 codes
+    sqnorms: jax.Array,      # [n_pad] f32|i32 — ‖row‖² in the scoring space
+    offsets: jax.Array,      # [nlist] int32 into the sorted storage
+    counts: jax.Array,       # [nlist] int32 cell sizes
+    centroids: jax.Array,    # [nlist, d] f32 (residual shift / cosine dot)
+    k: int,
+    metric: Dist,
+    cap: int,
+    mode: str,               # "f32" | "bf16" | "sq8" | "pq" | "pq_residual"
+    codebooks: jax.Array | None = None,  # [m, 256, ds] for pq modes
+    k_cell: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (best_d, best_i) of shape [nq+1, k] — callers drop the last
+    (sentinel) row. ``best_i`` are positions in the sorted storage.
+
+    ``storage``/``sqnorms`` must be padded with ≥ ``cap`` trailing rows so the
+    last cell's static slice stays in bounds.
+    """
+    nq = queries.shape[0]
+    nlist = offsets.shape[0]
+    k_cell = k if k_cell is None else k_cell
+
+    if mode in ("hamming", "binary_asym"):
+        q_sq = jnp.zeros((nq,), jnp.float32)
+    elif mode == "sq8":
+        q_sq = jnp.sum(
+            queries.astype(jnp.int32) * queries.astype(jnp.int32), axis=-1
+        ).astype(jnp.float32)
+    else:
+        q_sq = sq_norms(queries)
+    # sentinel row for padded query slots
+    queries_x = jnp.concatenate(
+        [queries, jnp.zeros((1, queries.shape[1]), queries.dtype)]
+    )
+    q_sq = jnp.concatenate([q_sq, jnp.zeros((1,), jnp.float32)])
+    # sentinel cluster (count 0) for padded cluster slots
+    offsets_x = jnp.concatenate([offsets, jnp.zeros((1,), offsets.dtype)])
+    counts_x = jnp.concatenate([counts, jnp.zeros((1,), counts.dtype)])
+    centroids_x = jnp.concatenate(
+        [centroids, jnp.zeros((1, centroids.shape[1]), centroids.dtype)]
+    )
+
+    def step(carry, row):
+        best_d, best_i = carry
+        c = cluster_ids[row]
+        qid = probe_lists[row]                  # [maxq]
+        qg = queries_x[qid]                     # [maxq, d]
+        start = offsets_x[c]
+        cell = jax.lax.dynamic_slice_in_dim(storage, start, cap, 0)
+        sn = jax.lax.dynamic_slice_in_dim(sqnorms, start, cap, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+        valid = lane < counts_x[c]
+
+        if mode in ("pq", "pq_residual"):
+            dec = pq_decode_tile(cell, codebooks)         # [cap, d] f32
+            sn_f = sn.astype(jnp.float32)
+            dots_fn = lambda lhs: jax.lax.dot_general(
+                lhs.astype(jnp.bfloat16),
+                dec.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if mode == "pq_residual":
+                if metric == Dist.COSINE:
+                    # x̂ = centroid + dec_res, not unit: d = 1 − q·x̂/‖x̂‖
+                    # (sn holds ‖x̂‖² — stored per metric at build time)
+                    num = dots_fn(qg) + (qg @ centroids_x[c])[:, None]
+                    d = 1.0 - num / jnp.sqrt(jnp.maximum(sn_f, 1e-12))[None, :]
+                else:
+                    qr = qg - centroids_x[c][None, :]     # residual query
+                    qr_sq = jnp.sum(qr * qr, axis=-1)
+                    d = jnp.maximum(
+                        qr_sq[:, None] + sn_f[None, :] - 2.0 * dots_fn(qr),
+                        0.0,
+                    )
+            else:
+                dots = dots_fn(qg)
+                if metric == Dist.COSINE:
+                    d = 1.0 - dots / jnp.sqrt(jnp.maximum(sn_f, 1e-12))[None, :]
+                else:
+                    d = jnp.maximum(
+                        q_sq[qid][:, None] + sn_f[None, :] - 2.0 * dots, 0.0
+                    )
+        elif mode in ("hamming", "binary_asym"):
+            # storage is packed uint32 [*, w]; pad bits are 0 on both sides
+            # so the ±1 identity over w·32 lanes is exact hamming
+            nbits = storage.shape[1] * 32
+            x_pm = unpack_pm1(cell, nbits)
+            if mode == "hamming":
+                q_pm = unpack_pm1(qg, nbits)
+                dot = jax.lax.dot_general(
+                    q_pm, x_pm, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d = (jnp.float32(nbits) - dot) * 0.5
+            else:
+                # queries are float projections zero-padded to w·32
+                dot = jax.lax.dot_general(
+                    qg.astype(jnp.bfloat16), x_pm, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d = -dot
+        elif mode == "sq8":
+            dots = jax.lax.dot_general(
+                qg, cell, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            sn_f = sn.astype(jnp.float32)
+            if metric == Dist.COSINE:
+                denom = jnp.sqrt(q_sq[qid])[:, None] * jnp.sqrt(sn_f)[None, :]
+                d = jnp.where(denom > 0, 1.0 - dots / denom, 1.0)
+            else:
+                d = jnp.maximum(
+                    q_sq[qid][:, None] + sn_f[None, :] - 2.0 * dots, 0.0
+                )
+        else:  # f32 / bf16 dense vectors
+            lhs = qg.astype(storage.dtype) if mode == "bf16" else qg
+            dots = jax.lax.dot_general(
+                lhs, cell, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if metric == Dist.COSINE:
+                d = 1.0 - dots
+            else:
+                d = jnp.maximum(
+                    q_sq[qid][:, None]
+                    + sn.astype(jnp.float32)[None, :]
+                    - 2.0 * dots,
+                    0.0,
+                )
+
+        d = jnp.where(valid, d, _INF)
+        kc = min(k_cell, cap)
+        cd, ci = jax.lax.top_k(-d, kc)          # [maxq, kc]
+        gi = start + ci
+        md, mi = merge_topk(best_d[qid], best_i[qid], -cd, gi, k)
+        best_d = best_d.at[qid].set(md, mode="drop")
+        best_i = best_i.at[qid].set(mi, mode="drop")
+        return (best_d, best_i), None
+
+    init = (
+        jnp.full((nq + 1, k), _INF, jnp.float32),
+        jnp.zeros((nq + 1, k), jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, jnp.arange(cluster_ids.shape[0])
+    )
+    return best_d, best_i

@@ -1,0 +1,46 @@
+"""Exact reranking of gathered candidates.
+
+Two-stage search support (reference: exhaustive_binary.rs:374-424 /
+ivf_binary.rs exact-rerank tier): a cheap scan proposes ``k·rerank_factor``
+candidates, their full-precision vectors are gathered from a vector store,
+and one batched distance einsum re-scores them exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.dist import Dist, sq_norms
+
+__all__ = ["rerank_exact"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def rerank_exact(
+    q: jax.Array,          # [nq, d] (normalised if cosine)
+    cand_vecs: jax.Array,  # [nq, kc, d] gathered full-precision candidates
+    cand_ids: jax.Array,   # [nq, kc] int32
+    valid: jax.Array,      # [nq, kc] bool
+    k: int,
+    metric: Dist,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact distances to candidates, top-k ascending → (dists, ids)."""
+    dots = jnp.einsum(
+        "qd,qcd->qc", q, cand_vecs, preferred_element_type=jnp.float32
+    )
+    if metric == Dist.COSINE:
+        vn = jnp.sqrt(jnp.maximum(jnp.sum(cand_vecs * cand_vecs, -1), 1e-30))
+        d = 1.0 - dots / vn
+    else:
+        d = jnp.maximum(
+            sq_norms(q)[:, None] + jnp.sum(cand_vecs * cand_vecs, -1) - 2.0 * dots,
+            0.0,
+        )
+    d = jnp.where(valid, d, _INF)
+    nd, pos = jax.lax.top_k(-d, min(k, d.shape[1]))
+    return -nd, jnp.take_along_axis(cand_ids, pos, axis=-1)

@@ -1,0 +1,152 @@
+"""Binary layer tests: packing, hamming kernels, binarisers, flat + IVF
+binary indexes with rerank tiers (reference: dist_binary.rs /
+exhaustive_binary.rs / ivf_binary.rs tests)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from annsearch_tpu.models.binary import (
+    Binariser,
+    ExhaustiveIndexBinary,
+    IvfIndexBinary,
+    MmapVectorStore,
+)
+from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+from annsearch_tpu.ops.binary import (
+    chunked_topk_hamming,
+    hamming_popcount,
+    pack_bits,
+    unpack_bits,
+)
+from annsearch_tpu.utils.data import generate_clustered_data, subsample_with_noise
+from annsearch_tpu.utils.metrics import calculate_recall
+
+
+def test_pack_unpack_roundtrip(rng):
+    bits = rng.integers(0, 2, (7, 77)).astype(bool)
+    packed = pack_bits(bits)
+    assert packed.shape == (7, 3)
+    out = np.asarray(unpack_bits(packed, 77))
+    np.testing.assert_array_equal(out, bits.astype(np.uint32))
+
+
+def test_hamming_matmul_matches_popcount(rng):
+    bits_a = rng.integers(0, 2, (5, 64)).astype(bool)
+    bits_b = rng.integers(0, 2, (33, 64)).astype(bool)
+    pa, pb = pack_bits(bits_a), pack_bits(bits_b)
+    ref = np.asarray(hamming_popcount(pa, pb))
+    expect = (bits_a[:, None, :] != bits_b[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(ref, expect)
+    # kernel path
+    d, i = chunked_topk_hamming(pa, pb, 33, 64, 33, db_chunk=16)
+    full_sorted = np.sort(expect, axis=1)
+    np.testing.assert_array_equal(np.asarray(d).astype(int), full_sorted[:, :33])
+
+
+def test_binariser_modes(rng):
+    x = jnp.asarray(rng.standard_normal((200, 16)).astype(np.float32))
+    for mode, nbits in [("simhash", 64), ("pca", 32), ("sign", None)]:
+        b = Binariser.train(x, nbits, mode, seed=0)
+        codes = b.encode(x)
+        assert codes.dtype == jnp.uint32
+        expected_bits = 16 if mode == "sign" else nbits
+        assert b.n_bits == expected_bits
+        assert codes.shape == (200, (expected_bits + 31) // 32)
+
+
+def test_simhash_projections_orthonormal(rng):
+    x = jnp.asarray(rng.standard_normal((50, 16)).astype(np.float32))
+    b = Binariser.train(x, 16, "simhash", seed=0)
+    p = np.asarray(b.projections)
+    np.testing.assert_allclose(p.T @ p, np.eye(16), atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def bdata():
+    x, _ = generate_clustered_data(3000, 64, 8, seed=0)
+    q = subsample_with_noise(x, 150, seed=0)
+    exact = ExhaustiveIndex(x, "euclidean")
+    ti, _ = exact.query(q, 10)
+    return x, q, ti
+
+
+def test_flat_binary_hamming_recall(bdata):
+    x, q, ti = bdata
+    index = ExhaustiveIndexBinary(x, n_bits=256, seed=0)
+    ai, ad = index.query(q, 10)
+    # hamming-only recall is modest (reference: 0.226 at 256 bits on harder
+    # data) but must beat random by a wide margin
+    assert calculate_recall(ti, ai, 10) > 0.15
+
+
+def test_flat_binary_exact_rerank_recall(bdata):
+    x, q, ti = bdata
+    index = ExhaustiveIndexBinary(x, n_bits=256, seed=0)
+    ai, ad = index.query(q, 10, rerank="exact", rerank_factor=20)
+    r = calculate_recall(ti, ai, 10)
+    assert r > 0.85, r
+    # exact rerank distances must be true squared euclidean
+    full = ((q[:2, None, :] - x[None, :, :]) ** 2).sum(-1)
+    # matmul-identity distances carry cancellation fuzz on near-zero values
+    np.testing.assert_allclose(
+        ad[:2, 0], np.take_along_axis(full, ai[:2, :1], 1)[:, 0],
+        rtol=1e-2, atol=1e-3,
+    )
+
+
+def test_flat_binary_asymmetric_beats_hamming(bdata):
+    x, q, ti = bdata
+    index = ExhaustiveIndexBinary(x, n_bits=256, seed=0)
+    h, _ = index.query(q, 10)
+    a, _ = index.query(q, 10, rerank="asymmetric")
+    rh = calculate_recall(ti, h, 10)
+    ra = calculate_recall(ti, a, 10)
+    assert ra >= rh * 0.8  # asymmetric is usually better, never catastrophic
+
+
+def test_flat_binary_pca_mode(bdata):
+    x, q, ti = bdata
+    index = ExhaustiveIndexBinary(x, n_bits=256, binarisation="pca", seed=0)
+    ai, _ = index.query(q, 10, rerank="exact")
+    assert calculate_recall(ti, ai, 10) > 0.8
+
+
+def test_flat_binary_mmap_store(tmp_path, bdata):
+    x, q, ti = bdata
+    path = str(tmp_path / "store")
+    index = ExhaustiveIndexBinary(x, n_bits=256, seed=0, store=path)
+    ai, _ = index.query(q, 10, rerank="exact")
+    assert calculate_recall(ti, ai, 10) > 0.8
+    s = MmapVectorStore.open(path)
+    assert s.n == 3000 and s.dim == 64
+
+
+def test_ivf_binary_recall(bdata):
+    x, q, ti = bdata
+    index = IvfIndexBinary(x, nlist=16, n_bits=256, seed=0)
+    ai, _ = index.query(q, 10, nprobe=16, rerank="exact")
+    assert calculate_recall(ti, ai, 10) > 0.8
+
+
+def test_ivf_binary_hamming_tier(bdata):
+    x, q, ti = bdata
+    index = IvfIndexBinary(x, nlist=16, n_bits=256, seed=0)
+    ai, ad = index.query(q, 10, nprobe=8)
+    assert (ai >= 0).all() and (ai < 3000).all()
+    assert calculate_recall(ti, ai, 10) > 0.1
+
+
+def test_ivf_binary_self_query(bdata):
+    x, _, _ = bdata
+    index = IvfIndexBinary(x[:800], nlist=8, n_bits=256, seed=0)
+    idx, dist = index.generate_knn(3, nprobe=8, rerank="exact")
+    assert (idx[:, 0] == np.arange(800)).mean() > 0.95
+
+
+def test_binary_memory_compression(bdata):
+    x, _, _ = bdata
+    index = ExhaustiveIndexBinary(x, n_bits=256, seed=0, store=False)
+    # 256 bits = 32 bytes/vector vs 256 bytes f32
+    f32_bytes = x.size * 4
+    assert index.memory_usage_bytes() < f32_bytes / 4
