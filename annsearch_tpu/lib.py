@@ -66,6 +66,12 @@ __all__ = [
     "build_ivf_index_binary",
     "query_ivf_index_binary",
     "query_ivf_index_binary_self",
+    "build_exhaustive_index_rabitq",
+    "query_exhaustive_index_rabitq",
+    "query_exhaustive_index_rabitq_self",
+    "build_ivf_index_rabitq",
+    "query_ivf_index_rabitq",
+    "query_ivf_index_rabitq_self",
 ]
 
 
@@ -362,5 +368,80 @@ def query_ivf_index_binary_self(
         *index.generate_knn(
             k, nprobe=nprobe, rerank=rerank, rerank_factor=rerank_factor
         ),
+        return_dist,
+    )
+
+
+# ----------------------------------------------------------------------------
+# RaBitQ indexes (reference lib.rs:2691-2930)
+# ----------------------------------------------------------------------------
+
+
+def build_exhaustive_index_rabitq(
+    mat: Any, dist_metric: str = "euclidean", nlist=None, max_iters=None,
+    seed: int = 42, store=True, verbose: bool = False,
+):
+    from .models.binary.rabitq import ExhaustiveIndexRaBitQ
+
+    return ExhaustiveIndexRaBitQ(
+        mat, dist_metric, nlist=nlist,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        store=store, verbose=verbose,
+    )
+
+
+def query_exhaustive_index_rabitq(
+    query_mat, index, k, nprobe=None, rerank=None, rerank_factor=10,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(
+        *index.query(query_mat, k, nprobe=nprobe, rerank=rerank,
+                     rerank_factor=rerank_factor),
+        return_dist,
+    )
+
+
+def query_exhaustive_index_rabitq_self(
+    index, k, nprobe=None, rerank=None, rerank_factor=10,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(
+        *index.generate_knn(k, nprobe=nprobe, rerank=rerank,
+                            rerank_factor=rerank_factor),
+        return_dist,
+    )
+
+
+def build_ivf_index_rabitq(
+    mat: Any, dist_metric: str = "euclidean", nlist=None, max_iters=None,
+    seed: int = 42, store=True, verbose: bool = False,
+):
+    from .models.binary.rabitq import IvfIndexRaBitQ
+
+    return IvfIndexRaBitQ(
+        mat, dist_metric, nlist=nlist,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        store=store, verbose=verbose,
+    )
+
+
+def query_ivf_index_rabitq(
+    query_mat, index, k, nprobe=None, rerank=None, rerank_factor=10,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(
+        *index.query(query_mat, k, nprobe=nprobe, rerank=rerank,
+                     rerank_factor=rerank_factor),
+        return_dist,
+    )
+
+
+def query_ivf_index_rabitq_self(
+    index, k, nprobe=None, rerank=None, rerank_factor=10,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(
+        *index.generate_knn(k, nprobe=nprobe, rerank=rerank,
+                            rerank_factor=rerank_factor),
         return_dist,
     )

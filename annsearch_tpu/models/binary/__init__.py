@@ -3,6 +3,7 @@
 from .binariser import Binariser
 from .flat import ExhaustiveIndexBinary
 from .ivf import IvfIndexBinary
+from .rabitq import ExhaustiveIndexRaBitQ, IvfIndexRaBitQ, RaBitQEncoder
 from .vec_store import DeviceVectorStore, MmapVectorStore
 
 __all__ = [
@@ -11,4 +12,7 @@ __all__ = [
     "IvfIndexBinary",
     "DeviceVectorStore",
     "MmapVectorStore",
+    "RaBitQEncoder",
+    "ExhaustiveIndexRaBitQ",
+    "IvfIndexRaBitQ",
 ]

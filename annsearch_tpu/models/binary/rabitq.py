@@ -1,0 +1,277 @@
+"""RaBitQ indexes: 1-bit residual quantisation with an unbiased estimator.
+
+TPU-native rebuild of the reference's RaBitQ layer
+(``src/binary/rabitq.rs`` + estimator ``dist_binary.rs:466-588``):
+
+  * encoder: random orthogonal rotation (QR of a Gaussian, rabitq.rs:240-261);
+    per vector, the *unit residual* to its centroid is rotated and its sign
+    bits stored, plus two scalars — ``dist_to_centroid = ‖x−c‖`` and the
+    L1-norm dot correction ``‖R·u‖₁`` (rabitq.rs:97-127);
+  * estimator: ``⟨q,v⟩̂ = ⟨R·uq, sign⟩ / ‖R·u‖₁`` clamped to [−1,1], then
+    ``d̂ = sqrt(‖v−c‖² + ‖q−c‖² − 2‖v−c‖‖q−c‖·⟨q,v⟩̂)`` (dist_binary.rs:564-587
+    — note the reference returns the *non-squared* estimate; matched here);
+  * TPU deviation: the reference int4-quantises the rotated query residual to
+    enable a u8 SIMD dot (rabitq.rs:140-207, dist_binary.rs:332-463). The MXU
+    needs no such trick — the sign dot is an exact ±1 matmul, giving the same
+    estimator with strictly less quantisation error.
+
+Two indexes (reference exhaustive_rabitq.rs / ivf_rabitq.rs):
+  * :class:`ExhaustiveIndexRaBitQ` — "exhaustive" in name but internally
+    multi-centroid: 0.5·√n clusters, default nprobe = 20% of clusters
+    (reference exhaustive_rabitq.rs:134-136, rabitq.rs:668);
+  * :class:`IvfIndexRaBitQ` — standard IVF routing + estimation in probed
+    cells. Both support exact rerank from the vector store.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.binary import pack_bits
+from ...ops.ivf_scan import build_probe_lists, ivf_cluster_scan
+from ...ops.rerank import rerank_exact
+from ...utils.dist import Dist, normalise
+from ..base import BaseIndex, as_f32_matrix
+from ..kmeans import assign_clusters, build_cells, train_centroids
+from ..quantised.ivf import route_to_cells
+from .vec_store import DeviceVectorStore, MmapVectorStore
+
+__all__ = ["RaBitQEncoder", "ExhaustiveIndexRaBitQ", "IvfIndexRaBitQ"]
+
+
+class RaBitQEncoder:
+    """Rotation + batch sign-bit encoding of unit residuals."""
+
+    def __init__(self, rotation: jax.Array, dim: int):
+        self.rotation = rotation  # [d, d]; apply as v @ rotation.T
+        self.dim = dim
+        self.n_words = (dim + 31) // 32
+
+    @classmethod
+    def create(cls, dim: int, seed: int = 42) -> "RaBitQEncoder":
+        g = jax.random.normal(jax.random.key(seed), (dim, dim), jnp.float32)
+        q, _ = jnp.linalg.qr(g)
+        return cls(q, dim)
+
+    def encode_vectors(
+        self, x: jax.Array, owner_centroids: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Returns (packed sign bits [n, w], dist_to_centroid [n],
+        dot_correction [n])."""
+        r = x - owner_centroids
+        v_dist = jnp.sqrt(jnp.sum(r * r, axis=-1))
+        u = r / jnp.maximum(v_dist, 1e-12)[:, None]
+        ru = u @ self.rotation.T
+        bits = pack_bits(ru >= 0)
+        dot_corr = jnp.sum(jnp.abs(ru), axis=-1)
+        return bits, v_dist, dot_corr
+
+    def rotate_padded(self, v: jax.Array) -> jax.Array:
+        """Rotate and zero-pad the lane dim to w·32 (scan operand layout)."""
+        r = v @ self.rotation.T
+        pad = self.n_words * 32 - self.dim
+        if pad:
+            r = jnp.concatenate(
+                [r, jnp.zeros(r.shape[:-1] + (pad,), r.dtype)], axis=-1
+            )
+        return r
+
+    def memory_usage_bytes(self) -> int:
+        return int(self.rotation.size) * 4
+
+
+class _RaBitQBase(BaseIndex):
+    """Shared build/query for the two RaBitQ indexes."""
+
+    _state_arrays = (
+        "codes", "v_dists", "dot_corrs", "rotation", "centroids",
+        "offsets", "counts", "original_ids",
+    )
+    _state_scalars = ("n", "dim", "nlist", "cell_cap")
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str = "euclidean",
+        nlist: int | None = None,
+        max_iters: int = 30,
+        seed: int = 42,
+        store: str | bool = True,
+        verbose: bool = False,
+    ):
+        arr = as_f32_matrix(mat)
+        n = arr.shape[0]
+        nlist = self._default_nlist(n) if nlist is None else nlist
+        nlist = max(1, min(nlist, n))
+
+        super().__init__(arr, metric)
+        x = self.vectors  # normalised if cosine (rabitq.rs:668+ cosine mode)
+
+        self.nlist = nlist
+        self.centroids = train_centroids(
+            x, nlist, self.metric, max_iters=max_iters, seed=seed
+        )
+        assignments, _ = assign_clusters(x, self.centroids, self.metric)
+        members, counts, order = build_cells(np.asarray(assignments), nlist)
+        self.cell_cap = int(members.shape[1])
+
+        order_j = jnp.asarray(order)
+        x_sorted = x[order_j]
+        self.original_ids = order_j.astype(jnp.int32)
+        self.counts = jnp.asarray(counts, dtype=jnp.int32)
+        self.offsets = jnp.asarray(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+        )
+
+        self.encoder = RaBitQEncoder.create(self.dim, seed)
+        self.rotation = self.encoder.rotation
+        owner = jnp.repeat(
+            jnp.arange(self.nlist), np.asarray(counts), total_repeat_length=n
+        )
+        codes, v_dists, dot_corrs = self.encoder.encode_vectors(
+            x_sorted, self.centroids[owner]
+        )
+        pad = self.cell_cap
+        self.codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)]
+        )
+        self.v_dists = jnp.concatenate([v_dists, jnp.zeros((pad,), jnp.float32)])
+        self.dot_corrs = jnp.concatenate([dot_corrs, jnp.zeros((pad,), jnp.float32)])
+
+        if store is True:
+            self.store = DeviceVectorStore(x_sorted)
+        elif isinstance(store, str):
+            self.store = MmapVectorStore.write(store, np.asarray(x_sorted))
+        else:
+            self.store = None
+        self.vectors = None
+
+    def _default_nlist(self, n: int) -> int:
+        raise NotImplementedError
+
+    def default_nprobe(self) -> int:
+        raise NotImplementedError
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        nprobe: int | None = None,
+        rerank: str | None = None,
+        rerank_factor: int = 10,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = self._prep_q(query_mat)
+        k = self._clamp_k(k)
+        nprobe = self.default_nprobe() if nprobe is None else nprobe
+        nprobe = max(1, min(nprobe, self.nlist))
+        if rerank == "exact" and self.store is None:
+            raise ValueError("exact rerank requires a vector store")
+        nq = q.shape[0]
+
+        probes = route_to_cells(q, self.centroids, nprobe, self.metric)
+        cluster_ids, lists = build_probe_lists(np.asarray(probes), self.nlist, nq)
+
+        k_scan = k if rerank != "exact" else min(max(k, k * rerank_factor), self.n)
+        q_rot = self.encoder.rotate_padded(q)
+        cent_rot = self.encoder.rotate_padded(self.centroids)
+
+        best_d, best_i = ivf_cluster_scan(
+            q_rot,
+            jnp.asarray(cluster_ids),
+            jnp.asarray(lists),
+            self.codes,
+            self.v_dists,
+            self.offsets,
+            self.counts,
+            cent_rot,
+            k_scan,
+            self.metric,
+            self.cell_cap,
+            "rabitq",
+            aux=self.dot_corrs,
+        )
+        d = np.asarray(best_d)[:nq]
+        i = np.asarray(best_i)[:nq]
+
+        if rerank == "exact":
+            valid = np.isfinite(d)
+            i = np.clip(i, 0, self.n - 1)
+            block = 1024
+            ids_out, d_out = [], []
+            for s in range(0, nq, block):
+                cb = jnp.asarray(i[s : s + block])
+                vecs = self.store.gather(i[s : s + block])
+                dd, ii = rerank_exact(
+                    q[s : s + block], vecs, cb,
+                    jnp.asarray(valid[s : s + block]), k, self.metric,
+                )
+                ids_out.append(np.asarray(ii))
+                d_out.append(np.asarray(dd))
+            i = np.concatenate(ids_out)
+            d = np.concatenate(d_out)
+
+        ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
+        return ids, d
+
+    def generate_knn(self, k: int, nprobe: int | None = None, **kw):
+        if isinstance(self.store, DeviceVectorStore):
+            return self.query(self.vectors_original_order(), k, nprobe=nprobe, **kw)
+        raise ValueError("self-query requires a device vector store")
+
+    def _prep_q(self, query_mat):
+        q = as_f32_matrix(query_mat)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        qj = jnp.asarray(q)
+        return normalise(qj) if self.metric == Dist.COSINE else qj
+
+    def memory_usage_bytes(self) -> int:
+        total = (
+            int(self.codes.size) * 4
+            + int(self.v_dists.size + self.dot_corrs.size) * 4
+            + int(self.centroids.size) * 4
+            + self.encoder.memory_usage_bytes()
+        )
+        if self.store is not None:
+            total += self.store.memory_usage_bytes()
+        return total
+
+    def vectors_original_order(self) -> np.ndarray:
+        if not isinstance(self.store, DeviceVectorStore):
+            raise ValueError("no device vector store")
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[np.asarray(self.original_ids)] = np.arange(self.n)
+        return np.asarray(self.store.vectors)[inv]
+
+    def _post_load(self):
+        self.nlist = int(self.nlist)
+        self.cell_cap = int(self.cell_cap)
+        self.encoder = RaBitQEncoder(self.rotation, self.dim)
+        self.store = None
+
+
+class ExhaustiveIndexRaBitQ(_RaBitQBase):
+    """Flat-API RaBitQ: internally 0.5·√n clusters, default probe 20%
+    (reference exhaustive_rabitq.rs:28-374)."""
+
+    def _default_nlist(self, n: int) -> int:
+        return max(1, int(0.5 * math.sqrt(n)))
+
+    def default_nprobe(self) -> int:
+        return max(1, int(0.2 * self.nlist))
+
+
+class IvfIndexRaBitQ(_RaBitQBase):
+    """IVF-style RaBitQ: √n cells, √nlist probes
+    (reference ivf_rabitq.rs:28-647)."""
+
+    def _default_nlist(self, n: int) -> int:
+        return max(1, int(math.isqrt(n)))
+
+    def default_nprobe(self) -> int:
+        return max(1, int(math.isqrt(self.nlist)))

@@ -96,6 +96,7 @@ def ivf_cluster_scan(
     mode: str,               # "f32" | "bf16" | "sq8" | "pq" | "pq_residual"
     codebooks: jax.Array | None = None,  # [m, 256, ds] for pq modes
     k_cell: int | None = None,
+    aux: jax.Array | None = None,        # [n_pad] extra per-row data (rabitq: dot_corr)
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_d, best_i) of shape [nq+1, k] — callers drop the last
     (sentinel) row. ``best_i`` are positions in the sorted storage.
@@ -107,7 +108,7 @@ def ivf_cluster_scan(
     nlist = offsets.shape[0]
     k_cell = k if k_cell is None else k_cell
 
-    if mode in ("hamming", "binary_asym"):
+    if mode in ("hamming", "binary_asym", "rabitq"):
         q_sq = jnp.zeros((nq,), jnp.float32)
     elif mode == "sq8":
         q_sq = jnp.sum(
@@ -168,6 +169,37 @@ def ivf_cluster_scan(
                     d = jnp.maximum(
                         q_sq[qid][:, None] + sn_f[None, :] - 2.0 * dots, 0.0
                     )
+        elif mode == "rabitq":
+            # RaBitQ unbiased estimator (reference dist_binary.rs:466-588,
+            # rabitq.rs:97-207). queries/centroids arrive pre-rotated and
+            # zero-padded to w·32 lanes; storage = packed sign bits of the
+            # rotated unit residual; sn = ‖x−c‖ (dist_to_centroid);
+            # aux = ‖rotated unit residual‖₁ (dot correction).
+            # TPU deviation: ⟨qru, sign⟩ is computed exactly via a ±1 matmul
+            # instead of the reference's int4-quantised SIMD dot — same
+            # estimator, strictly less quantisation error, rides the MXU.
+            nbits = storage.shape[1] * 32
+            rqr = qg - centroids_x[c][None, :]           # rotated residual
+            q_dist = jnp.sqrt(jnp.sum(rqr * rqr, axis=-1))
+            qru = rqr / jnp.maximum(q_dist, 1e-12)[:, None]
+            x_pm = unpack_pm1(cell, nbits)               # pad lanes: qru=0
+            inner = jax.lax.dot_general(
+                qru.astype(jnp.bfloat16), x_pm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            corr = jax.lax.dynamic_slice_in_dim(aux, start, cap, 0)
+            q_dot_v = jnp.where(
+                corr[None, :] > 1e-6,
+                jnp.clip(inner / jnp.maximum(corr, 1e-12)[None, :], -1.0, 1.0),
+                0.0,
+            )
+            v_dist = sn.astype(jnp.float32)
+            d2 = (
+                v_dist[None, :] ** 2
+                + q_dist[:, None] ** 2
+                - 2.0 * v_dist[None, :] * q_dist[:, None] * q_dot_v
+            )
+            d = jnp.sqrt(jnp.maximum(d2, 0.0))
         elif mode in ("hamming", "binary_asym"):
             # storage is packed uint32 [*, w]; pad bits are 0 on both sides
             # so the ±1 identity over w·32 lanes is exact hamming
