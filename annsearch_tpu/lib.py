@@ -72,6 +72,25 @@ __all__ = [
     "build_ivf_index_rabitq",
     "query_ivf_index_rabitq",
     "query_ivf_index_rabitq_self",
+    "build_nndescent_index",
+    "query_nndescent_index",
+    "query_nndescent_self",
+    "build_nndescent_index_gpu",
+    "query_nndescent_index_gpu",
+    "query_nndescent_index_gpu_self",
+    "extract_nndescent_knn_gpu",
+    "build_exhaustive_index_gpu",
+    "query_exhaustive_index_gpu",
+    "query_exhaustive_index_gpu_self",
+    "build_ivf_index_gpu",
+    "query_ivf_index_gpu",
+    "query_ivf_index_gpu_self",
+    "build_hnsw_index",
+    "query_hnsw_index",
+    "query_hnsw_self",
+    "build_vamana_index",
+    "query_vamana_index",
+    "query_vamana_self",
 ]
 
 
@@ -445,3 +464,119 @@ def query_ivf_index_rabitq_self(
                             rerank_factor=rerank_factor),
         return_dist,
     )
+
+
+# ----------------------------------------------------------------------------
+# Graph indexes (reference lib.rs:969-1093 CPU NNDescent; :2199-2400 GPU
+# NNDescent/CAGRA). On TPU there is one accelerated engine, so the *_gpu
+# names are aliases of the native implementation.
+# ----------------------------------------------------------------------------
+
+
+def build_nndescent_index(
+    mat: Any, dist_metric: str = "euclidean", k: int = 30, n_trees=None,
+    max_iters=None, delta: float = 0.001, seed: int = 42,
+    verbose: bool = False, **kw,
+):
+    from .models.graph import NNDescentIndex
+
+    return NNDescentIndex(
+        mat, dist_metric, k=k,
+        n_trees=4 if n_trees is None else n_trees,
+        max_rounds=10 if max_iters is None else max_iters,
+        delta=delta, seed=seed, verbose=verbose, **kw,
+    )
+
+
+def query_nndescent_index(
+    query_mat, index, k, beam=None, iters=None, return_dist=False,
+    verbose=False,
+):
+    return _maybe_dist(
+        *index.query(query_mat, k, beam=beam, iters=iters), return_dist
+    )
+
+
+def query_nndescent_self(index, k, return_dist=False, verbose=False, mode="graph"):
+    return _maybe_dist(*index.generate_knn(k, mode=mode), return_dist)
+
+
+# accelerated-path aliases (reference *_gpu surface)
+build_nndescent_index_gpu = build_nndescent_index
+query_nndescent_index_gpu = query_nndescent_index
+query_nndescent_index_gpu_self = query_nndescent_self
+
+
+def extract_nndescent_knn_gpu(index, k, return_dist=False, verbose=False):
+    """Extract the built kNN graph (reference lib.rs:2325)."""
+    return _maybe_dist(*index.generate_knn(k, mode="graph"), return_dist)
+
+
+def build_exhaustive_index_gpu(mat: Any, dist_metric: str = "euclidean"):
+    return build_exhaustive_index(mat, dist_metric)
+
+
+query_exhaustive_index_gpu = query_exhaustive_index
+query_exhaustive_index_gpu_self = query_exhaustive_self
+
+
+def build_ivf_index_gpu(
+    mat: Any, nlist=None, max_iters=None, dist_metric="euclidean",
+    seed=42, verbose=False,
+):
+    return build_ivf_index(mat, nlist, max_iters, dist_metric, seed, verbose)
+
+
+query_ivf_index_gpu = query_ivf_index
+query_ivf_index_gpu_self = query_ivf_self
+
+
+# ----------------------------------------------------------------------------
+# HNSW (reference lib.rs:553-657) / Vamana (lib.rs:1094-1190)
+# ----------------------------------------------------------------------------
+
+
+def build_hnsw_index(
+    mat: Any, dist_metric: str = "euclidean", m: int = 16,
+    ef_construction: int = 100, seed: int = 42, verbose: bool = False,
+):
+    from .models.hnsw import HnswIndex
+
+    return HnswIndex(
+        mat, dist_metric, m=m, ef_construction=ef_construction, seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_hnsw_index(
+    query_mat, index, k, ef_search=None, return_dist=False, verbose=False
+):
+    return _maybe_dist(
+        *index.query(query_mat, k, ef_search=ef_search), return_dist
+    )
+
+
+def query_hnsw_self(index, k, ef_search=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, ef_search=ef_search), return_dist)
+
+
+def build_vamana_index(
+    mat: Any, dist_metric: str = "euclidean", r_degree: int = 32,
+    alpha: float = 1.2, seed: int = 42, verbose: bool = False,
+):
+    from .models.vamana import VamanaIndex
+
+    return VamanaIndex(
+        mat, dist_metric, r_degree=r_degree, alpha=alpha, seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_vamana_index(
+    query_mat, index, k, beam=None, return_dist=False, verbose=False
+):
+    return _maybe_dist(*index.query(query_mat, k, beam=beam), return_dist)
+
+
+def query_vamana_self(index, k, beam=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, beam=beam), return_dist)

@@ -12,7 +12,15 @@ from .quantised import (
     IvfPqIndex,
     IvfSq8Index,
 )
-from .binary import ExhaustiveIndexBinary, IvfIndexBinary
+from .binary import (
+    ExhaustiveIndexBinary,
+    ExhaustiveIndexRaBitQ,
+    IvfIndexBinary,
+    IvfIndexRaBitQ,
+)
+from .graph import NNDescentIndex
+from .hnsw import HnswIndex
+from .vamana import VamanaIndex
 
 __all__ = [
     "ExhaustiveIndex",
@@ -27,4 +35,9 @@ __all__ = [
     "IvfOpqIndex",
     "ExhaustiveIndexBinary",
     "IvfIndexBinary",
+    "ExhaustiveIndexRaBitQ",
+    "IvfIndexRaBitQ",
+    "NNDescentIndex",
+    "HnswIndex",
+    "VamanaIndex",
 ]

@@ -1,0 +1,230 @@
+"""Graph index: NN-descent construction + CAGRA-style beam-search query.
+
+TPU-native rebuild of the reference's graph family — CPU ``NNDescent``
+(src/cpu/nndescent.rs), GPU ``NNDescentGpu`` + CAGRA
+(src/gpu/nndescent_gpu.rs, cagra_gpu_search.rs). One index covers both
+roles the reference splits across them:
+
+  * ``knn_graph``  — the true kNN graph (``extract_knn`` /
+    ``generate_knn(mode="graph")``), the reference's headline "full kNN
+    graph in seconds" use-case;
+  * ``nav_graph``  — the CAGRA-pruned navigable graph used by
+    ``query`` (batched fixed-iteration beam search).
+
+Build pipeline (all batched rounds, ops/graph.py):
+  random init → RP-forest passes → NN-descent expansion rounds until the
+  update rate drops below ``delta`` (reference convergence loop,
+  nndescent_gpu.rs:1548-1652, default delta 0.001) → CAGRA detour-prune +
+  reverse-edge fill.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.graph import (
+    add_reverse_edges,
+    beam_search,
+    cagra_prune,
+    nnd_round,
+    random_init_graph,
+    rp_forest_round,
+)
+from ..utils.dist import Dist, normalise, sq_norms
+from .base import BaseIndex, as_f32_matrix
+
+__all__ = ["NNDescentIndex"]
+
+
+class NNDescentIndex(BaseIndex):
+    """kNN-graph + navigable-graph index."""
+
+    _state_arrays = (
+        "vectors", "sqnorms", "knn_ids", "knn_dists", "nav_graph",
+        "router_ids",
+    )
+    _state_scalars = ("n", "dim", "k_build", "out_deg")
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str = "euclidean",
+        k: int = 30,
+        build_k: int | None = None,
+        n_trees: int = 4,
+        max_rounds: int = 10,
+        delta: float = 0.001,
+        out_deg: int | None = None,
+        reverse_extra: int | None = None,
+        seed: int = 42,
+        verbose: bool = False,
+    ):
+        super().__init__(mat, metric)
+        n = self.n
+        self.k_build = min(build_k if build_k is not None else 2 * k, max(n - 1, 1))
+        self.out_deg = min(
+            out_deg if out_deg is not None else max(k, 16), self.k_build
+        )
+        reverse_extra = (
+            reverse_extra if reverse_extra is not None else self.out_deg // 2
+        )
+
+        # sentinel row n for safe gathers
+        vecs = jnp.concatenate(
+            [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
+        )
+        sq = sq_norms(vecs)
+        self.vectors = vecs
+        self.sqnorms = sq
+
+        key = jax.random.key(seed)
+        key, k_init = jax.random.split(key)
+        ids, dists = random_init_graph(
+            k_init, vecs, sq, self.k_build, self.metric
+        )
+
+        leaf = 64
+        levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
+        for t in range(n_trees):
+            key, kt = jax.random.split(key)
+            ids, dists = rp_forest_round(
+                kt, vecs, sq, ids, dists, levels, leaf, self.k_build, self.metric
+            )
+            if verbose:
+                print(f"forest pass {t + 1}/{n_trees} done")
+
+        total_edges = n * self.k_build
+        for r in range(max_rounds):
+            key, kr = jax.random.split(key)
+            ids, dists, upd = nnd_round(
+                kr, vecs, sq, ids, dists, self.k_build, self.metric,
+                fof_sample=min(self.k_build * self.k_build, 1024),
+            )
+            rate = float(upd) / max(total_edges, 1)
+            if verbose:
+                print(f"nnd round {r + 1}: update rate {rate:.4f}")
+            if rate < delta:
+                break
+
+        self.knn_ids = ids
+        self.knn_dists = dists
+
+        # entry-point routers: a sampled node set scanned exactly at query
+        # time (replaces the reference's ForestRouter entry-point trees,
+        # forest_gpu.rs:480-564 — one [bq, S] matmul instead of tree walks;
+        # kNN graphs over clustered data are disconnected across clusters,
+        # so routed entries are what makes beam search reach the right one)
+        key, krt = jax.random.split(key)
+        n_routers = min(n, max(256, 4 * int(math.isqrt(n))))
+        self.router_ids = jax.random.permutation(krt, n)[:n_routers].astype(
+            jnp.int32
+        )
+
+        # CAGRA-style navigable graph
+        key, kp = jax.random.split(key)
+        pruned = cagra_prune(vecs, sq, ids, dists, self.out_deg, self.metric)
+        nav = add_reverse_edges(kp, pruned, n, reverse_extra)
+        # sentinel row for beam gathers
+        self.nav_graph = jnp.concatenate(
+            [nav, jnp.full((1, nav.shape[1]), n, jnp.int32)]
+        )
+        self._seed = seed
+
+    # -- queries -----------------------------------------------------------
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        beam: int | None = None,
+        iters: int | None = None,
+        expand: int = 4,
+        n_entries: int = 8,
+        seed: int | None = None,
+        query_block: int = 1024,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Beam-search query (reference cagra_search_batch_gpu defaults:
+        BEAM_WIDTH 16·auto-scale, MAX_BEAM_ITERS≈3·bw, 8 random entries,
+        cagra_gpu_search.rs:21-124)."""
+        q = self._prep_queries(query_mat)
+        k = self._clamp_k(k)
+        beam = beam if beam is not None else max(32, 2 * k)
+        beam = min(beam, self.n)
+        iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))
+        n_entries = min(n_entries, beam, self.n)
+
+        nq = q.shape[0]
+        entries = self._route_entries(q, n_entries)
+
+        qb = min(query_block, max(nq, 8))
+        pad = (-nq) % qb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+            entries = jnp.concatenate(
+                [entries, jnp.zeros((pad, n_entries), entries.dtype)]
+            )
+
+        def run(args):
+            qq, ee = args
+            return beam_search(
+                qq, self.vectors, self.sqnorms, self.nav_graph, ee,
+                k, beam, iters, self.metric, expand,
+            )
+
+        d, i = jax.lax.map(
+            run,
+            (q.reshape(-1, qb, self.dim), entries.reshape(-1, qb, n_entries)),
+        )
+        d = np.asarray(d.reshape(-1, k)[:nq])
+        i = np.asarray(i.reshape(-1, k)[:nq])
+        return np.clip(i, 0, self.n - 1), d
+
+    def _route_entries(self, q: jax.Array, n_entries: int) -> jax.Array:
+        """Exact scan of the router sample → top-n_entries node ids."""
+        rv = self.vectors[self.router_ids]
+        dots = jax.lax.dot_general(
+            q, rv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if self.metric == Dist.COSINE:
+            d = 1.0 - dots
+        else:
+            d = sq_norms(q)[:, None] + self.sqnorms[self.router_ids][None, :] - 2.0 * dots
+        _, pos = jax.lax.top_k(-d, n_entries)
+        return self.router_ids[pos]
+
+    def generate_knn(
+        self, k: int, mode: str = "graph", **kw
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Self-kNN. ``mode="graph"`` reads the built kNN graph directly
+        (self excluded — matching the reference's extracted graph,
+        nndescent.rs:527-548); ``mode="search"`` beam-searches every stored
+        vector (reference query_nndescent_self)."""
+        if mode == "graph":
+            k = min(k, self.k_build)
+            return (
+                np.asarray(jnp.clip(self.knn_ids[:, :k], 0, self.n - 1)),
+                np.asarray(self.knn_dists[:, :k]),
+            )
+        q = np.asarray(self.vectors[: self.n])
+        return self.query(q, k, **kw)
+
+    def vectors_original_order(self) -> np.ndarray:
+        return np.asarray(self.vectors[: self.n])
+
+    def _prep_queries(self, query_mat):
+        q = as_f32_matrix(query_mat)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        qj = jnp.asarray(q)
+        return normalise(qj) if self.metric == Dist.COSINE else qj
+
+    def _post_load(self):
+        self.k_build = int(self.k_build)
+        self.out_deg = int(self.out_deg)
+        self._seed = 42

@@ -1,0 +1,274 @@
+"""HNSW index.
+
+TPU-native rebuild of the reference ``HnswIndex`` (``src/cpu/hnsw.rs``):
+same hierarchy semantics — exponential layer assignment capped at 15
+(hnsw.rs:639-645), degree M on upper layers / 2M at the base, greedy upper
+descent + base-layer beam (ef_search) — but construction is completely
+re-based: the reference's phase-1/phase-2 locked concurrent inserts
+(hnsw.rs:706-862, StripedLocks + torn-read-tolerant neighbour reads) are
+pointer-chasing and don't map to TPU, so every layer's graph is built with
+batched rounds instead (exact kNN matmul for small layers, NN-descent for
+large ones) followed by rank-based pruning — the Algorithm-4 heuristic's
+batched analogue.
+
+Queries run the same two phases as the reference (hnsw.rs:1093-1278):
+greedy (beam=1-ish) descent through upper layers to find an entry, then an
+ef_search-wide beam on the base layer — both as the batched fixed-iteration
+beam kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.graph import (
+    add_reverse_edges,
+    beam_search,
+    cagra_prune,
+    nnd_round,
+    random_init_graph,
+    rp_forest_round,
+)
+from ..ops.topk import topk_smallest
+from ..utils.dist import Dist, normalise, pairwise_dist, sq_norms
+from .base import BaseIndex, as_f32_matrix
+
+__all__ = ["HnswIndex"]
+
+MAX_LAYERS = 16  # reference caps layer assignment at 15 (hnsw.rs:639-645)
+EXACT_LAYER_MAX = 4096  # layers this small get exact kNN graphs (one matmul)
+
+
+def _build_knn_graph(
+    key, vecs, sq, kk: int, metric: Dist, n_trees: int, max_rounds: int
+):
+    """(ids, dists) kNN graph over vecs[:-1] (sentinel last row)."""
+    n = vecs.shape[0] - 1
+    kk = min(kk, max(n - 1, 1))
+    if n <= EXACT_LAYER_MAX:
+        d = pairwise_dist(vecs[:n], vecs[:n], metric, x_sqnorm=sq[:n])
+        d = d.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
+        dd, ii = topk_smallest(d, kk)
+        return ii.astype(jnp.int32), dd
+    key, k0 = jax.random.split(key)
+    ids, dists = random_init_graph(k0, vecs, sq, kk, metric)
+    leaf = 64
+    levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
+    for _ in range(n_trees):
+        key, kt = jax.random.split(key)
+        ids, dists = rp_forest_round(kt, vecs, sq, ids, dists, levels, leaf, kk, metric)
+    for _ in range(max_rounds):
+        key, kr = jax.random.split(key)
+        ids, dists, upd = nnd_round(
+            kr, vecs, sq, ids, dists, kk, metric,
+            fof_sample=min(kk * kk, 1024),
+        )
+        if float(upd) / max(n * kk, 1) < 0.001:
+            break
+    return ids, dists
+
+
+class HnswIndex(BaseIndex):
+    """Hierarchical navigable small-world graph."""
+
+    _state_scalars = ("n", "dim", "m", "n_layers")
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str = "euclidean",
+        m: int = 16,
+        ef_construction: int = 100,
+        seed: int = 42,
+        verbose: bool = False,
+    ):
+        super().__init__(mat, metric)
+        n = self.n
+        self.m = m
+
+        vecs = jnp.concatenate(
+            [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
+        )
+        sq = sq_norms(vecs)
+        self.vectors = vecs
+        self.sqnorms = sq
+
+        # exponential layer assignment (hnsw.rs:639-645): mL = 1/ln(M)
+        rng = np.random.default_rng(seed)
+        ml = 1.0 / math.log(max(m, 2))
+        levels = np.minimum(
+            np.floor(-np.log(rng.uniform(1e-12, 1.0, n)) * ml).astype(np.int64),
+            MAX_LAYERS - 1,
+        )
+        self.n_layers = int(levels.max()) + 1 if n > 1 else 1
+
+        # base layer: degree 2M, built from an NN-descent graph +
+        # rank-prune (the batched Algorithm-4 analogue) + reverse fill
+        key = jax.random.key(seed)
+        build_k = min(max(2 * m, ef_construction // 2), max(n - 1, 1))
+        key, kb = jax.random.split(key)
+        ids, dists = _build_knn_graph(kb, vecs, sq, build_k, self.metric, 2, 8)
+        key, kp = jax.random.split(key)
+        deg0 = min(2 * m, build_k)
+        pruned = cagra_prune(vecs, sq, ids, dists, deg0, self.metric)
+        base = add_reverse_edges(kp, pruned, n, max(deg0 // 2, 1))
+        self.base_graph = jnp.concatenate(
+            [base, jnp.full((1, base.shape[1]), n, jnp.int32)]
+        )
+
+        # upper layers: node subsets with their own degree-M graphs in
+        # local id space + local→global maps
+        self.layers = []  # list of (global_ids [s], graph [s+1, m], vecs, sq)
+        for lv in range(1, self.n_layers):
+            members = np.nonzero(levels >= lv)[0].astype(np.int32)
+            s = len(members)
+            if s == 0:
+                break
+            gids = jnp.asarray(members)
+            lv_vecs = jnp.concatenate(
+                [vecs[gids], jnp.zeros((1, self.dim), jnp.float32)]
+            )
+            lv_sq = sq_norms(lv_vecs)
+            kk = min(m, max(s - 1, 1))
+            key, kl = jax.random.split(key)
+            lids, _ = _build_knn_graph(kl, lv_vecs, lv_sq, kk, self.metric, 1, 4)
+            graph = jnp.concatenate(
+                [lids, jnp.full((1, kk), s, jnp.int32)]
+            )
+            self.layers.append((gids, graph, lv_vecs, lv_sq))
+
+        # entry point: highest-layer node (hnsw.rs:648)
+        if self.layers:
+            self.entry_global = int(np.asarray(self.layers[-1][0])[0])
+        else:
+            self.entry_global = 0
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        ef_search: int | None = None,
+        query_block: int = 1024,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = self._prep_queries(query_mat)
+        k = self._clamp_k(k)
+        ef = max(ef_search if ef_search is not None else 100, k)
+        nq = q.shape[0]
+
+        # Upper-layer routing. The reference descends greedily from a single
+        # top node (hnsw.rs:1156) — that works because insert-time
+        # construction connects each layer. Batched-round layer graphs are
+        # kNN graphs (no cross-cluster links), so instead the *largest*
+        # upper layer is scanned exactly (one small matmul — it holds ~n/M
+        # nodes) to produce entries, and any layers below it are descended
+        # with a short multi-entry beam. Same hierarchy, same coarse-to-fine
+        # role, batching-friendly.
+        entry = np.full((nq, 1), self.entry_global, np.int32)
+        if self.layers:
+            gids0, _, lv_vecs0, lv_sq0 = self.layers[0]
+            g_np0 = np.asarray(gids0)
+            s0 = len(g_np0)
+            dots = jax.lax.dot_general(
+                q, lv_vecs0[:s0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if self.metric == Dist.COSINE:
+                dd = 1.0 - dots
+            else:
+                dd = lv_sq0[:s0][None, :] - 2.0 * dots
+            n_entries = min(4, s0)
+            _, pos = jax.lax.top_k(-dd, n_entries)
+            entry = g_np0[np.asarray(pos)]
+
+        # base layer beam with ef_search
+        beam = min(ef, self.n)
+        iters = max(16, (3 * beam) // 8)
+        entries = jnp.asarray(entry.astype(np.int32))
+        ne = entries.shape[1]
+
+        qb = min(query_block, max(nq, 8))
+        pad = (-nq) % qb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+            entries = jnp.concatenate(
+                [entries, jnp.zeros((pad, ne), entries.dtype)]
+            )
+
+        def run(args):
+            qq, ee = args
+            return beam_search(
+                qq, self.vectors, self.sqnorms, self.base_graph, ee,
+                k, beam, iters, self.metric, expand=4,
+            )
+
+        d, i = jax.lax.map(
+            run, (q.reshape(-1, qb, self.dim), entries.reshape(-1, qb, ne))
+        )
+        d = np.asarray(d.reshape(-1, k)[:nq])
+        i = np.asarray(i.reshape(-1, k)[:nq])
+        return np.clip(i, 0, self.n - 1), d
+
+    def generate_knn(self, k: int, **kw):
+        return self.query(np.asarray(self.vectors[: self.n]), k, **kw)
+
+    def vectors_original_order(self) -> np.ndarray:
+        return np.asarray(self.vectors[: self.n])
+
+    def _prep_queries(self, query_mat):
+        q = as_f32_matrix(query_mat)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        qj = jnp.asarray(q)
+        return normalise(qj) if self.metric == Dist.COSINE else qj
+
+    def memory_usage_bytes(self) -> int:
+        total = int(self.vectors.size + self.sqnorms.size) * 4
+        total += int(self.base_graph.size) * 4
+        for gids, graph, lv_vecs, lv_sq in self.layers:
+            total += int(gids.size + graph.size + lv_vecs.size + lv_sq.size) * 4
+        return total
+
+    # hierarchical state doesn't fit the flat npz schema; HNSW persistence
+    # goes through pickle-free manual save below
+    def save(self, path: str) -> None:
+        arrays = {
+            "vectors": np.asarray(self.vectors),
+            "base_graph": np.asarray(self.base_graph),
+            "meta": np.array(
+                [self.n, self.dim, self.m, self.n_layers, self.entry_global,
+                 1 if self.metric == Dist.COSINE else 0]
+            ),
+        }
+        for i, (gids, graph, lv_vecs, lv_sq) in enumerate(self.layers):
+            arrays[f"l{i}_ids"] = np.asarray(gids)
+            arrays[f"l{i}_graph"] = np.asarray(graph)
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "HnswIndex":
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            meta = z["meta"]
+            obj = cls.__new__(cls)
+            obj.n, obj.dim, obj.m, obj.n_layers, obj.entry_global = (
+                int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]), int(meta[4])
+            )
+            obj.metric = Dist.COSINE if meta[5] == 1 else Dist.EUCLIDEAN
+            obj.vectors = jnp.asarray(z["vectors"])
+            obj.sqnorms = sq_norms(obj.vectors)
+            obj.base_graph = jnp.asarray(z["base_graph"])
+            obj.layers = []
+            i = 0
+            while f"l{i}_ids" in z.files:
+                gids = jnp.asarray(z[f"l{i}_ids"])
+                graph = jnp.asarray(z[f"l{i}_graph"])
+                lv_vecs = jnp.concatenate(
+                    [obj.vectors[gids], jnp.zeros((1, obj.dim), jnp.float32)]
+                )
+                obj.layers.append((gids, graph, lv_vecs, sq_norms(lv_vecs)))
+                i += 1
+        return obj

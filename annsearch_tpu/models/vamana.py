@@ -1,0 +1,236 @@
+"""Vamana (DiskANN-style) index.
+
+TPU-native rebuild of the reference ``VamanaIndex`` (``src/cpu/vamana.rs``):
+a flat fixed-degree graph built with α-robust pruning, queried by beam search
+from a medoid entry point. The reference builds it with two parallel passes
+of per-node beam-search + locked reverse-edge insertion (vamana.rs:427-559);
+pointer-chasing inserts don't map to TPU, so construction is re-based on the
+batched NN-descent rounds (the candidate pool a beam search would find is
+approximated by the converged kNN neighbourhood), followed by batched
+α-robust pruning — the same graph family with the same α-controlled
+diversification knob.
+
+Robust prune (vamana.rs:665-700): keep neighbour v unless some already-kept
+closer neighbour w has ``α · d(w, v) < d(u, v)``; α > 1 keeps longer-range
+"highway" edges that pure kNN graphs lack.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.graph import add_reverse_edges, beam_search, nnd_round, random_init_graph, rp_forest_round
+from ..utils.dist import Dist, normalise, sq_norms
+from .base import BaseIndex, as_f32_matrix
+
+__all__ = ["VamanaIndex", "robust_prune"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("out_deg", "metric", "tile"))
+def robust_prune(
+    vectors: jax.Array,      # [n+1, d]
+    sqnorms: jax.Array,      # [n+1]
+    graph_ids: jax.Array,    # [n, kk] asc by dist
+    graph_dists: jax.Array,  # [n, kk]
+    alpha: float,
+    out_deg: int,
+    metric: Dist,
+    tile: int = 256,
+) -> jax.Array:
+    """Batched α-robust prune. Sequential dependence on "already kept" is
+    approximated by rank order (candidates arrive ascending by distance, so
+    "kept earlier" ⊆ "ranked earlier" — the same relaxation as CAGRA's rank
+    prune, which the reference GPU path also uses)."""
+    n, kk = graph_ids.shape
+    n_pad = -(-n // tile) * tile
+
+    def block(u):
+        u_safe = jnp.minimum(u, n - 1)
+        nbrs = graph_ids[u_safe]
+        nd = graph_dists[u_safe]
+        safe = jnp.minimum(nbrs, n)
+        nv = vectors[safe]
+        nsq = sqnorms[safe]
+        dots = jnp.einsum(
+            "tkd,tmd->tkm",
+            nv.astype(jnp.bfloat16),
+            nv.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Dist.COSINE:
+            pair = 1.0 - dots
+        else:
+            pair = jnp.maximum(
+                nsq[:, :, None] + nsq[:, None, :] - 2.0 * dots, 0.0
+            )
+        rank_lt = (
+            jnp.arange(kk)[None, :, None] < jnp.arange(kk)[None, None, :]
+        )
+        dominated = (alpha * pair) < nd[:, None, :]
+        invalid_w = (nbrs >= n)[:, :, None]
+        pruned = jnp.any(rank_lt & dominated & ~invalid_w, axis=1)
+        pruned = pruned | (nbrs >= n)
+        keep_key = jnp.where(pruned, 1.0, 0.0) * 1e6 + jnp.arange(kk)[None, :]
+        order = jnp.argsort(keep_key, axis=-1)
+        return jnp.take_along_axis(nbrs, order[:, :out_deg], axis=-1)
+
+    us = jnp.arange(n_pad).reshape(-1, tile)
+    out = jax.lax.map(block, us)
+    return out.reshape(n_pad, out_deg)[:n]
+
+
+class VamanaIndex(BaseIndex):
+    """Fixed-degree α-pruned graph with medoid entry."""
+
+    _state_arrays = ("vectors", "sqnorms", "graph", "medoid_arr")
+    _state_scalars = ("n", "dim", "r_degree")
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str = "euclidean",
+        r_degree: int = 32,
+        alpha: float = 1.2,
+        build_k: int | None = None,
+        n_trees: int = 2,
+        max_rounds: int = 8,
+        seed: int = 42,
+        verbose: bool = False,
+    ):
+        super().__init__(mat, metric)
+        n = self.n
+        self.r_degree = min(r_degree, max(n - 1, 1))
+        build_k = min(
+            build_k if build_k is not None else 2 * self.r_degree,
+            max(n - 1, 1),
+        )
+
+        vecs = jnp.concatenate(
+            [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
+        )
+        sq = sq_norms(vecs)
+        self.vectors = vecs
+        self.sqnorms = sq
+
+        key = jax.random.key(seed)
+        key, k0 = jax.random.split(key)
+        ids, dists = random_init_graph(k0, vecs, sq, build_k, self.metric)
+        leaf = 64
+        levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
+        for _ in range(n_trees):
+            key, kt = jax.random.split(key)
+            ids, dists = rp_forest_round(
+                kt, vecs, sq, ids, dists, levels, leaf, build_k, self.metric
+            )
+        for r in range(max_rounds):
+            key, kr = jax.random.split(key)
+            ids, dists, upd = nnd_round(
+                kr, vecs, sq, ids, dists, build_k, self.metric,
+                fof_sample=min(build_k * build_k, 1024),
+            )
+            if float(upd) / max(n * build_k, 1) < 0.001:
+                break
+
+        # Mix random long-range candidates into the prune pool: the
+        # reference's random-R init (vamana.rs:89-118) is what gives Vamana
+        # its cross-cluster "highway" edges — a pure kNN pool has none, and
+        # α-pruning can only select, not create. Random far candidates that
+        # no kept closer neighbour dominates survive the α test, which is
+        # exactly the highway property.
+        key, krnd = jax.random.split(key)
+        rand_ids, rand_dists = random_init_graph(
+            krnd, vecs, sq, self.r_degree, self.metric
+        )
+        from ..ops.graph import _merge_rows
+
+        pool_k = build_k + self.r_degree
+        ids, dists = _merge_rows(ids, dists, rand_ids, rand_dists, pool_k)
+
+        # α-robust prune (reference runs α₁=1.0 then α₂, vamana.rs:427-559)
+        key, kp = jax.random.split(key)
+        pruned = robust_prune(
+            vecs, sq, ids, dists, alpha, self.r_degree, self.metric
+        )
+        graph = add_reverse_edges(kp, pruned, n, self.r_degree // 2)
+        self.graph = jnp.concatenate(
+            [graph, jnp.full((1, graph.shape[1]), n, jnp.int32)]
+        )
+
+        # medoid: closest stored vector to the mean (reference compute_medoid
+        # vamana.rs:251-311 — exact argmin of distance to the centroid)
+        mean = jnp.mean(vecs[:n], axis=0, keepdims=True)
+        d_mean = (
+            sq[:n]
+            - 2.0 * (vecs[:n] @ mean[0])
+        )
+        self.medoid_arr = jnp.argmin(d_mean).astype(jnp.int32).reshape(1)
+
+    @property
+    def medoid(self) -> int:
+        return int(self.medoid_arr[0])
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        beam: int | None = None,
+        iters: int | None = None,
+        expand: int = 4,
+        query_block: int = 1024,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Single-layer beam search from the medoid (vamana.rs:781-865)."""
+        q = self._prep_queries(query_mat)
+        k = self._clamp_k(k)
+        beam = min(beam if beam is not None else max(32, 2 * k), self.n)
+        iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))
+
+        nq = q.shape[0]
+        entries = jnp.broadcast_to(
+            self.medoid_arr[None, :], (nq, 1)
+        ).astype(jnp.int32)
+
+        qb = min(query_block, max(nq, 8))
+        pad = (-nq) % qb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+            entries = jnp.concatenate(
+                [entries, jnp.zeros((pad, 1), entries.dtype)]
+            )
+
+        def run(args):
+            qq, ee = args
+            return beam_search(
+                qq, self.vectors, self.sqnorms, self.graph, ee,
+                k, beam, iters, self.metric, expand,
+            )
+
+        d, i = jax.lax.map(
+            run, (q.reshape(-1, qb, self.dim), entries.reshape(-1, qb, 1))
+        )
+        d = np.asarray(d.reshape(-1, k)[:nq])
+        i = np.asarray(i.reshape(-1, k)[:nq])
+        return np.clip(i, 0, self.n - 1), d
+
+    def generate_knn(self, k: int, **kw):
+        return self.query(np.asarray(self.vectors[: self.n]), k, **kw)
+
+    def vectors_original_order(self) -> np.ndarray:
+        return np.asarray(self.vectors[: self.n])
+
+    def _prep_queries(self, query_mat):
+        q = as_f32_matrix(query_mat)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        qj = jnp.asarray(q)
+        return normalise(qj) if self.metric == Dist.COSINE else qj
+
+    def _post_load(self):
+        self.r_degree = int(self.r_degree)

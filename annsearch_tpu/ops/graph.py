@@ -1,0 +1,456 @@
+"""Graph-index kernels: kNN-graph construction rounds + batched beam search.
+
+TPU-native rebuild of the reference's graph machinery — CPU NNDescent
+(``src/cpu/nndescent.rs``: candidate sampling, local joins, radix-sort
+merges), GPU NNDescent (``src/gpu/nndescent_gpu.rs``: reverse-candidate
+kernels, shared-memory local joins, atomic proposal merges) and the CAGRA
+search kernel (``src/gpu/cagra_gpu_search.rs``: one workgroup per query,
+candidate queue + visited hash). None of those shapes map to XLA, so the
+algorithms are reformulated:
+
+  * **construction** uses *one-sided* neighbourhood expansion: each round,
+    node u scores candidates N(u) ∪ N(N(u)) ∪ rev-sample(u) against itself
+    and merges into its own row only. Every step is a contiguous-tile gather
+    + batched distance einsum + per-row sort-dedup-top-k — no proposal
+    scatters, no locks (the reference's disjoint-segment writes,
+    nndescent.rs:160-169, become "each node owns its row" by construction).
+    Reverse edges are sampled with a single hashed scatter per round
+    (collision-overwrite ≈ reservoir sampling, like the GPU xorshift
+    reservoir, nndescent_gpu.rs:189).
+  * **RP-forest init** exploits that a random-projection tree over a 1-D
+    projection is contiguous ranges of the sort order: L levels of
+    sort-by-(group, projection) produce leaves; intra-leaf all-pairs
+    distances are dense [leaf × leaf] MXU matmuls (the reference's
+    leaf_pairwise_proposals in shared memory, forest_gpu.rs).
+  * **CAGRA pruning** (nndescent_gpu.rs:827-1056): rank-based detour pruning
+    batched over node tiles; reverse-edge fill via hashed scatter; merge.
+  * **query** is a fixed-iteration batched beam search: `[bq, B]` beam state,
+    per iteration expand the best unexpanded entries, gather neighbours,
+    sort-based dedup, distance einsum, merge — `lax.fori_loop`, no visited
+    hash table (the beam + expanded bits subsume it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dist import Dist, sq_norms
+
+__all__ = [
+    "random_init_graph",
+    "rp_forest_round",
+    "nnd_round",
+    "cagra_prune",
+    "add_reverse_edges",
+    "beam_search",
+]
+
+_INF = jnp.float32(jnp.inf)
+_BIG = jnp.float32(1e30)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _row_dedup_inf(ids: jax.Array, dists: jax.Array) -> jax.Array:
+    """Set dist = inf for duplicate ids within each row (keeps one copy).
+    Sort by id, mark repeats, unsort. ids/dists: [..., C]."""
+    order = jnp.argsort(ids, axis=-1)
+    sorted_ids = jnp.take_along_axis(ids, order, axis=-1)
+    dup_sorted = jnp.concatenate(
+        [
+            jnp.zeros(sorted_ids.shape[:-1] + (1,), bool),
+            sorted_ids[..., 1:] == sorted_ids[..., :-1],
+        ],
+        axis=-1,
+    )
+    inv = jnp.argsort(order, axis=-1)
+    dup = jnp.take_along_axis(dup_sorted, inv, axis=-1)
+    return jnp.where(dup, _INF, dists)
+
+
+def _merge_rows(
+    ids_a, d_a, ids_b, d_b, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two candidate row-sets, dedup by id, keep k smallest (asc)."""
+    ids = jnp.concatenate([ids_a, ids_b], axis=-1)
+    d = jnp.concatenate([d_a, d_b], axis=-1)
+    d = _row_dedup_inf(ids, d)
+    nd, pos = jax.lax.top_k(-d, k)
+    return jnp.take_along_axis(ids, pos, axis=-1), -nd
+
+
+def _tile_dists(
+    q_vecs: jax.Array,      # [t, d]
+    cand_vecs: jax.Array,   # [t, C, d]
+    q_sq: jax.Array,        # [t]
+    cand_sq: jax.Array,     # [t, C]
+    metric: Dist,
+) -> jax.Array:
+    dots = jnp.einsum(
+        "td,tcd->tc",
+        q_vecs.astype(jnp.bfloat16),
+        cand_vecs.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Dist.COSINE:
+        return 1.0 - dots
+    return jnp.maximum(q_sq[:, None] + cand_sq - 2.0 * dots, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("kk", "metric", "tile"))
+def random_init_graph(
+    key: jax.Array,
+    vectors: jax.Array,     # [n+1, d] (last row = sentinel zeros)
+    sqnorms: jax.Array,     # [n+1]
+    kk: int,
+    metric: Dist,
+    tile: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Random kk-NN graph init with true distances (GPU reference
+    init_random_graph, nndescent_gpu.rs:189). Returns ([n, kk] ids asc-by-d,
+    [n, kk] dists); self-edges masked."""
+    n = vectors.shape[0] - 1
+    n_pad = -(-n // tile) * tile
+    cand = jax.random.randint(key, (n_pad, kk), 0, n)
+
+    def block(args):
+        u, c = args
+        cv = vectors[c]
+        d = _tile_dists(vectors[u], cv, sqnorms[u], sqnorms[c], metric)
+        d = jnp.where(c == u[:, None], _INF, d)
+        d = _row_dedup_inf(c, d)
+        nd, pos = jax.lax.top_k(-d, kk)
+        return jnp.take_along_axis(c, pos, axis=-1), -nd
+
+    us = jnp.arange(n_pad).reshape(-1, tile)
+    cs = cand.reshape(-1, tile, kk)
+    ids, dists = jax.lax.map(block, (us, cs))
+    ids = ids.reshape(n_pad, kk)[:n]
+    dists = dists.reshape(n_pad, kk)[:n]
+    ids = jnp.where(jnp.isinf(dists), n, ids)
+    return ids.astype(jnp.int32), dists
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "leaf", "kk", "metric"))
+def rp_forest_round(
+    key: jax.Array,
+    vectors: jax.Array,     # [n+1, d]
+    sqnorms: jax.Array,     # [n+1]
+    graph_ids: jax.Array,   # [n, kk]
+    graph_dists: jax.Array, # [n, kk]
+    levels: int,
+    leaf: int,
+    kk: int,
+    metric: Dist,
+) -> tuple[jax.Array, jax.Array]:
+    """One random-projection tree pass merged into the graph.
+
+    L rounds of sort-by-(group, random projection) partition the points into
+    contiguous leaves of size ``leaf``; intra-leaf all-pairs distances are
+    then merged into each member's row. The reference builds explicit trees
+    with median splits (forest_gpu.rs:603-725); sorting by projection within
+    a group IS the median split, applied to all groups at once.
+    """
+    n = graph_ids.shape[0]
+    n_pad = -(-n // leaf) * leaf
+    # pad with sentinel points (group them to the end)
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
+    group = jnp.zeros((n_pad,), jnp.float32).at[n:].set(1.0)
+
+    keys = jax.random.split(key, levels)
+    for lv in range(levels):
+        v = jax.random.normal(keys[lv], (vectors.shape[1],), jnp.float32)
+        proj = vectors[jnp.minimum(ids, n)] @ v
+        proj = jnp.where(ids < n, proj, _BIG)
+        # sort by (group, projection): stable partition within groups
+        composite = group * _BIG * 4.0 + jnp.clip(proj, -_BIG, _BIG)
+        order = jnp.argsort(composite)
+        ids = ids[order]
+        group = group[order]
+        # split each group in half: new group id = rank within array // half
+        ranks = jnp.arange(n_pad)
+        group = (ranks // max(n_pad // (2 ** (lv + 1)), leaf)).astype(jnp.float32)
+
+    leaves = ids.reshape(-1, leaf)                      # [g, leaf]
+    safe = jnp.minimum(leaves, n)
+    lv_vecs = vectors[safe]                             # [g, leaf, d]
+    lv_sq = sqnorms[safe]
+    dots = jnp.einsum(
+        "gld,gmd->glm",
+        lv_vecs.astype(jnp.bfloat16),
+        lv_vecs.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Dist.COSINE:
+        d = 1.0 - dots
+    else:
+        d = jnp.maximum(lv_sq[:, :, None] + lv_sq[:, None, :] - 2.0 * dots, 0.0)
+    eye = jnp.eye(leaf, dtype=bool)[None]
+    invalid = (leaves[:, None, :] >= n) | (leaves[:, :, None] >= n) | eye
+    d = jnp.where(invalid, _INF, d)
+
+    # merge each leaf-row into its member's graph row (scatter by member id)
+    cand_ids = jnp.broadcast_to(leaves[:, None, :], d.shape).reshape(-1, leaf)
+    cand_d = d.reshape(-1, leaf)
+    members = leaves.reshape(-1)                        # [g*leaf]
+    safe_m = jnp.minimum(members, n - 1)
+    cur_ids = graph_ids[safe_m]
+    cur_d = graph_dists[safe_m]
+    new_ids, new_d = _merge_rows(cur_ids, cur_d, cand_ids, cand_d, kk)
+    valid = (members < n)[:, None]
+    gi = graph_ids.at[safe_m].set(
+        jnp.where(valid, new_ids, cur_ids), mode="drop"
+    )
+    gd = graph_dists.at[safe_m].set(
+        jnp.where(valid, new_d, cur_d), mode="drop"
+    )
+    return gi, gd
+
+
+def _reverse_sample(
+    key: jax.Array, graph_ids: jax.Array, n: int, r_slots: int
+) -> jax.Array:
+    """[n, r] reverse-neighbour sample: scatter each edge (u→v) into a
+    hashed slot of v's reverse list (collisions overwrite — cheap reservoir;
+    GPU reference uses an xorshift reservoir, nndescent_gpu.rs:289)."""
+    kk = graph_ids.shape[1]
+    src = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], graph_ids.shape
+    ).reshape(-1)
+    dst = graph_ids.reshape(-1)
+    slot = jax.random.randint(key, (n * kk,), 0, r_slots)
+    rev = jnp.full((n + 1, r_slots), n, jnp.int32)
+    rev = rev.at[jnp.minimum(dst, n), slot].set(src, mode="drop")
+    return rev[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kk", "metric", "tile", "fof_sample", "r_slots")
+)
+def nnd_round(
+    key: jax.Array,
+    vectors: jax.Array,      # [n+1, d]
+    sqnorms: jax.Array,      # [n+1]
+    graph_ids: jax.Array,    # [n, kk]
+    graph_dists: jax.Array,  # [n, kk]
+    kk: int,
+    metric: Dist,
+    tile: int = 256,
+    fof_sample: int = 0,     # 0 → all kk² neighbours-of-neighbours
+    r_slots: int = 16,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One NN-descent expansion round. Returns (ids, dists, n_updates)."""
+    n = graph_ids.shape[0]
+    k_rev, k_fof = jax.random.split(key)
+    rev = _reverse_sample(k_rev, graph_ids, n, r_slots)
+
+    # pad graph with a sentinel row for safe two-hop gathers
+    gid_x = jnp.concatenate(
+        [graph_ids, jnp.full((1, kk), n, jnp.int32)], axis=0
+    )
+
+    n_pad = -(-n // tile) * tile
+
+    def block(u):
+        u_safe = jnp.minimum(u, n - 1)
+        fwd = graph_ids[u_safe]                      # [t, kk]
+        fof = gid_x[jnp.minimum(fwd, n)]             # [t, kk, kk]
+        fof = fof.reshape(tile, kk * kk)
+        if fof_sample and fof_sample < kk * kk:
+            cols = jax.random.randint(k_fof, (fof_sample,), 0, kk * kk)
+            fof = fof[:, cols]
+        cand = jnp.concatenate([fof, rev[u_safe]], axis=-1)  # [t, C]
+        safe_c = jnp.minimum(cand, n)
+        cv = vectors[safe_c]
+        d = _tile_dists(
+            vectors[u_safe], cv, sqnorms[u_safe], sqnorms[safe_c], metric
+        )
+        d = jnp.where((cand >= n) | (cand == u[:, None]), _INF, d)
+        cur_ids, cur_d = graph_ids[u_safe], graph_dists[u_safe]
+        new_ids, new_d = _merge_rows(cur_ids, cur_d, cand, d, kk)
+        upd = jnp.sum(
+            (new_ids != cur_ids) & (u[:, None] < n), axis=-1
+        ).astype(jnp.int32)
+        return new_ids, new_d, upd
+
+    us = jnp.arange(n_pad).reshape(-1, tile)
+    ids, dists, upd = jax.lax.map(block, us)
+    ids = ids.reshape(n_pad, kk)[:n]
+    dists = dists.reshape(n_pad, kk)[:n]
+    return ids, dists, jnp.sum(upd)
+
+
+# ---------------------------------------------------------------------------
+# CAGRA graph construction (prune + reverse)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("out_deg", "metric", "tile"))
+def cagra_prune(
+    vectors: jax.Array,      # [n+1, d]
+    sqnorms: jax.Array,      # [n+1]
+    graph_ids: jax.Array,    # [n, kk] asc by dist
+    graph_dists: jax.Array,  # [n, kk]
+    out_deg: int,
+    metric: Dist,
+    tile: int = 256,
+) -> jax.Array:
+    """Rank-based detour pruning (reference cagra_rank_prune_shared,
+    nndescent_gpu.rs:827): drop edge (u→v) when some closer neighbour w of u
+    satisfies d(w, v) < d(u, v); keep the first ``out_deg`` survivors (by
+    rank), backfilling with the best pruned edges."""
+    n, kk = graph_ids.shape
+    n_pad = -(-n // tile) * tile
+
+    def block(u):
+        u_safe = jnp.minimum(u, n - 1)
+        nbrs = graph_ids[u_safe]                   # [t, kk]
+        nd = graph_dists[u_safe]                   # [t, kk]
+        safe = jnp.minimum(nbrs, n)
+        nv = vectors[safe]                         # [t, kk, d]
+        nsq = sqnorms[safe]
+        dots = jnp.einsum(
+            "tkd,tmd->tkm",
+            nv.astype(jnp.bfloat16),
+            nv.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Dist.COSINE:
+            pair = 1.0 - dots
+        else:
+            pair = jnp.maximum(
+                nsq[:, :, None] + nsq[:, None, :] - 2.0 * dots, 0.0
+            )
+        # detourable(v): ∃ w with rank < rank(v) and d(w, v) < d(u, v)
+        rank_lt = (
+            jnp.arange(kk)[None, :, None] < jnp.arange(kk)[None, None, :]
+        )  # [1, w, v]
+        closer = pair < nd[:, None, :]
+        invalid_w = (nbrs >= n)[:, :, None]
+        detour = jnp.any(rank_lt & closer & ~invalid_w, axis=1)  # [t, v]
+        detour = detour | (nbrs >= n)
+        # keep survivors in rank order, then best pruned
+        keep_key = jnp.where(detour, 1.0, 0.0) * 1e6 + jnp.arange(kk)[None, :]
+        order = jnp.argsort(keep_key, axis=-1)
+        return jnp.take_along_axis(nbrs, order[:, :out_deg], axis=-1)
+
+    us = jnp.arange(n_pad).reshape(-1, tile)
+    out = jax.lax.map(block, us)
+    return out.reshape(n_pad, out_deg)[:n]
+
+
+def add_reverse_edges(
+    key: jax.Array, graph: jax.Array, n: int, extra: int
+) -> jax.Array:
+    """Append ``extra`` sampled reverse edges per node (reference
+    cagra_build_reverse + merge, nndescent_gpu.rs:934-1056). Output
+    [n, deg+extra]; duplicate/self entries left in (the beam dedups)."""
+    rev = _reverse_sample(key, graph, n, extra)
+    return jnp.concatenate([graph, rev], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# batched beam search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "beam", "iters", "expand", "metric")
+)
+def beam_search(
+    q: jax.Array,           # [bq, d]
+    vectors: jax.Array,     # [n+1, d] (sentinel row n)
+    sqnorms: jax.Array,     # [n+1]
+    graph: jax.Array,       # [n+1, deg] int32 (sentinel row n)
+    entries: jax.Array,     # [bq, e0] entry node ids
+    k: int,
+    beam: int,
+    iters: int,
+    metric: Dist,
+    expand: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Fixed-iteration batched greedy beam search (reference
+    cagra_beam_search, cagra_gpu_search.rs:382-817 — per-query candidate
+    queue + visited hash becomes a [bq, beam] sorted beam + expanded bits).
+
+    Returns (dists [bq, k], ids [bq, k]) ascending; unreached slots have
+    id = n and dist = inf.
+    """
+    bq = q.shape[0]
+    n = vectors.shape[0] - 1
+    deg = graph.shape[1]
+    q_sq = sq_norms(q)
+
+    def cand_dists(cand):
+        safe = jnp.minimum(cand, n)
+        cv = vectors[safe]
+        dots = jnp.einsum(
+            "qd,qcd->qc",
+            q.astype(jnp.bfloat16),
+            cv.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Dist.COSINE:
+            d = 1.0 - dots
+        else:
+            d = jnp.maximum(q_sq[:, None] + sqnorms[safe] - 2.0 * dots, 0.0)
+        return jnp.where(cand >= n, _INF, d)
+
+    # init beam from entries
+    e0 = entries.shape[1]
+    init_ids = jnp.concatenate(
+        [entries.astype(jnp.int32), jnp.full((bq, beam - e0), n, jnp.int32)],
+        axis=-1,
+    )
+    init_d = jnp.where(
+        jnp.arange(beam)[None, :] < e0, cand_dists(init_ids), _INF
+    )
+    init_d = _row_dedup_inf(init_ids, init_d)
+    init_exp = init_ids >= n  # sentinels count as expanded
+
+    def body(_, state):
+        ids, d, exp = state
+        # pick the `expand` best unexpanded beam entries
+        sel_key = d + exp.astype(jnp.float32) * _BIG
+        _, sel_pos = jax.lax.top_k(-sel_key, expand)          # [bq, expand]
+        sel_ids = jnp.take_along_axis(ids, sel_pos, axis=-1)
+        exp = exp.at[jnp.arange(bq)[:, None], sel_pos].set(True)
+
+        nbrs = graph[jnp.minimum(sel_ids, n)].reshape(bq, expand * deg)
+        # dedup: against beam and within candidates
+        nd = cand_dists(nbrs)
+        in_beam = jnp.any(
+            nbrs[:, :, None] == ids[:, None, :], axis=-1
+        )
+        nd = jnp.where(in_beam, _INF, nd)
+        nd = _row_dedup_inf(nbrs, nd)
+
+        all_ids = jnp.concatenate([ids, nbrs], axis=-1)
+        all_d = jnp.concatenate([d, nd], axis=-1)
+        all_exp = jnp.concatenate(
+            [exp, jnp.zeros_like(nbrs, dtype=bool)], axis=-1
+        )
+        top_d, pos = jax.lax.top_k(-all_d, beam)
+        new_ids = jnp.take_along_axis(all_ids, pos, axis=-1)
+        new_exp = jnp.take_along_axis(all_exp, pos, axis=-1)
+        new_d = -top_d
+        new_exp = new_exp | (new_ids >= n) | jnp.isinf(new_d)
+        return new_ids, new_d, new_exp
+
+    ids, d, _ = jax.lax.fori_loop(
+        0, iters, body, (init_ids, init_d, init_exp)
+    )
+    top_d, pos = jax.lax.top_k(-d, k)
+    return -top_d, jnp.take_along_axis(ids, pos, axis=-1)

@@ -1,0 +1,111 @@
+"""Graph layer tests: construction kernels, kNN-graph recall, beam-search
+query recall (reference: nndescent.rs / nndescent_gpu.rs / cagra tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+from annsearch_tpu.models.graph import NNDescentIndex
+from annsearch_tpu.ops.graph import (
+    beam_search,
+    random_init_graph,
+    _row_dedup_inf,
+)
+from annsearch_tpu.utils.dist import Dist, sq_norms
+from annsearch_tpu.utils.data import generate_clustered_data, subsample_with_noise
+from annsearch_tpu.utils.metrics import calculate_recall
+
+
+def test_row_dedup():
+    ids = jnp.array([[3, 1, 3, 2, 1]])
+    d = jnp.array([[0.1, 0.2, 0.3, 0.4, 0.5]])
+    out = np.asarray(_row_dedup_inf(ids, d))
+    # one copy of each id keeps a finite distance
+    finite = np.isfinite(out[0])
+    assert finite.sum() == 3
+
+
+def test_random_init_graph(rng):
+    x = jnp.asarray(rng.standard_normal((100, 8)).astype(np.float32))
+    vecs = jnp.concatenate([x, jnp.zeros((1, 8), jnp.float32)])
+    sq = sq_norms(vecs)
+    ids, dists = random_init_graph(
+        jax.random.key(0), vecs, sq, 10, Dist.EUCLIDEAN, tile=32
+    )
+    assert ids.shape == (100, 10)
+    i = np.asarray(ids)
+    d = np.asarray(dists)
+    # no self edges among valid entries
+    assert not (i == np.arange(100)[:, None])[np.isfinite(d)].any()
+    # distances ascending
+    assert (np.diff(np.where(np.isfinite(d), d, 1e30), axis=1) >= -1e-5).all()
+
+
+@pytest.fixture(scope="module")
+def gdata():
+    x, _ = generate_clustered_data(3000, 32, 8, seed=0)
+    q = subsample_with_noise(x, 150, seed=0)
+    exact = ExhaustiveIndex(x, "euclidean")
+    ti, _ = exact.query(q, 10)
+    # ground truth excluding self for the knn-graph check
+    si, _ = exact.generate_knn(11)
+    return x, q, ti, si
+
+
+def test_knn_graph_recall(gdata):
+    x, _, _, si = gdata
+    index = NNDescentIndex(x, k=10, seed=0)
+    gi, gd = index.generate_knn(10, mode="graph")
+    # compare vs exact neighbours excluding self (si[:, 1:])
+    rec = calculate_recall(si[:, 1:11], gi, 10)
+    assert rec > 0.95, rec
+    assert (np.diff(np.where(np.isfinite(gd), gd, 1e30), axis=1) >= -1e-4).all()
+
+
+def test_beam_query_recall(gdata):
+    x, q, ti, _ = gdata
+    index = NNDescentIndex(x, k=10, seed=0)
+    ai, ad = index.query(q, 10)
+    rec = calculate_recall(ti, ai, 10)
+    assert rec > 0.9, rec
+
+
+def test_beam_query_self_finds_self(gdata):
+    x, _, _, _ = gdata
+    index = NNDescentIndex(x[:500], k=10, seed=0)
+    ai, ad = index.query(x[:500], 5)
+    assert (ai[:, 0] == np.arange(500)).mean() > 0.95
+    assert np.nanmedian(ad[:, 0]) < 1e-3
+
+
+def test_graph_search_mode_self(gdata):
+    x, _, _, _ = gdata
+    index = NNDescentIndex(x[:500], k=10, seed=0)
+    ai, _ = index.generate_knn(5, mode="search")
+    assert ai.shape == (500, 5)
+
+
+def test_graph_cosine(gdata):
+    x, q, _, _ = gdata
+    exact = ExhaustiveIndex(x, "cosine")
+    ti, _ = exact.query(q, 10)
+    index = NNDescentIndex(x, "cosine", k=10, seed=0)
+    ai, _ = index.query(q, 10)
+    assert calculate_recall(ti, ai, 10) > 0.85
+
+
+def test_beam_larger_beats_smaller(gdata):
+    x, q, ti, _ = gdata
+    index = NNDescentIndex(x, k=10, seed=0)
+    small, _ = index.query(q, 10, beam=16, iters=8)
+    large, _ = index.query(q, 10, beam=64, iters=48)
+    assert calculate_recall(ti, large, 10) >= calculate_recall(ti, small, 10) - 0.02
+
+
+def test_graph_tiny_n():
+    x = np.random.default_rng(0).standard_normal((20, 8)).astype(np.float32)
+    index = NNDescentIndex(x, k=5, seed=0)
+    ai, _ = index.query(x[:3], 4)
+    assert ai.shape == (3, 4)

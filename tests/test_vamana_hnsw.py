@@ -1,0 +1,90 @@
+"""Vamana + HNSW tests (reference: vamana.rs / hnsw.rs tests — recall vs
+exact, medoid entry, layer structure, ef/beam sweeps)."""
+
+import numpy as np
+import pytest
+
+from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+from annsearch_tpu.models.hnsw import HnswIndex
+from annsearch_tpu.models.vamana import VamanaIndex
+from annsearch_tpu.utils.data import generate_clustered_data, subsample_with_noise
+from annsearch_tpu.utils.metrics import calculate_recall
+
+
+@pytest.fixture(scope="module")
+def vdata():
+    x, _ = generate_clustered_data(3000, 32, 8, seed=0)
+    q = subsample_with_noise(x, 150, seed=0)
+    exact = ExhaustiveIndex(x, "euclidean")
+    ti, _ = exact.query(q, 10)
+    return x, q, ti
+
+
+def test_vamana_recall(vdata):
+    x, q, ti = vdata
+    index = VamanaIndex(x, r_degree=32, seed=0)
+    ai, ad = index.query(q, 10)
+    rec = calculate_recall(ti, ai, 10)
+    assert rec > 0.85, rec
+    assert (np.diff(np.where(np.isfinite(ad), ad, 1e30), axis=1) >= -1e-4).all()
+
+
+def test_vamana_medoid(vdata):
+    x, _, _ = vdata
+    index = VamanaIndex(x, seed=0)
+    mean = x.mean(0)
+    d = ((x - mean) ** 2).sum(1)
+    assert index.medoid == int(np.argmin(d))
+
+
+def test_vamana_self_query(vdata):
+    x, _, _ = vdata
+    index = VamanaIndex(x[:500], r_degree=24, seed=0)
+    ai, ad = index.query(x[:500], 3)
+    assert (ai[:, 0] == np.arange(500)).mean() > 0.9
+
+
+def test_hnsw_recall(vdata):
+    x, q, ti = vdata
+    index = HnswIndex(x, m=16, ef_construction=100, seed=0)
+    ai, _ = index.query(q, 10, ef_search=100)
+    rec = calculate_recall(ti, ai, 10)
+    assert rec > 0.85, rec
+
+
+def test_hnsw_layers_shrink(vdata):
+    x, _, _ = vdata
+    index = HnswIndex(x, m=16, seed=0)
+    sizes = [len(np.asarray(g[0])) for g in index.layers]
+    assert all(sizes[i] > sizes[i + 1] for i in range(len(sizes) - 1))
+    # geometric decay ~1/16 per level
+    if sizes:
+        assert sizes[0] < 3000 / 4
+
+
+def test_hnsw_ef_sweep(vdata):
+    x, q, ti = vdata
+    index = HnswIndex(x, m=16, seed=0)
+    lo, _ = index.query(q, 10, ef_search=20)
+    hi, _ = index.query(q, 10, ef_search=150)
+    assert calculate_recall(ti, hi, 10) >= calculate_recall(ti, lo, 10) - 0.02
+
+
+def test_hnsw_save_load(tmp_path, vdata):
+    x, q, _ = vdata
+    index = HnswIndex(x[:500], m=8, seed=0)
+    p = str(tmp_path / "hnsw.npz")
+    index.save(p)
+    loaded = HnswIndex.load(p)
+    i1, _ = index.query(q[:10], 5)
+    i2, _ = loaded.query(q[:10], 5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_hnsw_cosine(vdata):
+    x, q, _ = vdata
+    exact = ExhaustiveIndex(x, "cosine")
+    ti, _ = exact.query(q, 10)
+    index = HnswIndex(x, m=16, dist_metric_unused=None, seed=0) if False else HnswIndex(x, "cosine", m=16, seed=0)
+    ai, _ = index.query(q, 10, ef_search=100)
+    assert calculate_recall(ti, ai, 10) > 0.8
