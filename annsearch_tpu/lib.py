@@ -91,6 +91,21 @@ __all__ = [
     "build_vamana_index",
     "query_vamana_index",
     "query_vamana_self",
+    "build_kmknn_index",
+    "query_kmknn_index",
+    "query_kmknn_self",
+    "build_annoy_index",
+    "query_annoy_index",
+    "query_annoy_self",
+    "build_balltree_index",
+    "query_balltree_index",
+    "query_balltree_self",
+    "build_kd_tree_index",
+    "query_kd_tree_index",
+    "query_kd_tree_self",
+    "build_lsh_index",
+    "query_lsh_index",
+    "query_lsh_self",
 ]
 
 
@@ -580,3 +595,105 @@ def query_vamana_index(
 
 def query_vamana_self(index, k, beam=None, return_dist=False, verbose=False):
     return _maybe_dist(*index.generate_knn(k, beam=beam), return_dist)
+
+
+# ----------------------------------------------------------------------------
+# kMkNN (lib.rs:291-375) / Annoy (:376-465) / BallTree (:466-552) /
+# KdForest (:768-860) / LSH (:861-968)
+# ----------------------------------------------------------------------------
+
+
+def build_kmknn_index(
+    mat: Any, dist_metric: str = "euclidean", nlist=None, max_iters=None,
+    seed: int = 42, verbose: bool = False,
+):
+    from .models.kmknn import KmknnIndex
+
+    return KmknnIndex(
+        mat, dist_metric, nlist=nlist,
+        max_iters=30 if max_iters is None else max_iters, seed=seed,
+        verbose=verbose,
+    )
+
+
+def query_kmknn_index(query_mat, index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k), return_dist)
+
+
+def query_kmknn_self(index, k, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k), return_dist)
+
+
+def build_annoy_index(
+    mat: Any, dist_metric: str = "euclidean", n_trees: int = 16,
+    leaf: int = 64, seed: int = 42, verbose: bool = False,
+):
+    from .models.trees import AnnoyIndex
+
+    return AnnoyIndex(mat, dist_metric, n_trees=n_trees, leaf=leaf, seed=seed)
+
+
+def query_annoy_index(query_mat, index, k, search_k=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k), return_dist)
+
+
+def query_annoy_self(index, k, search_k=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k), return_dist)
+
+
+def build_balltree_index(
+    mat: Any, dist_metric: str = "euclidean", seed: int = 42,
+    verbose: bool = False,
+):
+    from .models.trees import BallTreeIndex
+
+    return BallTreeIndex(mat, dist_metric, seed=seed)
+
+
+def query_balltree_index(
+    query_mat, index, k, budget=None, return_dist=False, verbose=False
+):
+    return _maybe_dist(*index.query(query_mat, k, budget=budget), return_dist)
+
+
+def query_balltree_self(index, k, budget=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, budget=budget), return_dist)
+
+
+def build_kd_tree_index(
+    mat: Any, dist_metric: str = "euclidean", n_trees: int = 16,
+    leaf: int = 64, seed: int = 42, verbose: bool = False,
+):
+    from .models.trees import KdTreeIndex
+
+    return KdTreeIndex(mat, dist_metric, n_trees=n_trees, leaf=leaf, seed=seed)
+
+
+def query_kd_tree_index(query_mat, index, k, search_k=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.query(query_mat, k), return_dist)
+
+
+def query_kd_tree_self(index, k, search_k=None, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k), return_dist)
+
+
+def build_lsh_index(
+    mat: Any, dist_metric: str = "euclidean", num_tables: int = 8,
+    bits_per_hash: int = 16, seed: int = 42, verbose: bool = False,
+):
+    from .models.lsh import LSHIndex
+
+    return LSHIndex(
+        mat, dist_metric, num_tables=num_tables, bits_per_hash=bits_per_hash,
+        seed=seed,
+    )
+
+
+def query_lsh_index(
+    query_mat, index, k, n_probes: int = 4, return_dist=False, verbose=False
+):
+    return _maybe_dist(*index.query(query_mat, k, n_probes=n_probes), return_dist)
+
+
+def query_lsh_self(index, k, n_probes: int = 4, return_dist=False, verbose=False):
+    return _maybe_dist(*index.generate_knn(k, n_probes=n_probes), return_dist)

@@ -21,6 +21,9 @@ from .binary import (
 from .graph import NNDescentIndex
 from .hnsw import HnswIndex
 from .vamana import VamanaIndex
+from .kmknn import KmknnIndex
+from .lsh import LSHIndex
+from .trees import AnnoyIndex, BallTreeIndex, KdTreeIndex
 
 __all__ = [
     "ExhaustiveIndex",
@@ -40,4 +43,9 @@ __all__ = [
     "NNDescentIndex",
     "HnswIndex",
     "VamanaIndex",
+    "KmknnIndex",
+    "LSHIndex",
+    "AnnoyIndex",
+    "KdTreeIndex",
+    "BallTreeIndex",
 ]

@@ -1,0 +1,174 @@
+"""kMkNN index: EXACT search with k-means triangle-inequality pruning.
+
+TPU-native rebuild of the reference ``KmknnIndex`` (``src/cpu/kmknn.rs``).
+The reference walks clusters per query in ascending centroid distance and
+early-breaks via the triangle bound (kmknn.rs:263-335); data-dependent
+early-exit doesn't batch, so the same guarantee is delivered in two fixed
+phases:
+
+  1. scan the ``p0`` nearest cells per query (cluster-major engine) → an
+     upper bound ``kth(q)`` on the k-th distance;
+  2. the triangle bound ``lb(q,c) = max(0, d(q,c) − r_c)²`` (``r_c`` = cell
+     radius) identifies every remaining cell that could still matter;
+     exactly those (query, cell) pairs are scanned and merged.
+
+Any cell not scanned satisfies lb > kth ≥ true-kth, so the result is exact —
+the same triangle-inequality argument as the reference, evaluated batch-wise.
+
+Cosine is handled the reference's way (kmknn.rs:147-153): vectors are
+pre-normalised and euclidean machinery runs internally; reported distances
+are ``d²/2 = 1 − cos`` (kmknn.rs:326-329) — identical to every other cosine
+index here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ivf_scan import (
+    build_probe_lists,
+    build_probe_lists_from_pairs,
+    ivf_cluster_scan,
+)
+from ..ops.topk import merge_topk, topk_smallest
+from ..utils.dist import Dist, normalise, sq_norms
+from .base import BaseIndex, as_f32_matrix
+from .kmeans import assign_clusters, build_cells, train_centroids
+
+__all__ = ["KmknnIndex"]
+
+
+class KmknnIndex(BaseIndex):
+    """Exact k-means-pruned search."""
+
+    _state_arrays = (
+        "vectors", "sqnorms", "centroids", "offsets", "counts",
+        "original_ids", "radii",
+    )
+    _state_scalars = ("n", "dim", "nlist", "cell_cap")
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str = "euclidean",
+        nlist: int | None = None,
+        max_iters: int = 30,
+        seed: int = 42,
+        verbose: bool = False,
+    ):
+        arr = as_f32_matrix(mat)
+        n = arr.shape[0]
+        if nlist is None:
+            nlist = max(1, int(math.isqrt(n)))
+        nlist = min(nlist, n)
+
+        super().__init__(arr, metric)
+        x = self.vectors  # normalised if cosine — euclidean runs internally
+
+        self.nlist = nlist
+        self.centroids = train_centroids(
+            x, nlist, Dist.EUCLIDEAN, max_iters=max_iters, seed=seed
+        )
+        assignments, d2c = assign_clusters(x, self.centroids, Dist.EUCLIDEAN)
+        members, counts, order = build_cells(np.asarray(assignments), nlist)
+        self.cell_cap = int(members.shape[1])
+
+        order_j = jnp.asarray(order)
+        x_sorted = x[order_j]
+        self.original_ids = order_j.astype(jnp.int32)
+        self.counts = jnp.asarray(counts, dtype=jnp.int32)
+        self.offsets = jnp.asarray(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+        )
+        # per-cell radius = max member distance to centroid
+        d2c_np = np.asarray(jnp.sqrt(d2c))
+        radii = np.zeros(nlist, np.float32)
+        np.maximum.at(radii, np.asarray(assignments), d2c_np)
+        self.radii = jnp.asarray(radii)
+
+        pad = self.cell_cap
+        self.vectors = jnp.concatenate(
+            [x_sorted, jnp.zeros((pad, self.dim), jnp.float32)]
+        )
+        self.sqnorms = sq_norms(self.vectors)
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        p0: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = self._prep_queries(query_mat)
+        return self._query_prepped(q, k, p0)
+
+    def _query_prepped(self, q, k, p0=None):
+        k = self._clamp_k(k)
+        nq = q.shape[0]
+        p0 = p0 if p0 is not None else max(1, int(math.isqrt(self.nlist)))
+        p0 = min(p0, self.nlist)
+
+        # centroid distances (euclidean — internal space)
+        cd2 = (
+            sq_norms(q)[:, None]
+            + sq_norms(self.centroids)[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                q, self.centroids, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        cd2 = jnp.maximum(cd2, 0.0)
+
+        # phase 1: nearest p0 cells
+        _, probes = topk_smallest(cd2, p0)
+        c1, l1 = build_probe_lists(np.asarray(probes), self.nlist, nq)
+        d1, i1 = ivf_cluster_scan(
+            q, jnp.asarray(c1), jnp.asarray(l1), self.vectors, self.sqnorms,
+            self.offsets, self.counts, self.centroids, k, Dist.EUCLIDEAN,
+            self.cell_cap, "f32",
+        )
+        d1, i1 = d1[:nq], i1[:nq]
+        kth = d1[:, k - 1]
+
+        # phase 2: every remaining cell the triangle bound cannot exclude
+        lb = jnp.maximum(jnp.sqrt(cd2) - self.radii[None, :], 0.0) ** 2
+        need = np.array((lb < kth[:, None]) & (self.counts[None, :] > 0))
+        probed = np.zeros_like(need)
+        np.put_along_axis(probed, np.asarray(probes), True, axis=1)
+        need &= ~probed
+        qs, cs = np.nonzero(need)
+        if len(qs):
+            c2, l2 = build_probe_lists_from_pairs(qs, cs, self.nlist, nq)
+            d2, i2 = ivf_cluster_scan(
+                q, jnp.asarray(c2), jnp.asarray(l2), self.vectors,
+                self.sqnorms, self.offsets, self.counts, self.centroids, k,
+                Dist.EUCLIDEAN, self.cell_cap, "f32",
+            )
+            d1, i1 = merge_topk(d1, i1, d2[:nq], i2[:nq], k)
+
+        d = np.asarray(d1)
+        i = np.asarray(i1)
+        if self.metric == Dist.COSINE:
+            d = d * 0.5  # unit-sphere d²/2 = 1 − cos (kmknn.rs:326-329)
+        ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
+        return ids, d
+
+    def generate_knn(self, k: int, **kw):
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[np.asarray(self.original_ids)] = np.arange(self.n)
+        ids, d = self._query_prepped(self.vectors[: self.n], k, kw.get("p0"))
+        return ids[inv], d[inv]
+
+    def vectors_original_order(self) -> np.ndarray:
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[np.asarray(self.original_ids)] = np.arange(self.n)
+        return np.asarray(self.vectors[: self.n])[inv]
+
+    def _post_load(self):
+        self.nlist = int(self.nlist)
+        self.cell_cap = int(self.cell_cap)

@@ -34,7 +34,7 @@ from .binary import unpack_pm1
 from .quantised import pq_decode_tile
 from .topk import merge_topk
 
-__all__ = ["ivf_cluster_scan", "build_probe_lists"]
+__all__ = ["ivf_cluster_scan", "build_probe_lists", "build_probe_lists_from_pairs"]
 
 _INF = jnp.float32(jnp.inf)
 
@@ -60,6 +60,31 @@ def build_probe_lists(
     flat_q = np.repeat(
         np.arange(probes.shape[0], dtype=np.int32), probes.shape[1]
     )
+    order = np.argsort(flat_c, kind="stable")
+    counts = np.bincount(flat_c, minlength=nlist)
+    active = np.nonzero(counts)[0]
+    ncl = _next_pow2(len(active))
+    maxq = _next_pow2(int(counts[active].max()) if len(active) else 1)
+
+    cluster_ids = np.full(ncl, nlist, dtype=np.int32)
+    cluster_ids[: len(active)] = active
+    lists = np.full((ncl, maxq), nq, dtype=np.int32)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    qs = flat_q[order]
+    for row, c in enumerate(active):
+        lists[row, : counts[c]] = qs[starts[c] : ends[c]]
+    return cluster_ids, lists
+
+
+def build_probe_lists_from_pairs(
+    flat_q: np.ndarray, flat_c: np.ndarray, nlist: int, nq: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`build_probe_lists` but from explicit (query, cluster)
+    task pairs — used by exact two-phase search (kMkNN) where per-query
+    probe counts vary."""
+    flat_q = np.asarray(flat_q, dtype=np.int32)
+    flat_c = np.asarray(flat_c, dtype=np.int64)
     order = np.argsort(flat_c, kind="stable")
     counts = np.bincount(flat_c, minlength=nlist)
     active = np.nonzero(counts)[0]

@@ -20,6 +20,20 @@ __all__ = ["rerank_exact"]
 _INF = jnp.float32(jnp.inf)
 
 
+def _dedup_by_id(ids: jax.Array, d: jax.Array) -> jax.Array:
+    """inf-out duplicate candidate ids per row (multi-tree / multi-probe
+    unions overlap; without this, top-k could return the same id twice)."""
+    order = jnp.argsort(ids, axis=-1)
+    s = jnp.take_along_axis(ids, order, axis=-1)
+    dup_s = jnp.concatenate(
+        [jnp.zeros(s.shape[:-1] + (1,), bool), s[..., 1:] == s[..., :-1]],
+        axis=-1,
+    )
+    inv = jnp.argsort(order, axis=-1)
+    dup = jnp.take_along_axis(dup_s, inv, axis=-1)
+    return jnp.where(dup, _INF, d)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def rerank_exact(
     q: jax.Array,          # [nq, d] (normalised if cosine)
@@ -42,5 +56,6 @@ def rerank_exact(
             0.0,
         )
     d = jnp.where(valid, d, _INF)
+    d = _dedup_by_id(cand_ids, d)
     nd, pos = jax.lax.top_k(-d, min(k, d.shape[1]))
     return -nd, jnp.take_along_axis(cand_ids, pos, axis=-1)

@@ -1,0 +1,219 @@
+"""Batched space-partition trees (Annoy / kd-forest / ball-tree substrate).
+
+The reference builds its trees with recursive host-side splits and queries
+them with per-query backtracking priority queues (``src/cpu/annoy.rs``,
+``kd_forest.rs``, ``ball_tree.rs``). Neither maps to XLA, so both phases are
+reformulated:
+
+  * **build**: a perfectly balanced tree of depth L is a sequence of L
+    sort-by-(group, score) passes — each level scores every point against
+    its group's splitter (hyperplane / axis / ball axis), sorts within
+    groups, and splits every group in half (median split by construction).
+    All groups at a level are processed in ONE composite-key ``lax.sort``,
+    and per-group splitter statistics come from equal-sized reshapes — no
+    recursion, no ragged arrays.
+  * **query**: batched level-by-level descent on the stored per-node
+    routing data (normal·q vs threshold), one gather + compare per level;
+    forests replace the reference's backtracking budget with multi-tree
+    candidate unions (annoy.rs:526-642's search_k budget ≈ n_trees·leaf
+    candidates here), ball trees with a beam over nodes per level.
+
+Routing data is stored in heap layout: level l holds 2^l nodes, node g's
+children are (2g, 2g+1) at level l+1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dist import Dist
+
+__all__ = ["build_partition_forest", "descend_forest", "PartitionTree"]
+
+_BIG = jnp.float32(1e30)
+
+
+class PartitionTree:
+    """One balanced partition tree.
+
+    Attributes:
+      order:    [n_pad] int32 — point ids in leaf-contiguous order
+                (ids ≥ n are padding).
+      normals:  list over levels of [2^l, d] splitter normals
+                (kd mode: one-hot axis vectors; ball mode: diameter axis).
+      thresholds: list over levels of [2^l] median thresholds.
+      centers/radii: per level [2^l, d]/[2^l] (ball mode only, else None).
+      leaf:     leaf size.
+    """
+
+    def __init__(self, order, normals, thresholds, centers, radii, leaf):
+        self.order = order
+        self.normals = normals
+        self.thresholds = thresholds
+        self.centers = centers
+        self.radii = radii
+        self.leaf = leaf
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.normals)
+
+
+def _group_stats(vecs_g: jax.Array, valid_g: jax.Array):
+    """Mean per group with padding masked. vecs_g: [G, gs, d]."""
+    w = valid_g.astype(jnp.float32)[..., None]
+    s = jnp.sum(vecs_g * w, axis=1)
+    c = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    return s / c
+
+
+def build_partition_tree(
+    key: jax.Array,
+    vectors: jax.Array,   # [n+1, d] sentinel row n
+    levels: int,
+    leaf: int,
+    mode: str,            # "annoy" | "kd" | "ball"
+) -> PartitionTree:
+    """Build one tree (host-driven loop over levels; each level is jitted
+    XLA work on the full array)."""
+    n = vectors.shape[0] - 1
+    d = vectors.shape[1]
+    n_pad = (2**levels) * leaf
+    if n_pad < n:
+        levels = int(np.ceil(np.log2(max(n / leaf, 1))))
+        n_pad = (2**levels) * leaf
+
+    order = jnp.concatenate(
+        [
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((n_pad - n,), n, jnp.int32),
+        ]
+    )
+    normals, thresholds, centers, radii = [], [], [], []
+
+    for lv in range(levels):
+        g = 2**lv
+        gs = n_pad // g
+        keys = jax.random.split(jax.random.fold_in(key, lv), 3)
+        pts = vectors[jnp.minimum(order, n)].reshape(g, gs, d)
+        valid = (order < n).reshape(g, gs)
+
+        if mode == "annoy":
+            # two-point hyperplane (annoy.rs:299-397): normal = x_a − x_b
+            # for two random group members
+            ia = jax.random.randint(keys[0], (g,), 0, gs)
+            ib = jax.random.randint(keys[1], (g,), 0, gs)
+            a = pts[jnp.arange(g), ia]
+            b = pts[jnp.arange(g), ib]
+            normal = a - b
+            nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+            rand = jax.random.normal(keys[2], (g, d))
+            normal = jnp.where(nrm > 1e-6, normal, rand)
+        elif mode == "kd":
+            # axis sampled among the top-3 in-group-spread dims
+            # (kd_forest.rs:331-424 — the random pick is what decorrelates
+            # the forest's trees), stored as a one-hot normal so descent
+            # code is shared
+            mean = _group_stats(pts, valid)
+            var = _group_stats((pts - mean[:, None, :]) ** 2, valid)
+            _, top3 = jax.lax.top_k(var, min(3, d))
+            pick = jax.random.randint(keys[0], (g,), 0, top3.shape[1])
+            axis = top3[jnp.arange(g), pick]
+            normal = jax.nn.one_hot(axis, d, dtype=jnp.float32)
+        else:  # ball: approximate diameter axis (furthest-pair refinement,
+            # ball_tree.rs:418-541 — here: furthest-from-centre, then
+            # furthest-from-that)
+            mean = _group_stats(pts, valid)
+            d2c = jnp.sum((pts - mean[:, None, :]) ** 2, axis=-1)
+            d2c = jnp.where(valid, d2c, -1.0)
+            f1 = jnp.argmax(d2c, axis=-1)
+            p1 = pts[jnp.arange(g), f1]
+            d2f = jnp.sum((pts - p1[:, None, :]) ** 2, axis=-1)
+            d2f = jnp.where(valid, d2f, -1.0)
+            f2 = jnp.argmax(d2f, axis=-1)
+            p2 = pts[jnp.arange(g), f2]
+            normal = p1 - p2
+            nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+            rand = jax.random.normal(keys[2], (g, d))
+            normal = jnp.where(nrm > 1e-6, normal, rand)
+
+        score = jnp.einsum("gsd,gd->gs", pts, normal)
+        score = jnp.where(valid, score, _BIG)  # padding → right half
+
+        # sort within groups, median split
+        perm = jnp.argsort(score, axis=-1)
+        order = jnp.take_along_axis(order.reshape(g, gs), perm, axis=-1)
+        sorted_score = jnp.take_along_axis(score, perm, axis=-1)
+        thr = 0.5 * (sorted_score[:, gs // 2 - 1] + sorted_score[:, gs // 2])
+        thr = jnp.clip(thr, -_BIG, _BIG)
+        order = order.reshape(-1)
+
+        normals.append(normal)
+        thresholds.append(thr)
+        if mode == "ball":
+            centers.append(_group_stats(pts, valid))
+            dd = jnp.sum(
+                (pts - centers[-1][:, None, :]) ** 2, axis=-1
+            )
+            dd = jnp.where(valid, dd, 0.0)
+            radii.append(jnp.sqrt(jnp.max(dd, axis=-1)))
+
+    # leaf-level ball stats
+    if mode == "ball":
+        g = 2**levels
+        pts = vectors[jnp.minimum(order, n)].reshape(g, leaf, d)
+        valid = (order < n).reshape(g, leaf)
+        centers.append(_group_stats(pts, valid))
+        dd = jnp.sum((pts - centers[-1][:, None, :]) ** 2, axis=-1)
+        dd = jnp.where(valid, dd, 0.0)
+        radii.append(jnp.sqrt(jnp.max(dd, axis=-1)))
+
+    return PartitionTree(
+        order,
+        normals,
+        thresholds,
+        centers if mode == "ball" else None,
+        radii if mode == "ball" else None,
+        leaf,
+    )
+
+
+def build_partition_forest(
+    key: jax.Array, vectors: jax.Array, n_trees: int, levels: int, leaf: int,
+    mode: str,
+) -> list[PartitionTree]:
+    return [
+        build_partition_tree(
+            jax.random.fold_in(key, 7919 + t), vectors, levels, leaf, mode
+        )
+        for t in range(n_trees)
+    ]
+
+
+def descend_tree(q: jax.Array, tree: PartitionTree) -> jax.Array:
+    """Route queries to leaf ids. q: [bq, d] → [bq] int32 leaf index."""
+    bq = q.shape[0]
+    node = jnp.zeros((bq,), jnp.int32)
+    for lv in range(tree.n_levels):
+        normal = tree.normals[lv][node]        # [bq, d]
+        thr = tree.thresholds[lv][node]
+        proj = jnp.sum(q * normal, axis=-1)
+        node = 2 * node + (proj > thr).astype(jnp.int32)
+    return node
+
+
+def descend_forest(
+    q: jax.Array, trees: list[PartitionTree]
+) -> jax.Array:
+    """Candidate ids from every tree's leaf: [bq, n_trees·leaf] (padding
+    ids = n appear for part-full leaves; reranker masks them)."""
+    cands = []
+    for tree in trees:
+        leaf_ids = descend_tree(q, tree)
+        leaves = tree.order.reshape(-1, tree.leaf)
+        cands.append(leaves[leaf_ids])
+    return jnp.concatenate(cands, axis=-1)

@@ -1,0 +1,134 @@
+"""Tree family + kMkNN + LSH tests (reference: annoy.rs / kd_forest.rs /
+ball_tree.rs / kmknn.rs / lsh.rs tests)."""
+
+import numpy as np
+import pytest
+
+from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+from annsearch_tpu.models.kmknn import KmknnIndex
+from annsearch_tpu.models.lsh import LSHIndex
+from annsearch_tpu.models.trees import AnnoyIndex, BallTreeIndex, KdTreeIndex
+from annsearch_tpu.utils.data import generate_clustered_data, subsample_with_noise
+from annsearch_tpu.utils.metrics import calculate_recall
+
+
+@pytest.fixture(scope="module")
+def tdata():
+    x, _ = generate_clustered_data(3000, 32, 8, seed=0)
+    q = subsample_with_noise(x, 150, seed=0)
+    exact = ExhaustiveIndex(x, "euclidean")
+    ti, td = exact.query(q, 10)
+    return x, q, ti, td
+
+
+def test_annoy_recall(tdata):
+    x, q, ti, _ = tdata
+    index = AnnoyIndex(x, n_trees=16, seed=0)
+    ai, ad = index.query(q, 10)
+    rec = calculate_recall(ti, ai, 10)
+    assert rec > 0.85, rec
+    # unique neighbours per row (cross-tree dedup)
+    for row in ai[:20]:
+        assert len(np.unique(row)) == 10
+
+
+def test_annoy_more_trees_better(tdata):
+    x, q, ti, _ = tdata
+    small = AnnoyIndex(x, n_trees=4, seed=0)
+    big = AnnoyIndex(x, n_trees=32, seed=0)
+    rs = calculate_recall(ti, small.query(q, 10)[0], 10)
+    rb = calculate_recall(ti, big.query(q, 10)[0], 10)
+    assert rb >= rs - 0.02
+
+
+def test_kd_forest_recall(tdata):
+    x, q, ti, _ = tdata
+    index = KdTreeIndex(x, n_trees=16, seed=0)
+    ai, _ = index.query(q, 10)
+    assert calculate_recall(ti, ai, 10) > 0.8
+
+
+def test_ball_tree_recall(tdata):
+    x, q, ti, _ = tdata
+    index = BallTreeIndex(x, seed=0)
+    ai, _ = index.query(q, 10)  # default 5% budget ≈ 3 leaves on 3k points
+    assert calculate_recall(ti, ai, 10) > 0.6
+    hi, _ = index.query(q, 10, budget=0.3)
+    assert calculate_recall(ti, hi, 10) > 0.9
+
+
+def test_ball_tree_budget_sweep(tdata):
+    x, q, ti, _ = tdata
+    index = BallTreeIndex(x, seed=0)
+    lo, _ = index.query(q, 10, budget=0.01)
+    hi, _ = index.query(q, 10, budget=0.2)
+    assert calculate_recall(ti, hi, 10) >= calculate_recall(ti, lo, 10) - 0.02
+
+
+def test_kmknn_exact(tdata):
+    x, q, ti, td = tdata
+    index = KmknnIndex(x, seed=0)
+    ai, ad = index.query(q, 10)
+    rec = calculate_recall(ti, ai, 10)
+    assert rec > 0.999, rec
+    np.testing.assert_allclose(ad, td, rtol=1e-3, atol=1e-3)
+
+
+def test_kmknn_exact_small_p0(tdata):
+    # exactness must hold even with a tiny first phase
+    x, q, ti, td = tdata
+    index = KmknnIndex(x, nlist=32, seed=0)
+    ai, ad = index.query(q, 10, p0=1)
+    assert calculate_recall(ti, ai, 10) > 0.999
+    np.testing.assert_allclose(ad, td, rtol=1e-3, atol=1e-3)
+
+
+def test_kmknn_cosine_semantics(tdata):
+    x, q, _, _ = tdata
+    exact = ExhaustiveIndex(x, "cosine")
+    ti, td = exact.query(q, 10)
+    index = KmknnIndex(x, "cosine", seed=0)
+    ai, ad = index.query(q, 10)
+    assert calculate_recall(ti, ai, 10) > 0.999
+    # cosine distances = 1 − cos, matching the exhaustive index
+    np.testing.assert_allclose(ad, td, rtol=1e-2, atol=1e-3)
+
+
+def test_kmknn_self_query(tdata):
+    x, _, _, _ = tdata
+    index = KmknnIndex(x[:600], seed=0)
+    idx, dist = index.generate_knn(3)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(600))
+
+
+def test_lsh_recall(tdata):
+    x, q, ti, _ = tdata
+    index = LSHIndex(x, num_tables=8, bits_per_hash=10, seed=0)
+    ai, _ = index.query(q, 10, n_probes=4)
+    assert calculate_recall(ti, ai, 10) > 0.5
+
+
+def test_lsh_probes_help(tdata):
+    x, q, ti, _ = tdata
+    index = LSHIndex(x, num_tables=8, bits_per_hash=12, seed=0)
+    lo, _ = index.query(q, 10, n_probes=1)
+    hi, _ = index.query(q, 10, n_probes=8)
+    assert calculate_recall(ti, hi, 10) >= calculate_recall(ti, lo, 10) - 0.02
+
+
+def test_lsh_cosine(tdata):
+    x, q, _, _ = tdata
+    exact = ExhaustiveIndex(x, "cosine")
+    ti, _ = exact.query(q, 10)
+    index = LSHIndex(x, "cosine", num_tables=8, bits_per_hash=10, seed=0)
+    ai, _ = index.query(q, 10, n_probes=4)
+    assert calculate_recall(ti, ai, 10) > 0.5
+
+
+def test_lsh_rejects_wide_hash():
+    x = np.zeros((10, 8), np.float32)
+    try:
+        LSHIndex(x, bits_per_hash=31)
+        assert False
+    except ValueError:
+        pass
