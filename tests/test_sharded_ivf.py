@@ -1,0 +1,55 @@
+"""Sharded IVF tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+from annsearch_tpu.parallel.ivf_sharded import ShardedIvfIndex
+from annsearch_tpu.parallel.mesh import make_mesh
+from annsearch_tpu.utils.data import generate_clustered_data, subsample_with_noise
+from annsearch_tpu.utils.metrics import calculate_recall
+
+
+def test_sharded_ivf_recall():
+    x, _ = generate_clustered_data(2000, 16, 8, seed=0)
+    q = subsample_with_noise(x, 100, seed=0)
+    exact = ExhaustiveIndex(x, "euclidean")
+    ti, _ = exact.query(q, 10)
+    mesh = make_mesh(8)
+    index = ShardedIvfIndex(x, "euclidean", nlist=16, seed=0, mesh=mesh)
+    ai, ad = index.query(q, 10, nprobe=16)  # all cells → exact
+    rec = calculate_recall(ti, ai, 10)
+    assert rec > 0.99, rec
+    assert (ai >= 0).all() and (ai < 2000).all()
+
+
+def test_sharded_ivf_partial_probe():
+    x, _ = generate_clustered_data(2000, 16, 8, seed=1)
+    q = subsample_with_noise(x, 100, seed=1)
+    exact = ExhaustiveIndex(x, "euclidean")
+    ti, _ = exact.query(q, 10)
+    mesh = make_mesh(4)
+    index = ShardedIvfIndex(x, "euclidean", nlist=16, seed=0, mesh=mesh)
+    ai, _ = index.query(q, 10, nprobe=8)
+    assert calculate_recall(ti, ai, 10) > 0.85
+
+
+def test_sharded_ivf_uneven_rows():
+    # n not divisible by device count — padding must never leak into results
+    x, _ = generate_clustered_data(1003, 8, 4, seed=2)
+    mesh = make_mesh(8)
+    index = ShardedIvfIndex(x, "euclidean", nlist=8, seed=0, mesh=mesh)
+    ai, ad = index.query(x[:20], 5, nprobe=8)
+    assert (ai < 1003).all()
+    np.testing.assert_array_equal(ai[:, 0], np.arange(20))
+    np.testing.assert_allclose(ad[:, 0], 0.0, atol=1e-3)
+
+
+def test_sharded_ivf_cosine():
+    x, _ = generate_clustered_data(1600, 16, 6, seed=3)
+    q = subsample_with_noise(x, 80, seed=3)
+    exact = ExhaustiveIndex(x, "cosine")
+    ti, _ = exact.query(q, 10)
+    mesh = make_mesh(8)
+    index = ShardedIvfIndex(x, "cosine", nlist=16, seed=0, mesh=mesh)
+    ai, _ = index.query(q, 10, nprobe=16)
+    assert calculate_recall(ti, ai, 10) > 0.99
