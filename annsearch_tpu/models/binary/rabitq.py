@@ -9,7 +9,7 @@ TPU-native rebuild of the reference's RaBitQ layer
     L1-norm dot correction ``‖R·u‖₁`` (rabitq.rs:97-127);
   * estimator: ``⟨q,v⟩̂ = ⟨R·uq, sign⟩ / ‖R·u‖₁`` clamped to [−1,1], then
     ``d̂ = sqrt(‖v−c‖² + ‖q−c‖² − 2‖v−c‖‖q−c‖·⟨q,v⟩̂)`` (dist_binary.rs:564-587
-    — note the reference returns the *non-squared* estimate; matched here);
+    — the reference returns the *non-squared* estimate; matched here);
   * TPU deviation: the reference int4-quantises the rotated query residual to
     enable a u8 SIMD dot (rabitq.rs:140-207, dist_binary.rs:332-463). The MXU
     needs no such trick — the sign dot is an exact ±1 matmul, giving the same
@@ -33,12 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.binary import pack_bits
-from ...ops.ivf_scan import build_probe_lists, ivf_cluster_scan
 from ...ops.rerank import rerank_exact
-from ...utils.dist import Dist, normalise
-from ..base import BaseIndex, as_f32_matrix
-from ..kmeans import assign_clusters, build_cells, train_centroids
-from ..quantised.ivf import route_to_cells
+from ..ivf_base import IvfBase
 from .vec_store import DeviceVectorStore, MmapVectorStore
 
 __all__ = ["RaBitQEncoder", "ExhaustiveIndexRaBitQ", "IvfIndexRaBitQ"]
@@ -85,14 +81,11 @@ class RaBitQEncoder:
         return int(self.rotation.size) * 4
 
 
-class _RaBitQBase(BaseIndex):
+class _RaBitQBase(IvfBase):
     """Shared build/query for the two RaBitQ indexes."""
 
-    _state_arrays = (
-        "codes", "v_dists", "dot_corrs", "rotation", "centroids",
-        "offsets", "counts", "original_ids",
-    )
-    _state_scalars = ("n", "dim", "nlist", "cell_cap")
+    mode = "rabitq"
+    _state_arrays = IvfBase._state_arrays + ("aux_corr", "rotation")
 
     def __init__(
         self,
@@ -104,58 +97,46 @@ class _RaBitQBase(BaseIndex):
         store: str | bool = True,
         verbose: bool = False,
     ):
-        arr = as_f32_matrix(mat)
-        n = arr.shape[0]
-        nlist = self._default_nlist(n) if nlist is None else nlist
-        nlist = max(1, min(nlist, n))
-
-        super().__init__(arr, metric)
-        x = self.vectors  # normalised if cosine (rabitq.rs:668+ cosine mode)
-
-        self.nlist = nlist
-        self.centroids = train_centroids(
-            x, nlist, self.metric, max_iters=max_iters, seed=seed
+        n = as_f32_shape(mat)
+        if nlist is None:
+            nlist = self._default_nlist(n)
+        self._store_arg = store
+        super().__init__(
+            mat, metric, nlist=nlist, max_iters=max_iters, seed=seed,
+            verbose=verbose,
         )
-        assignments, _ = assign_clusters(x, self.centroids, self.metric)
-        members, counts, order = build_cells(np.asarray(assignments), nlist)
-        self.cell_cap = int(members.shape[1])
-
-        order_j = jnp.asarray(order)
-        x_sorted = x[order_j]
-        self.original_ids = order_j.astype(jnp.int32)
-        self.counts = jnp.asarray(counts, dtype=jnp.int32)
-        self.offsets = jnp.asarray(
-            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
-        )
-
-        self.encoder = RaBitQEncoder.create(self.dim, seed)
-        self.rotation = self.encoder.rotation
-        owner = jnp.repeat(
-            jnp.arange(self.nlist), np.asarray(counts), total_repeat_length=n
-        )
-        codes, v_dists, dot_corrs = self.encoder.encode_vectors(
-            x_sorted, self.centroids[owner]
-        )
-        pad = self.cell_cap
-        self.codes = jnp.concatenate(
-            [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)]
-        )
-        self.v_dists = jnp.concatenate([v_dists, jnp.zeros((pad,), jnp.float32)])
-        self.dot_corrs = jnp.concatenate([dot_corrs, jnp.zeros((pad,), jnp.float32)])
-
-        if store is True:
-            self.store = DeviceVectorStore(x_sorted)
-        elif isinstance(store, str):
-            self.store = MmapVectorStore.write(store, np.asarray(x_sorted))
-        else:
-            self.store = None
-        self.vectors = None
 
     def _default_nlist(self, n: int) -> int:
         raise NotImplementedError
 
-    def default_nprobe(self) -> int:
-        raise NotImplementedError
+    def _encode_storage(self, x_sorted, seed):
+        self.encoder = RaBitQEncoder.create(self.dim, seed)
+        self.rotation = self.encoder.rotation
+        owner = self._owner_clusters()
+        codes, v_dists, dot_corrs = self.encoder.encode_vectors(
+            x_sorted, self.centroids[owner]
+        )
+        self._pad_storage(codes, v_dists)
+        self.aux_corr = jnp.concatenate(
+            [dot_corrs, jnp.zeros((self.seg_size,), jnp.float32)]
+        )
+        if self._store_arg is True:
+            self.store = DeviceVectorStore(x_sorted)
+        elif isinstance(self._store_arg, str):
+            self.store = MmapVectorStore.write(
+                self._store_arg, np.asarray(x_sorted)
+            )
+        else:
+            self.store = None
+
+    def _encode_queries(self, q):
+        return self.encoder.rotate_padded(q)
+
+    def _scan_seg_centroids(self):
+        return self.encoder.rotate_padded(self.seg_centroids)
+
+    def _aux(self):
+        return self.aux_corr
 
     def query(
         self,
@@ -165,7 +146,7 @@ class _RaBitQBase(BaseIndex):
         rerank: str | None = None,
         rerank_factor: int = 10,
     ) -> tuple[np.ndarray, np.ndarray]:
-        q = self._prep_q(query_mat)
+        q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         nprobe = self.default_nprobe() if nprobe is None else nprobe
         nprobe = max(1, min(nprobe, self.nlist))
@@ -173,30 +154,10 @@ class _RaBitQBase(BaseIndex):
             raise ValueError("exact rerank requires a vector store")
         nq = q.shape[0]
 
-        probes = route_to_cells(q, self.centroids, nprobe, self.metric)
-        cluster_ids, lists = build_probe_lists(np.asarray(probes), self.nlist, nq)
-
         k_scan = k if rerank != "exact" else min(max(k, k * rerank_factor), self.n)
-        q_rot = self.encoder.rotate_padded(q)
-        cent_rot = self.encoder.rotate_padded(self.centroids)
-
-        best_d, best_i = ivf_cluster_scan(
-            q_rot,
-            jnp.asarray(cluster_ids),
-            jnp.asarray(lists),
-            self.codes,
-            self.v_dists,
-            self.offsets,
-            self.counts,
-            cent_rot,
-            k_scan,
-            self.metric,
-            self.cell_cap,
-            "rabitq",
-            aux=self.dot_corrs,
-        )
-        d = np.asarray(best_d)[:nq]
-        i = np.asarray(best_i)[:nq]
+        d, i = self._scan(q, k_scan, nprobe)
+        d = np.asarray(d)
+        i = np.asarray(i)
 
         if rerank == "exact":
             valid = np.isfinite(d)
@@ -223,36 +184,30 @@ class _RaBitQBase(BaseIndex):
             return self.query(self.vectors_original_order(), k, nprobe=nprobe, **kw)
         raise ValueError("self-query requires a device vector store")
 
-    def _prep_q(self, query_mat):
-        q = as_f32_matrix(query_mat)
-        if q.shape[1] != self.dim:
-            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
-        qj = jnp.asarray(q)
-        return normalise(qj) if self.metric == Dist.COSINE else qj
+    def _decoded_sorted(self) -> np.ndarray:
+        if not isinstance(self.store, DeviceVectorStore):
+            raise ValueError("no device vector store")
+        return np.asarray(self.store.vectors)
 
     def memory_usage_bytes(self) -> int:
         total = (
-            int(self.codes.size) * 4
-            + int(self.v_dists.size + self.dot_corrs.size) * 4
-            + int(self.centroids.size) * 4
+            int(self.storage.size) * 4
+            + int(self.store_sqnorms.size + self.aux_corr.size) * 4
+            + int(self.centroids.size + self.seg_centroids.size) * 4
             + self.encoder.memory_usage_bytes()
         )
         if self.store is not None:
             total += self.store.memory_usage_bytes()
         return total
 
-    def vectors_original_order(self) -> np.ndarray:
-        if not isinstance(self.store, DeviceVectorStore):
-            raise ValueError("no device vector store")
-        inv = np.empty(self.n, dtype=np.int64)
-        inv[np.asarray(self.original_ids)] = np.arange(self.n)
-        return np.asarray(self.store.vectors)[inv]
-
-    def _post_load(self):
-        self.nlist = int(self.nlist)
-        self.cell_cap = int(self.cell_cap)
+    def _post_load_hook(self):
+        super()._post_load_hook()
         self.encoder = RaBitQEncoder(self.rotation, self.dim)
         self.store = None
+
+
+def as_f32_shape(mat) -> int:
+    return np.asarray(mat).shape[0]
 
 
 class ExhaustiveIndexRaBitQ(_RaBitQBase):
@@ -272,6 +227,3 @@ class IvfIndexRaBitQ(_RaBitQBase):
 
     def _default_nlist(self, n: int) -> int:
         return max(1, int(math.isqrt(n)))
-
-    def default_nprobe(self) -> int:
-        return max(1, int(math.isqrt(self.nlist)))

@@ -1,0 +1,289 @@
+"""Shared scaffolding for the IVF index family.
+
+Build: k-means coarse quantiser → cluster-sorted storage → bounded-size
+segment layout (``models/kmeans.segment_layout`` — splits oversized cells so
+the scan's static cap doesn't inherit the worst cell's size). Query: route to
+top-nprobe cells, expand to (query, segment) tasks on the host (the reference
+GPU's CPU task-list step, ivf_gpu.rs:600-635), run the cluster-major scan
+(``ops/ivf_scan.py``), remap to original ids.
+
+Storage encoding is a subclass hook — f32 (plain IVF), bf16, int8, PQ codes,
+binary bits all share this skeleton.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
+from ..ops.topk import topk_smallest
+from ..utils.dist import Dist, normalise, sq_norms
+from .base import BaseIndex, as_f32_matrix
+from .kmeans import (
+    assign_clusters,
+    expand_probes_to_segments,
+    segment_layout,
+    train_centroids,
+)
+
+__all__ = ["IvfBase", "route_to_cells"]
+
+
+def route_to_cells(
+    q: jax.Array, centroids: jax.Array, nprobe: int, metric: Dist
+) -> jax.Array:
+    """Top-nprobe nearest centroids per query (one [nq, nlist] matmul +
+    top_k; replaces per-query select_nth, k_means_utils.rs:56-108)."""
+    dots = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Dist.COSINE:
+        d = 1.0 - dots
+    else:
+        d = sq_norms(q)[:, None] + sq_norms(centroids)[None, :] - 2.0 * dots
+    _, probes = topk_smallest(d, nprobe)
+    return probes
+
+
+class IvfBase(BaseIndex):
+    """k-means routing + segmented cells + cluster-major scan."""
+
+    mode = "f32"
+
+    _state_arrays = (
+        "storage", "store_sqnorms", "centroids", "seg_centroids",
+        "seg_offsets", "seg_counts", "original_ids",
+    )
+    _state_scalars = ("n", "dim", "nlist", "seg_size")
+
+    def __init__(
+        self,
+        mat: Any,
+        metric: str | Dist = "euclidean",
+        nlist: int | None = None,
+        max_iters: int = 30,
+        seed: int = 42,
+        seg_size: int | None = None,
+        verbose: bool = False,
+        **encode_kwargs,
+    ):
+        arr = as_f32_matrix(mat)
+        n = arr.shape[0]
+        if nlist is None:
+            nlist = max(1, int(math.isqrt(n)))
+        nlist = min(nlist, n)
+
+        super().__init__(arr, metric)
+        x = self.vectors  # normalised already if cosine
+
+        self.nlist = nlist
+        self.centroids = train_centroids(
+            x, nlist, self.metric, max_iters=max_iters, seed=seed
+        )
+        assignments, _ = assign_clusters(x, self.centroids, self.metric)
+        layout = segment_layout(np.asarray(assignments), nlist, seg_size)
+        self.seg_size = int(layout.seg_size)
+        self._cluster_ptr = layout.cluster_ptr
+        self.seg_offsets = jnp.asarray(layout.seg_offsets)
+        self.seg_counts = jnp.asarray(layout.seg_counts)
+        self.seg_centroids = self.centroids[jnp.asarray(layout.seg_cluster)]
+
+        order_j = jnp.asarray(layout.order)
+        x_sorted = x[order_j]
+        self.original_ids = order_j.astype(jnp.int32)
+        self.vectors = None  # replaced by (possibly quantised) storage
+        self._encode_storage(x_sorted, seed=seed, **encode_kwargs)
+        if verbose:
+            c = layout.counts
+            print(
+                f"IVF built: nlist={nlist} nseg={layout.nseg} "
+                f"seg_size={self.seg_size} cells min/med/max = "
+                f"{c.min()}/{int(np.median(c))}/{c.max()}"
+            )
+
+    # -- subclass hooks ----------------------------------------------------
+
+    def _encode_storage(self, x_sorted: jax.Array, seed: int, **kw) -> None:
+        """Default: plain f32 storage."""
+        self._pad_storage(x_sorted, sq_norms(x_sorted))
+
+    def _encode_queries(self, q: jax.Array) -> jax.Array:
+        return q
+
+    def _scan_seg_centroids(self) -> jax.Array:
+        return self.seg_centroids
+
+    def _codebooks(self):
+        return None
+
+    def _aux(self):
+        return None
+
+    def _pad_storage(self, storage: jax.Array, sqnorms: jax.Array):
+        pad = self.seg_size
+        self.storage = jnp.concatenate(
+            [storage, jnp.zeros((pad,) + storage.shape[1:], storage.dtype)]
+        )
+        self.store_sqnorms = jnp.concatenate(
+            [sqnorms, jnp.zeros((pad,), sqnorms.dtype)]
+        )
+
+    # -- queries -------------------------------------------------------------
+
+    def default_nprobe(self) -> int:
+        """Reference default: √nlist (ivf.rs:261)."""
+        return max(1, int(math.isqrt(self.nlist)))
+
+    def query(
+        self,
+        query_mat: Any,
+        k: int,
+        nprobe: int | None = None,
+        k_scan: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = self._prep_queries(query_mat)
+        return self._query_prepped(q, k, nprobe, k_scan)
+
+    def _prep_queries(self, query_mat):
+        q = as_f32_matrix(query_mat)
+        if q.shape[1] != self.dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
+        qj = jnp.asarray(q)
+        return normalise(qj) if self.metric == Dist.COSINE else qj
+
+    def _scan(self, q, k, nprobe, mode=None, q_eff=None):
+        """Route → segment task lists → cluster-major scan. Returns
+        (dists [nq, k], sorted-storage positions [nq, k])."""
+        nq = q.shape[0]
+        probes = route_to_cells(q, self.centroids, nprobe, self.metric)
+        from .kmeans import SegmentLayout  # local import to avoid cycle
+
+        layout_stub = SegmentLayout(
+            None, np.asarray(self.seg_offsets), np.asarray(self.seg_counts),
+            None, self._cluster_ptr, self.seg_size, None,
+        )
+        qs, segs = expand_probes_to_segments(np.asarray(probes), layout_stub)
+        cluster_ids, lists = build_probe_lists_from_pairs(
+            qs, segs, len(np.asarray(self.seg_offsets)), nq
+        )
+        best_d, best_i = ivf_cluster_scan(
+            self._encode_queries(q) if q_eff is None else q_eff,
+            jnp.asarray(cluster_ids),
+            jnp.asarray(lists),
+            self.storage,
+            self.store_sqnorms,
+            self.seg_offsets,
+            self.seg_counts,
+            self._scan_seg_centroids(),
+            k,
+            self.metric,
+            self.seg_size,
+            self.mode if mode is None else mode,
+            codebooks=self._codebooks(),
+            aux=self._aux(),
+        )
+        return best_d[:nq], best_i[:nq]
+
+    def _query_prepped(self, q, k, nprobe, k_scan=None):
+        k = self._clamp_k(k)
+        nprobe = self.default_nprobe() if nprobe is None else nprobe
+        nprobe = max(1, min(nprobe, self.nlist))
+        d, i = self._scan(q, k if k_scan is None else k_scan, nprobe)
+        d = np.asarray(d)
+        i = np.asarray(i)
+        ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
+        return ids, d
+
+    def generate_knn(
+        self, k: int, nprobe: int | None = None, **kw
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(self.vectors_original_order())
+        if self.metric == Dist.COSINE:
+            q = normalise(q)
+        return self._query_prepped(q, k, nprobe, kw.get("k_scan"))
+
+    # -- plumbing ------------------------------------------------------------
+
+    def _decoded_sorted(self) -> np.ndarray:
+        """Decode the (possibly quantised) sorted storage to f32."""
+        return np.asarray(self.storage[: self.n], dtype=np.float32)
+
+    def vectors_original_order(self) -> np.ndarray:
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[np.asarray(self.original_ids)] = np.arange(self.n)
+        return self._decoded_sorted()[inv]
+
+    def _owner_clusters(self) -> jnp.ndarray:
+        """[n] owner cluster per sorted row (from the segment layout)."""
+        owners = np.zeros(self.n, np.int32)
+        offs = np.asarray(self.seg_offsets)
+        cnts = np.asarray(self.seg_counts)
+        # owner cluster of each segment: invert cluster_ptr
+        ptr = self._cluster_ptr
+        seg_owner = np.repeat(
+            np.arange(len(ptr) - 1), (ptr[1:] - ptr[:-1]).astype(np.int64)
+        )
+        for s in range(len(offs)):
+            owners[offs[s] : offs[s] + cnts[s]] = seg_owner[s]
+        return jnp.asarray(owners)
+
+    def _post_load(self):
+        self.nlist = int(self.nlist)
+        self.seg_size = int(self.seg_size)
+        # rebuild cluster_ptr from seg_centroids↔centroids equality is
+        # fragile; persist it as an array instead
+        raise NotImplementedError(
+            "use save()/load() helpers that persist cluster_ptr"
+        )
+
+    def save(self, path: str) -> None:
+        import json, os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        arrays = {"cluster_ptr": np.asarray(self._cluster_ptr)}
+        meta = {"cls": type(self).__name__, "metric": self.metric.value}
+        for name in self._state_scalars:
+            meta[name] = int(getattr(self, name))
+        for name in self._state_arrays:
+            v = getattr(self, name, None)
+            if v is not None:
+                if jnp.dtype(v.dtype) == jnp.dtype(jnp.bfloat16):
+                    v = v.astype(jnp.float32)
+                arrays[name] = np.asarray(v)
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str):
+        import json
+
+        from ..utils.dist import parse_ann_dist
+
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+            if meta["cls"] != cls.__name__:
+                raise ValueError(f"{path} holds a {meta['cls']}, not {cls.__name__}")
+            obj = cls.__new__(cls)
+            obj.metric = parse_ann_dist(meta["metric"])
+            for name in cls._state_scalars:
+                setattr(obj, name, meta[name])
+            for name in cls._state_arrays:
+                setattr(
+                    obj, name,
+                    jnp.asarray(z[name]) if name in z.files else None,
+                )
+            obj._cluster_ptr = z["cluster_ptr"]
+        obj._post_load_hook()
+        return obj
+
+    def _post_load_hook(self):
+        self.nlist = int(self.nlist)
+        self.seg_size = int(self.seg_size)

@@ -6,8 +6,8 @@ early-breaks via the triangle bound (kmknn.rs:263-335); data-dependent
 early-exit doesn't batch, so the same guarantee is delivered in two fixed
 phases:
 
-  1. scan the ``p0`` nearest cells per query (cluster-major engine) → an
-     upper bound ``kth(q)`` on the k-th distance;
+  1. scan the ``p0`` nearest cells per query (segmented cluster-major
+     engine) → an upper bound ``kth(q)`` on the k-th distance;
   2. the triangle bound ``lb(q,c) = max(0, d(q,c) − r_c)²`` (``r_c`` = cell
      radius) identifies every remaining cell that could still matter;
      exactly those (query, cell) pairs are scanned and merged.
@@ -16,9 +16,9 @@ Any cell not scanned satisfies lb > kth ≥ true-kth, so the result is exact —
 the same triangle-inequality argument as the reference, evaluated batch-wise.
 
 Cosine is handled the reference's way (kmknn.rs:147-153): vectors are
-pre-normalised and euclidean machinery runs internally; reported distances
-are ``d²/2 = 1 − cos`` (kmknn.rs:326-329) — identical to every other cosine
-index here.
+pre-normalised and euclidean machinery runs internally (euclidean k-means,
+not spherical — the bound needs euclidean geometry); reported distances are
+``d²/2 = 1 − cos`` (kmknn.rs:326-329), identical to every other cosine index.
 """
 
 from __future__ import annotations
@@ -30,27 +30,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ivf_scan import (
-    build_probe_lists,
-    build_probe_lists_from_pairs,
-    ivf_cluster_scan,
-)
+from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
 from ..ops.topk import merge_topk, topk_smallest
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
-from .kmeans import assign_clusters, build_cells, train_centroids
+from .kmeans import (
+    assign_clusters,
+    expand_probes_to_segments,
+    segment_layout,
+    train_centroids,
+)
 
 __all__ = ["KmknnIndex"]
 
 
 class KmknnIndex(BaseIndex):
     """Exact k-means-pruned search."""
-
-    _state_arrays = (
-        "vectors", "sqnorms", "centroids", "offsets", "counts",
-        "original_ids", "radii",
-    )
-    _state_scalars = ("n", "dim", "nlist", "cell_cap")
 
     def __init__(
         self,
@@ -75,33 +70,43 @@ class KmknnIndex(BaseIndex):
             x, nlist, Dist.EUCLIDEAN, max_iters=max_iters, seed=seed
         )
         assignments, d2c = assign_clusters(x, self.centroids, Dist.EUCLIDEAN)
-        members, counts, order = build_cells(np.asarray(assignments), nlist)
-        self.cell_cap = int(members.shape[1])
+        layout = segment_layout(np.asarray(assignments), nlist)
+        self._layout = layout
+        self.seg_size = int(layout.seg_size)
+        self.seg_offsets = jnp.asarray(layout.seg_offsets)
+        self.seg_counts = jnp.asarray(layout.seg_counts)
+        self.seg_centroids = self.centroids[jnp.asarray(layout.seg_cluster)]
 
-        order_j = jnp.asarray(order)
+        order_j = jnp.asarray(layout.order)
         x_sorted = x[order_j]
         self.original_ids = order_j.astype(jnp.int32)
-        self.counts = jnp.asarray(counts, dtype=jnp.int32)
-        self.offsets = jnp.asarray(
-            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
-        )
         # per-cell radius = max member distance to centroid
         d2c_np = np.asarray(jnp.sqrt(d2c))
         radii = np.zeros(nlist, np.float32)
         np.maximum.at(radii, np.asarray(assignments), d2c_np)
         self.radii = jnp.asarray(radii)
+        self.cell_counts = jnp.asarray(layout.counts)
 
-        pad = self.cell_cap
+        pad = self.seg_size
         self.vectors = jnp.concatenate(
             [x_sorted, jnp.zeros((pad, self.dim), jnp.float32)]
         )
         self.sqnorms = sq_norms(self.vectors)
 
+    def _scan_pairs(self, q, qs, cs_seg, k):
+        nq = q.shape[0]
+        cluster_ids, lists = build_probe_lists_from_pairs(
+            qs, cs_seg, len(np.asarray(self.seg_offsets)), nq
+        )
+        d, i = ivf_cluster_scan(
+            q, jnp.asarray(cluster_ids), jnp.asarray(lists), self.vectors,
+            self.sqnorms, self.seg_offsets, self.seg_counts,
+            self.seg_centroids, k, Dist.EUCLIDEAN, self.seg_size, "f32",
+        )
+        return d[:nq], i[:nq]
+
     def query(
-        self,
-        query_mat: Any,
-        k: int,
-        p0: int | None = None,
+        self, query_mat: Any, k: int, p0: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         return self._query_prepped(q, k, p0)
@@ -112,44 +117,38 @@ class KmknnIndex(BaseIndex):
         p0 = p0 if p0 is not None else max(1, int(math.isqrt(self.nlist)))
         p0 = min(p0, self.nlist)
 
-        # centroid distances (euclidean — internal space)
-        cd2 = (
+        cd2 = jnp.maximum(
             sq_norms(q)[:, None]
             + sq_norms(self.centroids)[None, :]
             - 2.0
             * jax.lax.dot_general(
                 q, self.centroids, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ),
+            0.0,
         )
-        cd2 = jnp.maximum(cd2, 0.0)
 
         # phase 1: nearest p0 cells
         _, probes = topk_smallest(cd2, p0)
-        c1, l1 = build_probe_lists(np.asarray(probes), self.nlist, nq)
-        d1, i1 = ivf_cluster_scan(
-            q, jnp.asarray(c1), jnp.asarray(l1), self.vectors, self.sqnorms,
-            self.offsets, self.counts, self.centroids, k, Dist.EUCLIDEAN,
-            self.cell_cap, "f32",
-        )
-        d1, i1 = d1[:nq], i1[:nq]
+        qs1, segs1 = expand_probes_to_segments(np.asarray(probes), self._layout)
+        d1, i1 = self._scan_pairs(q, qs1, segs1, k)
         kth = d1[:, k - 1]
 
         # phase 2: every remaining cell the triangle bound cannot exclude
         lb = jnp.maximum(jnp.sqrt(cd2) - self.radii[None, :], 0.0) ** 2
-        need = np.array((lb < kth[:, None]) & (self.counts[None, :] > 0))
+        need = np.array((lb < kth[:, None]) & (self.cell_counts[None, :] > 0))
         probed = np.zeros_like(need)
         np.put_along_axis(probed, np.asarray(probes), True, axis=1)
         need &= ~probed
-        qs, cs = np.nonzero(need)
-        if len(qs):
-            c2, l2 = build_probe_lists_from_pairs(qs, cs, self.nlist, nq)
-            d2, i2 = ivf_cluster_scan(
-                q, jnp.asarray(c2), jnp.asarray(l2), self.vectors,
-                self.sqnorms, self.offsets, self.counts, self.centroids, k,
-                Dist.EUCLIDEAN, self.cell_cap, "f32",
+        qrows, crows = np.nonzero(need)
+        if len(qrows):
+            qs2, segs2 = expand_probes_to_segments(
+                np.stack([crows], axis=1), self._layout
             )
-            d1, i1 = merge_topk(d1, i1, d2[:nq], i2[:nq], k)
+            # expand built per-row; remap its query ids back to qrows
+            qs2 = qrows[qs2]
+            d2, i2 = self._scan_pairs(q, qs2, segs2, k)
+            d1, i1 = merge_topk(d1, i1, d2, i2, k)
 
         d = np.asarray(d1)
         i = np.asarray(i1)
@@ -159,9 +158,11 @@ class KmknnIndex(BaseIndex):
         return ids, d
 
     def generate_knn(self, k: int, **kw):
+        ids, d = self._query_prepped(
+            self.vectors[: self.n], k, kw.get("p0")
+        )
         inv = np.empty(self.n, dtype=np.int64)
         inv[np.asarray(self.original_ids)] = np.arange(self.n)
-        ids, d = self._query_prepped(self.vectors[: self.n], k, kw.get("p0"))
         return ids[inv], d[inv]
 
     def vectors_original_order(self) -> np.ndarray:
@@ -169,6 +170,11 @@ class KmknnIndex(BaseIndex):
         inv[np.asarray(self.original_ids)] = np.arange(self.n)
         return np.asarray(self.vectors[: self.n])[inv]
 
-    def _post_load(self):
-        self.nlist = int(self.nlist)
-        self.cell_cap = int(self.cell_cap)
+    def memory_usage_bytes(self) -> int:
+        return (
+            int(self.vectors.size + self.sqnorms.size) * 4
+            + int(self.centroids.size + self.seg_centroids.size) * 4
+            + int(self.radii.size + self.cell_counts.size) * 4
+            + int(self.seg_offsets.size + self.seg_counts.size) * 4
+            + int(self.original_ids.size) * 4
+        )

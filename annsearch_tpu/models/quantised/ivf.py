@@ -3,11 +3,9 @@
 TPU-native rebuild of the reference's quantised IVF family
 (``src/quantised/ivf_bf16.rs`` / ``ivf_sq8.rs`` / ``ivf_pq.rs`` /
 ``ivf_opq.rs``): float-centroid routing, cluster-contiguous compressed
-storage, cell scans in the quantised domain. The cell scans run on the
-cluster-major engine (``ops/ivf_scan.py``) — each cell is decoded once per
-batch and scored for all its probing queries with one dense matmul, replacing
-the reference's per-query LUT/ADC loops (ivf_pq.rs:315-372) and integer SIMD
-scans (ivf_sq8.rs:291-328).
+storage, cell scans in the quantised domain. Routing/segments/scan plumbing
+lives in :class:`annsearch_tpu.models.ivf_base.IvfBase`; these classes only
+define how cells are encoded and how queries enter the scoring space.
 
 Residual encoding for PQ/OPQ matches the reference (ivf_pq.rs:195-274):
 codebooks are trained on ``vec − centroid``; OPQ additionally learns an
@@ -17,215 +15,51 @@ is evaluated in the rotated space, which is distance-preserving.
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.ivf_scan import build_probe_lists, ivf_cluster_scan
-from ...ops.topk import topk_smallest
-from ...utils.dist import Dist, normalise, sq_norms
-from ..base import BaseIndex, as_f32_matrix
-from ..kmeans import assign_clusters, build_cells, train_centroids
+from ...utils.dist import Dist, sq_norms
+from ..ivf_base import IvfBase, route_to_cells
 from .quantisers import (
     OptimisedProductQuantiser,
     ProductQuantiser,
     ScalarQuantiser,
 )
 
-__all__ = ["IvfIndexBf16", "IvfSq8Index", "IvfPqIndex", "IvfOpqIndex"]
+__all__ = [
+    "IvfIndexBf16",
+    "IvfSq8Index",
+    "IvfPqIndex",
+    "IvfOpqIndex",
+    "route_to_cells",
+]
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
-def route_to_cells(
-    q: jax.Array, centroids: jax.Array, nprobe: int, metric: Dist
-) -> jax.Array:
-    """Top-nprobe nearest centroids per query (one [nq, nlist] matmul +
-    top_k; replaces per-query select_nth, k_means_utils.rs:56-108)."""
-    dots = jax.lax.dot_general(
-        q, centroids, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if metric == Dist.COSINE:
-        d = 1.0 - dots
-    else:
-        d = sq_norms(q)[:, None] + sq_norms(centroids)[None, :] - 2.0 * dots
-    _, probes = topk_smallest(d, nprobe)
-    return probes
-
-
-class _IvfQuantisedBase(BaseIndex):
-    """Shared IVF-quantised scaffolding: coarse quantiser, sorted cells,
-    routing, cluster-major scan, id remap."""
-
-    mode = "f32"
-
-    def __init__(
-        self,
-        mat: Any,
-        metric: str | Dist = "euclidean",
-        nlist: int | None = None,
-        max_iters: int = 30,
-        seed: int = 42,
-        verbose: bool = False,
-        **encode_kwargs,
-    ):
-        arr = as_f32_matrix(mat)
-        n = arr.shape[0]
-        if nlist is None:
-            nlist = max(1, int(math.isqrt(n)))
-        nlist = min(nlist, n)
-
-        super().__init__(arr, metric)
-        x = self.vectors  # normalised if cosine
-
-        self.nlist = nlist
-        self.centroids = train_centroids(
-            x, nlist, self.metric, max_iters=max_iters, seed=seed
-        )
-        assignments, _ = assign_clusters(x, self.centroids, self.metric)
-        members, counts, order = build_cells(np.asarray(assignments), nlist)
-        self.cell_cap = int(members.shape[1])
-
-        order_j = jnp.asarray(order)
-        x_sorted = x[order_j]
-        self.original_ids = order_j.astype(jnp.int32)
-        self.counts = jnp.asarray(counts, dtype=jnp.int32)
-        self.offsets = jnp.asarray(
-            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
-        )
-        self.vectors = None  # replaced by quantised storage
-        self._encode_storage(x_sorted, seed=seed, **encode_kwargs)
-
-    # subclass hooks ------------------------------------------------------
-
-    def _encode_storage(self, x_sorted: jax.Array, seed: int, **kw) -> None:
-        raise NotImplementedError
-
-    def _encode_queries(self, q: jax.Array) -> jax.Array:
-        return q
-
-    def _scan_centroids(self) -> jax.Array:
-        return self.centroids
-
-    def _codebooks(self):
-        return None
-
-    def _pad_storage(self, storage: jax.Array, sqnorms: jax.Array):
-        """Pad with cell_cap trailing rows so static cell slices stay in
-        bounds, then store."""
-        pad = self.cell_cap
-        self.storage = jnp.concatenate(
-            [storage, jnp.zeros((pad,) + storage.shape[1:], storage.dtype)]
-        )
-        self.store_sqnorms = jnp.concatenate(
-            [sqnorms, jnp.zeros((pad,), sqnorms.dtype)]
-        )
-
-    # query ----------------------------------------------------------------
-
-    def default_nprobe(self) -> int:
-        return max(1, int(math.isqrt(self.nlist)))
-
-    def query(
-        self, query_mat: Any, k: int, nprobe: int | None = None
-    ) -> tuple[np.ndarray, np.ndarray]:
-        q = self._prep_queries(query_mat)
-        return self._query_prepped(q, k, nprobe)
-
-    def _prep_queries(self, query_mat):
-        q = as_f32_matrix(query_mat)
-        if q.shape[1] != self.dim:
-            raise ValueError(f"query dim {q.shape[1]} != index dim {self.dim}")
-        qj = jnp.asarray(q)
-        return normalise(qj) if self.metric == Dist.COSINE else qj
-
-    def _query_prepped(self, q, k, nprobe):
-        k = self._clamp_k(k)
-        nprobe = self.default_nprobe() if nprobe is None else nprobe
-        nprobe = max(1, min(nprobe, self.nlist))
-        nq = q.shape[0]
-
-        probes = route_to_cells(q, self.centroids, nprobe, self.metric)
-        cluster_ids, lists = build_probe_lists(
-            np.asarray(probes), self.nlist, nq
-        )
-        best_d, best_i = ivf_cluster_scan(
-            self._encode_queries(q),
-            jnp.asarray(cluster_ids),
-            jnp.asarray(lists),
-            self.storage,
-            self.store_sqnorms,
-            self.offsets,
-            self.counts,
-            self._scan_centroids(),
-            k,
-            self.metric,
-            self.cell_cap,
-            self.mode,
-            codebooks=self._codebooks(),
-        )
-        d = np.asarray(best_d)[:nq]
-        i = np.asarray(best_i)[:nq]
-        ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
-        return ids, d
-
-    def generate_knn(
-        self, k: int, nprobe: int | None = None
-    ) -> tuple[np.ndarray, np.ndarray]:
-        q = jnp.asarray(self.vectors_original_order())
-        if self.metric == Dist.COSINE:
-            q = normalise(q)
-        return self._query_prepped(q, k, nprobe)
-
-    def _decoded_sorted(self) -> np.ndarray:
-        raise NotImplementedError
-
-    def vectors_original_order(self) -> np.ndarray:
-        inv = np.empty(self.n, dtype=np.int64)
-        inv[np.asarray(self.original_ids)] = np.arange(self.n)
-        return self._decoded_sorted()[inv]
-
-
-class IvfIndexBf16(_IvfQuantisedBase):
+class IvfIndexBf16(IvfBase):
     """IVF routing (f32 centroids) + bf16 cells (reference ivf_bf16.rs)."""
 
     mode = "bf16"
-    _state_arrays = (
-        "storage", "store_sqnorms", "centroids", "offsets", "counts",
-        "original_ids",
-    )
-    _state_scalars = ("n", "dim", "nlist", "cell_cap")
 
     def _encode_storage(self, x_sorted, seed):
         s16 = x_sorted.astype(jnp.bfloat16)
         self._pad_storage(s16, sq_norms(s16.astype(jnp.float32)))
 
     def _decoded_sorted(self) -> np.ndarray:
-        return np.asarray(
-            self.storage[: self.n].astype(jnp.float32)
-        )
+        return np.asarray(self.storage[: self.n].astype(jnp.float32))
 
-    def _post_load(self):
-        self.nlist = int(self.nlist)
-        self.cell_cap = int(self.cell_cap)
+    def _post_load_hook(self):
+        super()._post_load_hook()
         self.storage = self.storage.astype(jnp.bfloat16)
 
 
-class IvfSq8Index(_IvfQuantisedBase):
+class IvfSq8Index(IvfBase):
     """IVF routing + global-SQ8 int8 cells, integer-space distances
     (reference ivf_sq8.rs: cosine pre-normalises data+centroids :159-197,
     quantised i32 norms :241-248)."""
 
     mode = "sq8"
-    _state_arrays = (
-        "storage", "store_sqnorms", "scales", "centroids", "offsets",
-        "counts", "original_ids",
-    )
-    _state_scalars = ("n", "dim", "nlist", "cell_cap")
+    _state_arrays = IvfBase._state_arrays + ("scales",)
 
     def _encode_storage(self, x_sorted, seed):
         self.quantiser = ScalarQuantiser.train(x_sorted)
@@ -240,32 +74,25 @@ class IvfSq8Index(_IvfQuantisedBase):
     def _decoded_sorted(self) -> np.ndarray:
         return np.asarray(self.quantiser.decode(self.storage[: self.n]))
 
-    def _post_load(self):
-        self.nlist = int(self.nlist)
-        self.cell_cap = int(self.cell_cap)
+    def _post_load_hook(self):
+        super()._post_load_hook()
         self.quantiser = ScalarQuantiser(self.scales)
 
 
-class IvfPqIndex(_IvfQuantisedBase):
+class IvfPqIndex(IvfBase):
     """IVF + residual PQ (reference ivf_pq.rs:23-531): codebooks trained on
     ``vec − centroid``, ADC-equivalent residual scoring per probed cell."""
 
     mode = "pq_residual"
-    _state_arrays = (
-        "storage", "store_sqnorms", "codebooks", "centroids", "offsets",
-        "counts", "original_ids",
-    )
-    _state_scalars = ("n", "dim", "nlist", "cell_cap", "m")
+    _state_arrays = IvfBase._state_arrays + ("codebooks",)
+    _state_scalars = IvfBase._state_scalars + ("m",)
 
     def __init__(self, mat, metric="euclidean", nlist=None, m: int = 16, **kw):
         super().__init__(mat, metric, nlist=nlist, m=m, **kw)
 
     def _encode_storage(self, x_sorted, seed, m: int = 16):
         self.m = m
-        # residuals relative to the owning centroid (cluster-sorted order)
-        owner = jnp.repeat(
-            jnp.arange(self.nlist), np.asarray(self.counts), total_repeat_length=self.n
-        )
+        owner = self._owner_clusters()
         residuals = x_sorted - self.centroids[owner]
         self.quantiser = ProductQuantiser.train(residuals, m, seed=seed)
         self.codebooks = self.quantiser.codebooks
@@ -285,12 +112,11 @@ class IvfPqIndex(_IvfQuantisedBase):
 
     def _decoded_sorted(self) -> np.ndarray:
         dec = np.asarray(self.quantiser.decode(self.storage[: self.n]))
-        owner = np.repeat(np.arange(self.nlist), np.asarray(self.counts))
+        owner = np.asarray(self._owner_clusters())
         return dec + np.asarray(self.centroids)[owner]
 
-    def _post_load(self):
-        self.nlist = int(self.nlist)
-        self.cell_cap = int(self.cell_cap)
+    def _post_load_hook(self):
+        super()._post_load_hook()
         self.m = int(self.m)
         self.quantiser = ProductQuantiser(self.codebooks, self.m, self.dim)
 
@@ -305,9 +131,7 @@ class IvfOpqIndex(IvfPqIndex):
 
     def _encode_storage(self, x_sorted, seed, m: int = 16):
         self.m = m
-        owner = jnp.repeat(
-            jnp.arange(self.nlist), np.asarray(self.counts), total_repeat_length=self.n
-        )
+        owner = self._owner_clusters()
         residuals = x_sorted - self.centroids[owner]
         opq = OptimisedProductQuantiser.train(residuals, m, seed=seed)
         self.opq = opq
@@ -324,20 +148,18 @@ class IvfOpqIndex(IvfPqIndex):
         self._pad_storage(codes, sn)
 
     def _encode_queries(self, q):
+        # routing stays in the original space (IvfBase routes before this);
+        # scoring happens in the rotated space
         return q @ self.rotation
 
-    def _scan_centroids(self):
-        return self.centroids @ self.rotation
+    def _scan_seg_centroids(self):
+        return self.seg_centroids @ self.rotation
 
     def _decoded_sorted(self) -> np.ndarray:
         dec = np.asarray(self.opq.decode(self.storage[: self.n]))
-        owner = np.repeat(np.arange(self.nlist), np.asarray(self.counts))
+        owner = np.asarray(self._owner_clusters())
         return dec + np.asarray(self.centroids)[owner]
 
-    def _query_prepped(self, q, k, nprobe):
-        # routing in the original space; scoring in the rotated space
-        return super()._query_prepped(q, k, nprobe)
-
-    def _post_load(self):
-        super()._post_load()
+    def _post_load_hook(self):
+        super()._post_load_hook()
         self.opq = OptimisedProductQuantiser(self.quantiser, self.rotation)
