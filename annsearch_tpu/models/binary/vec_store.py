@@ -14,14 +14,55 @@ bigger-than-HBM case the reference built it for.
 
 from __future__ import annotations
 
+import ctypes
 import json
 import os
+import subprocess
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["MmapVectorStore", "DeviceVectorStore"]
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(__file__)))),
+    "native",
+)
+_native_lib = None
+
+
+def _load_native():
+    """Load (building if needed) the C++ gather library; None on failure —
+    callers fall back to numpy memmap."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    so = os.path.join(_NATIVE_DIR, "libvecstore.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.vecstore_open.restype = ctypes.c_void_p
+        lib.vecstore_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.vecstore_close.argtypes = [ctypes.c_void_p]
+        lib.vecstore_gather.restype = ctypes.c_int
+        lib.vecstore_gather.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        _native_lib = lib
+        return lib
+    except OSError:
+        return None
 
 
 class DeviceVectorStore:
@@ -40,13 +81,26 @@ class DeviceVectorStore:
 
 
 class MmapVectorStore:
-    """Raw-file vector store: ``<path>.vec`` (f32 rows) + ``<path>.json``."""
+    """Raw-file vector store: ``<path>.vec`` (f32 rows) + ``<path>.json``.
+
+    Gathers go through the native C++ library (``native/vec_store.cc`` —
+    mmap + MADV_RANDOM + multithreaded row copies, the reference
+    vec_store.rs:16-204 runtime equivalent) when available, else a numpy
+    memmap fallback.
+    """
 
     def __init__(self, path: str, mmap: np.memmap, n: int, dim: int):
         self.path = path
         self._mm = mmap
         self.n = n
         self.dim = dim
+        self._lib = _load_native()
+        self._handle = None
+        if self._lib is not None:
+            h = self._lib.vecstore_open(
+                (path + ".vec").encode(), n, dim
+            )
+            self._handle = h if h else None
 
     @classmethod
     def write(cls, path: str, vectors: np.ndarray) -> "MmapVectorStore":
@@ -70,8 +124,27 @@ class MmapVectorStore:
 
     def gather(self, ids: np.ndarray) -> jax.Array:
         """ids [nq, kc] → [nq, kc, dim] on device (host gather from mmap)."""
-        rows = np.asarray(self._mm[np.asarray(ids).reshape(-1)])
+        flat = np.ascontiguousarray(np.asarray(ids).reshape(-1), np.int64)
+        if self._handle is not None:
+            out = np.empty((flat.size, self.dim), np.float32)
+            rc = self._lib.vecstore_gather(
+                self._handle,
+                flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                flat.size,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                0,
+            )
+            if rc == 0:
+                return jnp.asarray(out.reshape(ids.shape + (self.dim,)))
+        rows = np.asarray(self._mm[flat])
         return jnp.asarray(rows.reshape(ids.shape + (self.dim,)))
+
+    def __del__(self):  # release the native mapping
+        try:
+            if getattr(self, "_handle", None) is not None:
+                self._lib.vecstore_close(self._handle)
+        except Exception:
+            pass
 
     def memory_usage_bytes(self) -> int:
         # on-disk, not RAM/HBM — reported as 0 like an mmap'd file's resident

@@ -60,45 +60,35 @@ def build_probe_lists(
     flat_q = np.repeat(
         np.arange(probes.shape[0], dtype=np.int32), probes.shape[1]
     )
-    order = np.argsort(flat_c, kind="stable")
-    counts = np.bincount(flat_c, minlength=nlist)
-    active = np.nonzero(counts)[0]
-    ncl = _next_pow2(len(active))
-    maxq = _next_pow2(int(counts[active].max()) if len(active) else 1)
-
-    cluster_ids = np.full(ncl, nlist, dtype=np.int32)
-    cluster_ids[: len(active)] = active
-    lists = np.full((ncl, maxq), nq, dtype=np.int32)
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    qs = flat_q[order]
-    for row, c in enumerate(active):
-        lists[row, : counts[c]] = qs[starts[c] : ends[c]]
-    return cluster_ids, lists
+    return build_probe_lists_from_pairs(flat_q, flat_c, nlist, nq)
 
 
 def build_probe_lists_from_pairs(
     flat_q: np.ndarray, flat_c: np.ndarray, nlist: int, nq: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Like :func:`build_probe_lists` but from explicit (query, cluster)
-    task pairs — used by exact two-phase search (kMkNN) where per-query
-    probe counts vary."""
+    """Build per-cluster padded query lists from explicit (query, cluster)
+    task pairs. Fully vectorised host work (the self-kNN path pushes
+    nq·nprobe into the millions — no python loops)."""
     flat_q = np.asarray(flat_q, dtype=np.int32)
     flat_c = np.asarray(flat_c, dtype=np.int64)
     order = np.argsort(flat_c, kind="stable")
     counts = np.bincount(flat_c, minlength=nlist)
     active = np.nonzero(counts)[0]
     ncl = _next_pow2(len(active))
-    maxq = _next_pow2(int(counts[active].max()) if len(active) else 1)
+    acounts = counts[active]
+    maxq = _next_pow2(int(acounts.max()) if len(active) else 1)
 
     cluster_ids = np.full(ncl, nlist, dtype=np.int32)
     cluster_ids[: len(active)] = active
     lists = np.full((ncl, maxq), nq, dtype=np.int32)
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    qs = flat_q[order]
-    for row, c in enumerate(active):
-        lists[row, : counts[c]] = qs[starts[c] : ends[c]]
+    if len(active):
+        qs = flat_q[order]
+        # row index per sorted task (tasks are cluster-contiguous) and
+        # rank-within-cluster, both vectorised
+        rows = np.repeat(np.arange(len(active)), acounts)
+        starts = np.concatenate([[0], np.cumsum(acounts)[:-1]])
+        ranks = np.arange(len(qs)) - np.repeat(starts, acounts)
+        lists[rows, ranks] = qs
     return cluster_ids, lists
 
 
