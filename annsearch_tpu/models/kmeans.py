@@ -378,7 +378,7 @@ def segment_layout(
     order = np.argsort(a, kind="stable").astype(np.int32)
     if seg_size is None:
         mean = max(1, n // max(nlist, 1))
-        seg_size = 1 << int(np.ceil(np.log2(max(64, int(1.5 * mean)))))
+        seg_size = 1 << int(np.ceil(np.log2(max(64, mean))))
 
     offsets = np.concatenate([[0], np.cumsum(counts)])
     seg_offsets, seg_counts, seg_cluster = [], [], []

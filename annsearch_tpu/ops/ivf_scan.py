@@ -64,37 +64,61 @@ def build_probe_lists(
 
 
 def build_probe_lists_from_pairs(
-    flat_q: np.ndarray, flat_c: np.ndarray, nlist: int, nq: int
+    flat_q: np.ndarray,
+    flat_c: np.ndarray,
+    nlist: int,
+    nq: int,
+    maxq_cap: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build per-cluster padded query lists from explicit (query, cluster)
     task pairs. Fully vectorised host work (the self-kNN path pushes
-    nq·nprobe into the millions — no python loops)."""
+    nq·nprobe into the millions — no python loops).
+
+    Skewed probe distributions make the padded width ``maxq`` balloon (a
+    popular cluster sets the pad for every row). ``maxq_cap`` chunks a
+    popular cluster's query list across several scan rows (the same cell is
+    scanned once per chunk), bounding padding waste; defaults to
+    4× the mean row occupancy.
+    """
     flat_q = np.asarray(flat_q, dtype=np.int32)
     flat_c = np.asarray(flat_c, dtype=np.int64)
     order = np.argsort(flat_c, kind="stable")
     counts = np.bincount(flat_c, minlength=nlist)
     active = np.nonzero(counts)[0]
-    ncl = _next_pow2(len(active))
+    if len(active) == 0:
+        return (
+            np.full(1, nlist, np.int32),
+            np.full((1, 1), nq, np.int32),
+        )
     acounts = counts[active]
-    maxq = _next_pow2(int(acounts.max()) if len(active) else 1)
+    if maxq_cap is None:
+        mean = max(1, int(acounts.mean()))
+        maxq_cap = _next_pow2(4 * mean)
+    maxq = min(_next_pow2(int(acounts.max())), _next_pow2(maxq_cap))
+
+    # rows per active cluster after chunking
+    nchunks = -(-acounts // maxq)
+    total_rows = int(nchunks.sum())
+    ncl = _next_pow2(total_rows)
 
     cluster_ids = np.full(ncl, nlist, dtype=np.int32)
-    cluster_ids[: len(active)] = active
+    cluster_ids[:total_rows] = np.repeat(active, nchunks).astype(np.int32)
     lists = np.full((ncl, maxq), nq, dtype=np.int32)
-    if len(active):
-        qs = flat_q[order]
-        # row index per sorted task (tasks are cluster-contiguous) and
-        # rank-within-cluster, both vectorised
-        rows = np.repeat(np.arange(len(active)), acounts)
-        starts = np.concatenate([[0], np.cumsum(acounts)[:-1]])
-        ranks = np.arange(len(qs)) - np.repeat(starts, acounts)
-        lists[rows, ranks] = qs
+
+    qs = flat_q[order]
+    # rank of each task within its cluster
+    starts = np.concatenate([[0], np.cumsum(acounts)[:-1]])
+    ranks = np.arange(len(qs)) - np.repeat(starts, acounts)
+    # row = cluster's first row + rank // maxq; col = rank % maxq
+    row_base = np.concatenate([[0], np.cumsum(nchunks)[:-1]])
+    rows = np.repeat(row_base, acounts) + ranks // maxq
+    lists[rows, ranks % maxq] = qs
     return cluster_ids, lists
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "cap", "mode", "k_cell"),
+    static_argnames=("k", "metric", "cap", "mode", "k_cell", "precision"),
 )
 def ivf_cluster_scan(
     queries: jax.Array,      # [nq, d] effective queries (f32, or int8 for sq8)
@@ -112,6 +136,11 @@ def ivf_cluster_scan(
     codebooks: jax.Array | None = None,  # [m, 256, ds] for pq modes
     k_cell: int | None = None,
     aux: jax.Array | None = None,        # [n_pad] extra per-row data (rabitq: dot_corr)
+    precision=None,                       # scoring matmul precision; defaults
+                                          # per mode: HIGHEST for f32 (exact
+                                          # parity), HIGH for pq (input
+                                          # rounding to bf16 is measurable at
+                                          # high dim), irrelevant for int/±1
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_d, best_i) of shape [nq+1, k] — callers drop the last
     (sentinel) row. ``best_i`` are positions in the sorted storage.
@@ -122,6 +151,8 @@ def ivf_cluster_scan(
     nq = queries.shape[0]
     nlist = offsets.shape[0]
     k_cell = k if k_cell is None else k_cell
+    prec_pq = jax.lax.Precision.HIGH if precision is None else precision
+    prec_f32 = jax.lax.Precision.HIGHEST if precision is None else precision
 
     if mode in ("hamming", "binary_asym", "rabitq"):
         q_sq = jnp.zeros((nq,), jnp.float32)
@@ -158,9 +189,10 @@ def ivf_cluster_scan(
             dec = pq_decode_tile(cell, codebooks)         # [cap, d] f32
             sn_f = sn.astype(jnp.float32)
             dots_fn = lambda lhs: jax.lax.dot_general(
-                lhs.astype(jnp.bfloat16),
-                dec.astype(jnp.bfloat16),
+                lhs,
+                dec,
                 (((1,), (1,)), ((), ())),
+                precision=prec_pq,
                 preferred_element_type=jnp.float32,
             )
             if mode == "pq_residual":
@@ -251,6 +283,7 @@ def ivf_cluster_scan(
             lhs = qg.astype(storage.dtype) if mode == "bf16" else qg
             dots = jax.lax.dot_general(
                 lhs, cell, (((1,), (1,)), ((), ())),
+                precision=prec_f32 if mode == "f32" else None,
                 preferred_element_type=jnp.float32,
             )
             if metric == Dist.COSINE:
