@@ -146,9 +146,13 @@ class IvfBase(BaseIndex):
         k: int,
         nprobe: int | None = None,
         k_scan: int | None = None,
+        approx: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """``approx=True`` uses the TPU-optimised approximate per-cell
+        selection (lax.approx_min_k) — a throughput knob that costs a little
+        tail recall."""
         q = self._prep_queries(query_mat)
-        return self._query_prepped(q, k, nprobe, k_scan)
+        return self._query_prepped(q, k, nprobe, k_scan, approx)
 
     def _prep_queries(self, query_mat):
         q = as_f32_matrix(query_mat)
@@ -157,7 +161,7 @@ class IvfBase(BaseIndex):
         qj = jnp.asarray(q)
         return normalise(qj) if self.metric == Dist.COSINE else qj
 
-    def _scan(self, q, k, nprobe, mode=None, q_eff=None):
+    def _scan(self, q, k, nprobe, mode=None, q_eff=None, approx=False):
         """Route → segment task lists → cluster-major scan. Returns
         (dists [nq, k], sorted-storage positions [nq, k])."""
         nq = q.shape[0]
@@ -187,14 +191,17 @@ class IvfBase(BaseIndex):
             self.mode if mode is None else mode,
             codebooks=self._codebooks(),
             aux=self._aux(),
+            approx=approx,
         )
         return best_d[:nq], best_i[:nq]
 
-    def _query_prepped(self, q, k, nprobe, k_scan=None):
+    def _query_prepped(self, q, k, nprobe, k_scan=None, approx=False):
         k = self._clamp_k(k)
         nprobe = self.default_nprobe() if nprobe is None else nprobe
         nprobe = max(1, min(nprobe, self.nlist))
-        d, i = self._scan(q, k if k_scan is None else k_scan, nprobe)
+        d, i = self._scan(
+            q, k if k_scan is None else k_scan, nprobe, approx=approx
+        )
         d = np.asarray(d)
         i = np.asarray(i)
         ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]

@@ -118,7 +118,7 @@ def build_probe_lists_from_pairs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "cap", "mode", "k_cell", "precision"),
+    static_argnames=("k", "metric", "cap", "mode", "k_cell", "precision", "approx"),
 )
 def ivf_cluster_scan(
     queries: jax.Array,      # [nq, d] effective queries (f32, or int8 for sq8)
@@ -136,6 +136,7 @@ def ivf_cluster_scan(
     codebooks: jax.Array | None = None,  # [m, 256, ds] for pq modes
     k_cell: int | None = None,
     aux: jax.Array | None = None,        # [n_pad] extra per-row data (rabitq: dot_corr)
+    approx: bool = False,                 # approx_min_k per-cell selection
     precision=None,                       # scoring matmul precision; defaults
                                           # per mode: HIGHEST for f32 (exact
                                           # parity), HIGH for pq (input
@@ -298,9 +299,13 @@ def ivf_cluster_scan(
 
         d = jnp.where(valid, d, _INF)
         kc = min(k_cell, cap)
-        cd, ci = jax.lax.top_k(-d, kc)          # [maxq, kc]
+        if approx:
+            cd, ci = jax.lax.approx_min_k(d, kc)
+        else:
+            ncd, ci = jax.lax.top_k(-d, kc)     # [maxq, kc]
+            cd = -ncd
         gi = start + ci
-        md, mi = merge_topk(best_d[qid], best_i[qid], -cd, gi, k)
+        md, mi = merge_topk(best_d[qid], best_i[qid], cd, gi, k)
         best_d = best_d.at[qid].set(md, mode="drop")
         best_i = best_i.at[qid].set(mi, mode="drop")
         return (best_d, best_i), None

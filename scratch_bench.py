@@ -9,30 +9,16 @@ from annsearch_tpu.utils.metrics import calculate_recall
 N, D, NC, NQ, K = 1_000_000, 128, 100, 10_000, 10
 x, _ = generate_clustered_data(N, D, NC, seed=42)
 q = subsample_with_noise(x, NQ, seed=42)
+ti = np.load("/tmp/gt_1m_128d.npz")["ti"]
 
-# cache GT to disk (exact GT is expensive at HIGHEST precision)
-import os
-gt_path = "/tmp/gt_1m_128d.npz"
-if os.path.exists(gt_path):
-    ti = np.load(gt_path)["ti"]
-    print("GT loaded from cache", flush=True)
-else:
-    t0=time.time()
-    exact = ann.build_exhaustive_index(x)
-    ti, _ = ann.query_exhaustive_index(q, exact, K, return_dist=True)
-    np.savez(gt_path, ti=ti)
-    print(f"exact GT {time.time()-t0:.1f}s", flush=True)
-    del exact
-
-for m in [64]:
-    t0=time.time()
-    ivfpq = ann.build_ivf_pq_index(x, nlist=1024, m=m, seed=42)
-    print(f"ivf-pq m={m} build {time.time()-t0:.1f}s seg_size={ivfpq.seg_size}", flush=True)
-    for npb in [8, 16, 32]:
-        ai, _ = ann.query_ivf_pq_index(q, ivfpq, K, nprobe=npb, return_dist=True)
+t0=time.time()
+ivfpq = ann.build_ivf_pq_index(x, nlist=1024, m=64, seed=42)
+print(f"build {time.time()-t0:.1f}s", flush=True)
+for approx in [False, True]:
+    for npb in [16]:
+        ai, _ = ivfpq.query(q, K, nprobe=npb, approx=approx)
         rec = calculate_recall(ti, ai, K)
         t0=time.time()
-        ai, _ = ann.query_ivf_pq_index(q, ivfpq, K, nprobe=npb, return_dist=True)
+        ai, _ = ivfpq.query(q, K, nprobe=npb, approx=approx)
         dt = time.time()-t0
-        print(f"m={m} nprobe={npb}: recall {rec:.4f} warm {dt:.2f}s -> {NQ/dt:.0f} QPS", flush=True)
-    del ivfpq
+        print(f"approx={approx} nprobe={npb}: recall {rec:.4f} warm {dt:.2f}s -> {NQ/dt:.0f} QPS", flush=True)
