@@ -152,7 +152,10 @@ def ivf_cluster_scan(
     nq = queries.shape[0]
     nlist = offsets.shape[0]
     k_cell = k if k_cell is None else k_cell
-    prec_pq = jax.lax.Precision.HIGH if precision is None else precision
+    # PQ scoring in plain bf16: measured recall identical to 3-pass HIGH on
+    # the 1M×128d suite (the plateau is quantisation, not rounding); f32
+    # mode keeps HIGHEST for exactness parity (kMkNN, full-probe IVF)
+    prec_pq = jax.lax.Precision.DEFAULT if precision is None else precision
     prec_f32 = jax.lax.Precision.HIGHEST if precision is None else precision
 
     if mode in ("hamming", "binary_asym", "rabitq"):
