@@ -40,6 +40,10 @@ from .base import BaseIndex, as_f32_matrix
 
 __all__ = ["NNDescentIndex"]
 
+#: below this n²·d FLOP count the exact MXU self-scan beats approximate
+#: rounds (measured: 150k×32d exact ≈ 2 s vs ~50 s of NN-descent rounds)
+BRUTE_BUILD_FLOP_BUDGET = 250_000 * 250_000 * 64
+
 
 class NNDescentIndex(BaseIndex):
     """kNN-graph + navigable-graph index."""
@@ -83,33 +87,43 @@ class NNDescentIndex(BaseIndex):
         self.sqnorms = sq
 
         key = jax.random.key(seed)
-        key, k_init = jax.random.split(key)
-        ids, dists = random_init_graph(
-            k_init, vecs, sq, self.k_build, self.metric
-        )
-
-        leaf = 64
-        levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
-        for t in range(n_trees):
-            key, kt = jax.random.split(key)
-            ids, dists = rp_forest_round(
-                kt, vecs, sq, ids, dists, levels, leaf, self.k_build, self.metric
-            )
+        if n * n * self.dim <= BRUTE_BUILD_FLOP_BUDGET:
+            # Below this size the MXU computes the EXACT kNN graph faster
+            # than approximate rounds converge (e.g. 150k×32d in a couple
+            # of seconds) — an economics inversion vs the reference's CPU/
+            # wgpu hardware where NN-descent always wins.
+            ids, dists = self._brute_knn_graph(vecs, sq)
             if verbose:
-                print(f"forest pass {t + 1}/{n_trees} done")
-
-        total_edges = n * self.k_build
-        for r in range(max_rounds):
-            key, kr = jax.random.split(key)
-            ids, dists, upd = nnd_round(
-                kr, vecs, sq, ids, dists, self.k_build, self.metric,
-                fof_sample=min(self.k_build * self.k_build, 1024),
+                print("graph built exactly (brute-force MXU path)")
+        else:
+            key, k_init = jax.random.split(key)
+            ids, dists = random_init_graph(
+                k_init, vecs, sq, self.k_build, self.metric
             )
-            rate = float(upd) / max(total_edges, 1)
-            if verbose:
-                print(f"nnd round {r + 1}: update rate {rate:.4f}")
-            if rate < delta:
-                break
+
+            leaf = 64
+            levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
+            for t in range(n_trees):
+                key, kt = jax.random.split(key)
+                ids, dists = rp_forest_round(
+                    kt, vecs, sq, ids, dists, levels, leaf, self.k_build,
+                    self.metric,
+                )
+                if verbose:
+                    print(f"forest pass {t + 1}/{n_trees} done")
+
+            total_edges = n * self.k_build
+            for r in range(max_rounds):
+                key, kr = jax.random.split(key)
+                ids, dists, upd = nnd_round(
+                    kr, vecs, sq, ids, dists, self.k_build, self.metric,
+                    fof_sample=min(self.k_build * self.k_build, 1024),
+                )
+                rate = float(upd) / max(total_edges, 1)
+                if verbose:
+                    print(f"nnd round {r + 1}: update rate {rate:.4f}")
+                if rate < delta:
+                    break
 
         self.knn_ids = ids
         self.knn_dists = dists
@@ -183,6 +197,27 @@ class NNDescentIndex(BaseIndex):
         d = np.asarray(d.reshape(-1, k)[:nq])
         i = np.asarray(i.reshape(-1, k)[:nq])
         return np.clip(i, 0, self.n - 1), d
+
+    def _brute_knn_graph(self, vecs, sq):
+        """Exact kNN graph via the blocked MXU scan (self excluded)."""
+        from ..ops.topk import blocked_query_topk
+
+        n = self.n
+        kk = min(self.k_build + 1, n)
+        d, i = blocked_query_topk(
+            vecs[:n], vecs[:n], kk, self.metric,
+            x_sqnorm=sq[:n] if self.metric == Dist.EUCLIDEAN else None,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        # drop the self column (first hit is self at distance ~0; if ties
+        # shuffled it, mask any exact self id)
+        self_col = i == jnp.arange(n)[:, None]
+        d = jnp.where(self_col, jnp.inf, d)
+        nd, pos = jax.lax.top_k(-d, self.k_build)
+        ids = jnp.take_along_axis(i, pos, axis=-1)
+        dists = -nd
+        ids = jnp.where(jnp.isinf(dists), n, ids)
+        return ids.astype(jnp.int32), dists
 
     def _route_entries(self, q: jax.Array, n_entries: int) -> jax.Array:
         """Exact scan of the router sample → top-n_entries node ids."""

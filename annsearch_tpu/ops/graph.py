@@ -278,8 +278,14 @@ def nnd_round(
             vectors[u_safe], cv, sqnorms[u_safe], sqnorms[safe_c], metric
         )
         d = jnp.where((cand >= n) | (cand == u[:, None]), _INF, d)
+        # pre-select top-kk candidates BEFORE the dedup merge: the dedup
+        # argsorts over the full C≈kk² width dominate round time; top-k
+        # first shrinks the dedup to 2·kk (duplicate candidates surviving
+        # the pre-select merely waste a few of the kk slots for one round)
+        ncd, ci = jax.lax.top_k(-d, min(kk, d.shape[1]))
+        cand_top = jnp.take_along_axis(cand, ci, axis=-1)
         cur_ids, cur_d = graph_ids[u_safe], graph_dists[u_safe]
-        new_ids, new_d = _merge_rows(cur_ids, cur_d, cand, d, kk)
+        new_ids, new_d = _merge_rows(cur_ids, cur_d, cand_top, -ncd, kk)
         upd = jnp.sum(
             (new_ids != cur_ids) & (u[:, None] < n), axis=-1
         ).astype(jnp.int32)
