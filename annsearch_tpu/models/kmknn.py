@@ -95,13 +95,15 @@ class KmknnIndex(BaseIndex):
 
     def _scan_pairs(self, q, qs, cs_seg, k):
         nq = q.shape[0]
-        cluster_ids, lists = build_probe_lists_from_pairs(
+        cluster_ids, lists, ords, t_slots = build_probe_lists_from_pairs(
             qs, cs_seg, len(np.asarray(self.seg_offsets)), nq
         )
         d, i = ivf_cluster_scan(
-            q, jnp.asarray(cluster_ids), jnp.asarray(lists), self.vectors,
+            q, jnp.asarray(cluster_ids), jnp.asarray(lists),
+            jnp.asarray(ords), self.vectors,
             self.sqnorms, self.seg_offsets, self.seg_counts,
             self.seg_centroids, k, Dist.EUCLIDEAN, self.seg_size, "f32",
+            t_slots,
         )
         return d[:nq], i[:nq]
 
@@ -178,3 +180,50 @@ class KmknnIndex(BaseIndex):
             + int(self.seg_offsets.size + self.seg_counts.size) * 4
             + int(self.original_ids.size) * 4
         )
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            vectors=np.asarray(self.vectors),
+            centroids=np.asarray(self.centroids),
+            seg_centroids=np.asarray(self.seg_centroids),
+            seg_offsets=np.asarray(self.seg_offsets),
+            seg_counts=np.asarray(self.seg_counts),
+            original_ids=np.asarray(self.original_ids),
+            radii=np.asarray(self.radii),
+            cell_counts=np.asarray(self.cell_counts),
+            cluster_ptr=np.asarray(self._layout.cluster_ptr),
+            seg_cluster=np.asarray(self._layout.seg_cluster),
+            meta=np.array(
+                [self.n, self.dim, self.nlist, self.seg_size,
+                 1 if self.metric == Dist.COSINE else 0]
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "KmknnIndex":
+        from .kmeans import SegmentLayout
+
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            meta = z["meta"]
+            obj = cls.__new__(cls)
+            obj.n, obj.dim, obj.nlist, obj.seg_size = (
+                int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
+            )
+            obj.metric = Dist.COSINE if meta[4] == 1 else Dist.EUCLIDEAN
+            obj.vectors = jnp.asarray(z["vectors"])
+            obj.sqnorms = sq_norms(obj.vectors)
+            obj.centroids = jnp.asarray(z["centroids"])
+            obj.seg_centroids = jnp.asarray(z["seg_centroids"])
+            obj.seg_offsets = jnp.asarray(z["seg_offsets"])
+            obj.seg_counts = jnp.asarray(z["seg_counts"])
+            obj.original_ids = jnp.asarray(z["original_ids"])
+            obj.radii = jnp.asarray(z["radii"])
+            obj.cell_counts = jnp.asarray(z["cell_counts"])
+            obj._layout = SegmentLayout(
+                None, z["seg_offsets"], z["seg_counts"], z["seg_cluster"],
+                z["cluster_ptr"], obj.seg_size, z["cell_counts"],
+            )
+        return obj

@@ -180,3 +180,38 @@ class LSHIndex(BaseIndex):
             + int(self.projections.size) * 4
             + int(self.sorted_hashes.size + self.sorted_ids.size) * 4
         )
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            vectors=np.asarray(self.vectors),
+            projections=np.asarray(self.projections),
+            sorted_hashes=np.asarray(self.sorted_hashes),
+            sorted_ids=np.asarray(self.sorted_ids),
+            meta=np.array(
+                [self.n, self.dim, self.num_tables, self.bits, self._seed,
+                 1 if self.metric == Dist.COSINE else 0]
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "LSHIndex":
+        import jax.numpy as _jnp
+
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            meta = z["meta"]
+            obj = cls.__new__(cls)
+            obj.n, obj.dim, obj.num_tables, obj.bits, obj._seed = (
+                int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]),
+                int(meta[4]),
+            )
+            obj.metric = Dist.COSINE if meta[5] == 1 else Dist.EUCLIDEAN
+            obj.vectors = _jnp.asarray(z["vectors"])
+            obj.sqnorms = sq_norms(obj.vectors)
+            obj.projections = _jnp.asarray(z["projections"])
+            obj.sorted_hashes = _jnp.asarray(z["sorted_hashes"])
+            obj.sorted_ids = _jnp.asarray(z["sorted_ids"])
+            obj.last_fallback_rate = 0.0
+        return obj

@@ -32,7 +32,6 @@ import numpy as np
 from ..utils.dist import Dist, sq_norms
 from .binary import unpack_pm1
 from .quantised import pq_decode_tile
-from .topk import merge_topk
 
 __all__ = ["ivf_cluster_scan", "build_probe_lists", "build_probe_lists_from_pairs"]
 
@@ -48,7 +47,8 @@ def build_probe_lists(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Invert [nq, nprobe] probe assignments into per-cluster query lists.
 
-    Returns ``(cluster_ids [ncl], lists [ncl, maxq])`` covering only clusters
+    Returns ``(cluster_ids [ncl], lists [ncl, maxq], ordinals [ncl, maxq],
+    t_slots)`` covering only clusters
     probed by ≥1 query; ``lists`` is padded with ``nq`` (sentinel row of the
     scatter target), ``cluster_ids`` is padded to a power of two with
     ``nlist`` (sentinel cluster with zero count). Host-side — the analogue of
@@ -89,6 +89,8 @@ def build_probe_lists_from_pairs(
         return (
             np.full(1, nlist, np.int32),
             np.full((1, 1), nq, np.int32),
+            np.zeros((1, 1), np.int32),
+            1,
         )
     acounts = counts[active]
     if maxq_cap is None:
@@ -113,18 +115,36 @@ def build_probe_lists_from_pairs(
     row_base = np.concatenate([[0], np.cumsum(nchunks)[:-1]])
     rows = np.repeat(row_base, acounts) + ranks // maxq
     lists[rows, ranks % maxq] = qs
-    return cluster_ids, lists
+
+    # per-task ordinal within its query (0..T-1): occurrence index of the
+    # query id over the task stream — gives each (query, task) a unique
+    # write slot for the write-out scan
+    qorder = np.argsort(flat_q, kind="stable")
+    qcounts = np.bincount(flat_q, minlength=nq)
+    qstarts = np.concatenate([[0], np.cumsum(qcounts)[:-1]])
+    qranks = np.empty(len(flat_q), np.int32)
+    qranks[qorder] = (
+        np.arange(len(flat_q)) - np.repeat(qstarts, qcounts)
+    ).astype(np.int32)
+    t_max = int(qcounts.max()) if len(flat_q) else 1
+    ordinals = np.zeros((ncl, maxq), np.int32)
+    ordinals[rows, ranks % maxq] = qranks[order]
+    return cluster_ids, lists, ordinals, _next_pow2(max(t_max, 1))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "cap", "mode", "k_cell", "precision", "approx"),
+    static_argnames=(
+        "k", "metric", "cap", "mode", "k_cell", "precision", "approx",
+        "t_slots", "s_rows",
+    ),
 )
 def ivf_cluster_scan(
-    queries: jax.Array,      # [nq, d] effective queries (f32, or int8 for sq8)
+    queries: jax.Array,      # [nq, d] effective queries (f32, u32 or i8)
     cluster_ids: jax.Array,  # [ncl] int32 active clusters (pad = nlist)
     probe_lists: jax.Array,  # [ncl, maxq] int32 query ids (pad = nq)
-    storage: jax.Array,      # [n_pad, d] (f32/bf16/int8) or [n_pad, m] u8 codes
+    ordinals: jax.Array,     # [ncl, maxq] int32 per-task slot within query
+    storage: jax.Array,      # [n_pad, d] (f32/bf16/i8) or [n_pad, m] u8/u32
     sqnorms: jax.Array,      # [n_pad] f32|i32 — ‖row‖² in the scoring space
     offsets: jax.Array,      # [nlist] int32 into the sorted storage
     counts: jax.Array,       # [nlist] int32 cell sizes
@@ -132,31 +152,49 @@ def ivf_cluster_scan(
     k: int,
     metric: Dist,
     cap: int,
-    mode: str,               # "f32" | "bf16" | "sq8" | "pq" | "pq_residual"
+    mode: str,
+    t_slots: int,            # max tasks per query (write-out slot count)
     codebooks: jax.Array | None = None,  # [m, 256, ds] for pq modes
     k_cell: int | None = None,
-    aux: jax.Array | None = None,        # [n_pad] extra per-row data (rabitq: dot_corr)
-    approx: bool = False,                 # approx_min_k per-cell selection
-    precision=None,                       # scoring matmul precision; defaults
-                                          # per mode: HIGHEST for f32 (exact
-                                          # parity), HIGH for pq (input
-                                          # rounding to bf16 is measurable at
-                                          # high dim), irrelevant for int/±1
+    aux: jax.Array | None = None,        # [n_pad] extra (rabitq: dot_corr)
+    approx: bool = False,                # approx_min_k per-cell selection
+    precision=None,
+    s_rows: int = 4,                     # scan rows batched per step
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (best_d, best_i) of shape [nq+1, k] — callers drop the last
-    (sentinel) row. ``best_i`` are positions in the sorted storage.
+    """Write-out cluster scan.
 
-    ``storage``/``sqnorms`` must be padded with ≥ ``cap`` trailing rows so the
-    last cell's static slice stays in bounds.
+    Each (query, task) owns a unique slot in a [nq, t_slots·k_cell] proposal
+    buffer (slot = the task's per-query ordinal, computed host-side), so a
+    step is a pure conflict-free indexed WRITE — no read-modify-write
+    top-k carry, no merge scatter (which dominated the previous design's
+    runtime). ``s_rows`` scan rows are processed per step as one batched
+    einsum to amortise fixed per-step costs. One final top-k over the
+    proposal buffer produces the answer.
+
+    Returns (best_d, best_i) of shape [nq+1, k] — callers drop the last
+    (sentinel) row. ``best_i`` are positions in the sorted storage.
+    ``storage``/``sqnorms`` must be padded with ≥ ``cap`` trailing rows.
     """
-    nq = queries.shape[0]
+    nq, dq = queries.shape
     nlist = offsets.shape[0]
-    k_cell = k if k_cell is None else k_cell
-    # PQ scoring in plain bf16: measured recall identical to 3-pass HIGH on
-    # the 1M×128d suite (the plateau is quantisation, not rounding); f32
-    # mode keeps HIGHEST for exactness parity (kMkNN, full-probe IVF)
+    kc = min(k_cell if k_cell is not None else k, cap)
     prec_pq = jax.lax.Precision.DEFAULT if precision is None else precision
     prec_f32 = jax.lax.Precision.HIGHEST if precision is None else precision
+
+    ncl, maxq = probe_lists.shape
+    S = max(1, min(s_rows, ncl))
+    pad_rows = (-ncl) % S
+    if pad_rows:
+        cluster_ids = jnp.concatenate(
+            [cluster_ids, jnp.full((pad_rows,), nlist, cluster_ids.dtype)]
+        )
+        probe_lists = jnp.concatenate(
+            [probe_lists, jnp.full((pad_rows, maxq), nq, probe_lists.dtype)]
+        )
+        ordinals = jnp.concatenate(
+            [ordinals, jnp.zeros((pad_rows, maxq), ordinals.dtype)]
+        )
+    n_steps = cluster_ids.shape[0] // S
 
     if mode in ("hamming", "binary_asym", "rabitq"):
         q_sq = jnp.zeros((nq,), jnp.float32)
@@ -166,158 +204,193 @@ def ivf_cluster_scan(
         ).astype(jnp.float32)
     else:
         q_sq = sq_norms(queries)
-    # sentinel row for padded query slots
     queries_x = jnp.concatenate(
-        [queries, jnp.zeros((1, queries.shape[1]), queries.dtype)]
+        [queries, jnp.zeros((1, dq), queries.dtype)]
     )
     q_sq = jnp.concatenate([q_sq, jnp.zeros((1,), jnp.float32)])
-    # sentinel cluster (count 0) for padded cluster slots
     offsets_x = jnp.concatenate([offsets, jnp.zeros((1,), offsets.dtype)])
     counts_x = jnp.concatenate([counts, jnp.zeros((1,), counts.dtype)])
     centroids_x = jnp.concatenate(
         [centroids, jnp.zeros((1, centroids.shape[1]), centroids.dtype)]
     )
 
-    def step(carry, row):
-        best_d, best_i = carry
-        c = cluster_ids[row]
-        qid = probe_lists[row]                  # [maxq]
-        qg = queries_x[qid]                     # [maxq, d]
-        start = offsets_x[c]
-        cell = jax.lax.dynamic_slice_in_dim(storage, start, cap, 0)
-        sn = jax.lax.dynamic_slice_in_dim(sqnorms, start, cap, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-        valid = lane < counts_x[c]
+    # proposal buffers: rows nq..nq+S·maxq−1 are per-slot sentinels so every
+    # write in a step hits a distinct row (unique_indices scatter)
+    buf_rows = nq + S * maxq
+    slot_w = t_slots * kc
+    buf_d = jnp.full((buf_rows * slot_w,), _INF, jnp.float32)
+    buf_i = jnp.zeros((buf_rows * slot_w,), jnp.int32)
+
+    def step(carry, si):
+        bd, bi = carry
+        rows = si * S + jnp.arange(S)
+        c = cluster_ids[rows]                        # [S]
+        qid = probe_lists[rows]                      # [S, maxq]
+        ords = ordinals[rows]                        # [S, maxq]
+        starts = offsets_x[c]                        # [S]
+        cells = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(storage, starts[j], cap, 0)
+                for j in range(S)
+            ]
+        )                                            # [S, cap, w]
+        sn = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(sqnorms, starts[j], cap, 0)
+                for j in range(S)
+            ]
+        ).astype(jnp.float32)                        # [S, cap]
+        qid_safe = jnp.minimum(qid, nq)
+        qg = queries_x[qid_safe]                     # [S, maxq, d]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 1, cap), 2)
+        valid = lane < counts_x[c][:, None, None]
+
+        def dots_of(lhs, rhs, prec=None, pref=jnp.float32):
+            return jnp.einsum(
+                "smd,scd->smc", lhs, rhs, precision=prec,
+                preferred_element_type=pref,
+            )
 
         if mode in ("pq", "pq_residual"):
-            dec = pq_decode_tile(cell, codebooks)         # [cap, d] f32
-            sn_f = sn.astype(jnp.float32)
-            dots_fn = lambda lhs: jax.lax.dot_general(
-                lhs,
-                dec,
-                (((1,), (1,)), ((), ())),
-                precision=prec_pq,
-                preferred_element_type=jnp.float32,
-            )
+            dec = pq_decode_tile(
+                cells.reshape(S * cap, -1), codebooks
+            ).reshape(S, cap, -1)                    # [S, cap, d] f32
             if mode == "pq_residual":
                 if metric == Dist.COSINE:
-                    # x̂ = centroid + dec_res, not unit: d = 1 − q·x̂/‖x̂‖
-                    # (sn holds ‖x̂‖² — stored per metric at build time)
-                    num = dots_fn(qg) + (qg @ centroids_x[c])[:, None]
-                    d = 1.0 - num / jnp.sqrt(jnp.maximum(sn_f, 1e-12))[None, :]
+                    num = dots_of(qg, dec, prec_pq) + jnp.einsum(
+                        "smd,sd->sm", qg, centroids_x[c]
+                    )[:, :, None]
+                    d = 1.0 - num / jnp.sqrt(jnp.maximum(sn, 1e-12))[:, None, :]
                 else:
-                    qr = qg - centroids_x[c][None, :]     # residual query
+                    qr = qg - centroids_x[c][:, None, :]
                     qr_sq = jnp.sum(qr * qr, axis=-1)
                     d = jnp.maximum(
-                        qr_sq[:, None] + sn_f[None, :] - 2.0 * dots_fn(qr),
+                        qr_sq[:, :, None] + sn[:, None, :]
+                        - 2.0 * dots_of(qr, dec, prec_pq),
                         0.0,
                     )
             else:
-                dots = dots_fn(qg)
+                dots = dots_of(qg, dec, prec_pq)
                 if metric == Dist.COSINE:
-                    d = 1.0 - dots / jnp.sqrt(jnp.maximum(sn_f, 1e-12))[None, :]
+                    d = 1.0 - dots / jnp.sqrt(jnp.maximum(sn, 1e-12))[:, None, :]
                 else:
                     d = jnp.maximum(
-                        q_sq[qid][:, None] + sn_f[None, :] - 2.0 * dots, 0.0
+                        q_sq[qid_safe][:, :, None] + sn[:, None, :]
+                        - 2.0 * dots,
+                        0.0,
                     )
         elif mode == "rabitq":
             # RaBitQ unbiased estimator (reference dist_binary.rs:466-588,
             # rabitq.rs:97-207). queries/centroids arrive pre-rotated and
-            # zero-padded to w·32 lanes; storage = packed sign bits of the
-            # rotated unit residual; sn = ‖x−c‖ (dist_to_centroid);
-            # aux = ‖rotated unit residual‖₁ (dot correction).
-            # TPU deviation: ⟨qru, sign⟩ is computed exactly via a ±1 matmul
-            # instead of the reference's int4-quantised SIMD dot — same
-            # estimator, strictly less quantisation error, rides the MXU.
+            # zero-padded to w·32 lanes; sn = ‖x−c‖; aux = ‖R·u‖₁.
+            # TPU deviation: the sign dot is an exact ±1 matmul instead of
+            # the reference's int4-quantised SIMD dot.
             nbits = storage.shape[1] * 32
-            rqr = qg - centroids_x[c][None, :]           # rotated residual
-            q_dist = jnp.sqrt(jnp.sum(rqr * rqr, axis=-1))
-            qru = rqr / jnp.maximum(q_dist, 1e-12)[:, None]
-            x_pm = unpack_pm1(cell, nbits)               # pad lanes: qru=0
-            inner = jax.lax.dot_general(
-                qru.astype(jnp.bfloat16), x_pm, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            rqr = qg - centroids_x[c][:, None, :]
+            q_dist = jnp.sqrt(jnp.sum(rqr * rqr, axis=-1))    # [S, maxq]
+            qru = rqr / jnp.maximum(q_dist, 1e-12)[:, :, None]
+            x_pm = unpack_pm1(cells.reshape(S * cap, -1), nbits).reshape(
+                S, cap, nbits
             )
-            corr = jax.lax.dynamic_slice_in_dim(aux, start, cap, 0)
+            inner = dots_of(qru.astype(jnp.bfloat16), x_pm)
+            corr = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(aux, starts[j], cap, 0)
+                    for j in range(S)
+                ]
+            )                                                  # [S, cap]
             q_dot_v = jnp.where(
-                corr[None, :] > 1e-6,
-                jnp.clip(inner / jnp.maximum(corr, 1e-12)[None, :], -1.0, 1.0),
+                corr[:, None, :] > 1e-6,
+                jnp.clip(
+                    inner / jnp.maximum(corr, 1e-12)[:, None, :], -1.0, 1.0
+                ),
                 0.0,
             )
-            v_dist = sn.astype(jnp.float32)
             d2 = (
-                v_dist[None, :] ** 2
-                + q_dist[:, None] ** 2
-                - 2.0 * v_dist[None, :] * q_dist[:, None] * q_dot_v
+                sn[:, None, :] ** 2
+                + q_dist[:, :, None] ** 2
+                - 2.0 * sn[:, None, :] * q_dist[:, :, None] * q_dot_v
             )
             d = jnp.sqrt(jnp.maximum(d2, 0.0))
         elif mode in ("hamming", "binary_asym"):
-            # storage is packed uint32 [*, w]; pad bits are 0 on both sides
-            # so the ±1 identity over w·32 lanes is exact hamming
+            # packed uint32; pad bits are 0 on both sides so the ±1
+            # identity over w·32 lanes is exact hamming
             nbits = storage.shape[1] * 32
-            x_pm = unpack_pm1(cell, nbits)
+            x_pm = unpack_pm1(cells.reshape(S * cap, -1), nbits).reshape(
+                S, cap, nbits
+            )
             if mode == "hamming":
-                q_pm = unpack_pm1(qg, nbits)
-                dot = jax.lax.dot_general(
-                    q_pm, x_pm, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                q_pm = unpack_pm1(
+                    qg.reshape(S * maxq, -1), nbits
+                ).reshape(S, maxq, nbits)
+                dot = dots_of(q_pm, x_pm)
                 d = (jnp.float32(nbits) - dot) * 0.5
             else:
-                # queries are float projections zero-padded to w·32
-                dot = jax.lax.dot_general(
-                    qg.astype(jnp.bfloat16), x_pm, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                dot = dots_of(qg.astype(jnp.bfloat16), x_pm)
                 d = -dot
         elif mode == "sq8":
-            dots = jax.lax.dot_general(
-                qg, cell, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-            sn_f = sn.astype(jnp.float32)
+            dots = dots_of(qg, cells, pref=jnp.int32).astype(jnp.float32)
             if metric == Dist.COSINE:
-                denom = jnp.sqrt(q_sq[qid])[:, None] * jnp.sqrt(sn_f)[None, :]
+                denom = (
+                    jnp.sqrt(q_sq[qid_safe])[:, :, None]
+                    * jnp.sqrt(sn)[:, None, :]
+                )
                 d = jnp.where(denom > 0, 1.0 - dots / denom, 1.0)
             else:
                 d = jnp.maximum(
-                    q_sq[qid][:, None] + sn_f[None, :] - 2.0 * dots, 0.0
+                    q_sq[qid_safe][:, :, None] + sn[:, None, :] - 2.0 * dots,
+                    0.0,
                 )
         else:  # f32 / bf16 dense vectors
             lhs = qg.astype(storage.dtype) if mode == "bf16" else qg
-            dots = jax.lax.dot_general(
-                lhs, cell, (((1,), (1,)), ((), ())),
-                precision=prec_f32 if mode == "f32" else None,
-                preferred_element_type=jnp.float32,
-            )
+            d_prec = prec_f32 if mode == "f32" else None
+            dots = dots_of(lhs, cells, d_prec)
             if metric == Dist.COSINE:
                 d = 1.0 - dots
             else:
                 d = jnp.maximum(
-                    q_sq[qid][:, None]
-                    + sn.astype(jnp.float32)[None, :]
-                    - 2.0 * dots,
+                    q_sq[qid_safe][:, :, None] + sn[:, None, :] - 2.0 * dots,
                     0.0,
                 )
 
         d = jnp.where(valid, d, _INF)
-        kc = min(k_cell, cap)
+        d2 = d.reshape(S * maxq, cap)
         if approx:
-            cd, ci = jax.lax.approx_min_k(d, kc)
+            cd, ci = jax.lax.approx_min_k(d2, kc)
         else:
-            ncd, ci = jax.lax.top_k(-d, kc)     # [maxq, kc]
+            ncd, ci = jax.lax.top_k(-d2, kc)
             cd = -ncd
-        gi = start + ci
-        md, mi = merge_topk(best_d[qid], best_i[qid], cd, gi, k)
-        best_d = best_d.at[qid].set(md, mode="drop")
-        best_i = best_i.at[qid].set(mi, mode="drop")
-        return (best_d, best_i), None
+        gi = (
+            jnp.repeat(starts, maxq)[:, None] + ci
+        )                                            # [S·maxq, kc]
 
-    init = (
-        jnp.full((nq + 1, k), _INF, jnp.float32),
-        jnp.zeros((nq + 1, k), jnp.int32),
+        # conflict-free write: slot = (query row, task ordinal); padded
+        # tasks get distinct sentinel rows nq + flat-lane
+        flat_lane = jnp.arange(S * maxq, dtype=jnp.int32)
+        qid_f = qid.reshape(-1)
+        qid_u = jnp.where(qid_f >= nq, nq + flat_lane, qid_f)
+        base = qid_u * slot_w + ords.reshape(-1) * kc
+        idx = base[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
+        idx = idx.reshape(-1)
+        bd = bd.at[idx].set(cd.reshape(-1), mode="drop", unique_indices=True)
+        bi = bi.at[idx].set(gi.reshape(-1), mode="drop", unique_indices=True)
+        return (bd, bi), None
+
+    (buf_d, buf_i), _ = jax.lax.scan(
+        step, (buf_d, buf_i), jnp.arange(n_steps)
     )
-    (best_d, best_i), _ = jax.lax.scan(
-        step, init, jnp.arange(cluster_ids.shape[0])
-    )
+
+    prop_d = buf_d[: (nq + 1) * slot_w].reshape(nq + 1, slot_w)
+    prop_i = buf_i[: (nq + 1) * slot_w].reshape(nq + 1, slot_w)
+    kk = min(k, slot_w)
+    nd, pos = jax.lax.top_k(-prop_d, kk)
+    best_i = jnp.take_along_axis(prop_i, pos, axis=-1)
+    best_d = -nd
+    if kk < k:  # tiny indexes: pad out to k with inf/0
+        best_d = jnp.concatenate(
+            [best_d, jnp.full((nq + 1, k - kk), _INF, jnp.float32)], axis=-1
+        )
+        best_i = jnp.concatenate(
+            [best_i, jnp.zeros((nq + 1, k - kk), jnp.int32)], axis=-1
+        )
     return best_d, best_i

@@ -215,11 +215,12 @@ class ShardedIvfIndex:
                 - 2.0 * dots
             )
         _, probes = topk_smallest(cd, nprobe)
-        cluster_ids, lists = build_probe_lists(
+        cluster_ids, lists, ords, t_slots = build_probe_lists(
             np.asarray(probes), self.nlist, nq
         )
         cluster_ids = jnp.asarray(cluster_ids)
         lists = jnp.asarray(lists)
+        ords = jnp.asarray(ords)
 
         metric = self.metric
         cap = self.cell_cap
@@ -229,17 +230,17 @@ class ShardedIvfIndex:
             _shard_map,
             mesh=self.mesh,
             in_specs=(
-                P(), P(), P(),
+                P(), P(), P(), P(),
                 P(DB_AXIS, None, None), P(DB_AXIS, None),
                 P(DB_AXIS, None), P(DB_AXIS, None), P(DB_AXIS, None), P(),
             ),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def run(qq, cids, plists, storage, sqn, offs, cnts, oids, cents):
+        def run(qq, cids, plists, pords, storage, sqn, offs, cnts, oids, cents):
             d, i = ivf_cluster_scan(
-                qq, cids, plists, storage[0], sqn[0], offs[0], cnts[0],
-                cents, k, metric, cap, "f32",
+                qq, cids, plists, pords, storage[0], sqn[0], offs[0], cnts[0],
+                cents, k, metric, cap, "f32", t_slots,
             )
             d, i = d[:nq], i[:nq]
             gids = oids[0][jnp.clip(i, 0, oids.shape[1] - 1)]
@@ -249,7 +250,7 @@ class ShardedIvfIndex:
             return md, jnp.take_along_axis(ig, pos, axis=-1)
 
         d, ids = run(
-            q, cluster_ids, lists, self.storage, self.store_sqnorms,
+            q, cluster_ids, lists, ords, self.storage, self.store_sqnorms,
             self.offsets, self.counts, self.original_ids, self.centroids,
         )
         return np.asarray(ids), np.asarray(d)

@@ -132,3 +132,26 @@ def test_lsh_rejects_wide_hash():
         assert False
     except ValueError:
         pass
+
+
+def test_kmknn_save_load(tmp_path, tdata):
+    x, q, ti, _ = tdata
+    index = KmknnIndex(x[:600], seed=0)
+    p = str(tmp_path / "kmknn.npz")
+    index.save(p)
+    loaded = KmknnIndex.load(p)
+    i1, d1 = index.query(q[:10], 5)
+    i2, d2 = loaded.query(q[:10], 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+
+def test_lsh_save_load(tmp_path, tdata):
+    x, q, _, _ = tdata
+    index = LSHIndex(x[:600], num_tables=4, bits_per_hash=8, seed=0)
+    p = str(tmp_path / "lsh.npz")
+    index.save(p)
+    loaded = LSHIndex.load(p)
+    i1, _ = index.query(q[:10], 5)
+    i2, _ = loaded.query(q[:10], 5)
+    np.testing.assert_array_equal(i1, i2)
