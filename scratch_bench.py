@@ -9,19 +9,15 @@ from annsearch_tpu.utils.metrics import calculate_recall
 N, D, NC, NQ, K = 1_000_000, 128, 100, 10_000, 10
 x, _ = generate_clustered_data(N, D, NC, seed=42)
 q = subsample_with_noise(x, NQ, seed=42)
-ti = np.load("/tmp/gt_1000000_128d.npz")["ti"] if __import__("os").path.exists("/tmp/gt_1000000_128d.npz") else np.load("/tmp/gt_1m_128d.npz")["ti"]
-nq_gt = ti.shape[0]
+ti = np.load("/tmp/gt_1m_128d.npz")["ti"]
 
-for nlist in (2048, 4096):
-    t0=time.time()
-    idx = ann.build_ivf_pq_index(x, nlist=nlist, m=128, seed=42)
-    print(f"nlist={nlist} build {time.time()-t0:.1f}s", flush=True)
-    for npb in (16, 24, 32, 48):
-        ai, _ = idx.query(q[:nq_gt], K, nprobe=npb, approx=True)
-        rec = calculate_recall(ti, ai, K)
-        idx.query(q, K, nprobe=npb, approx=True)
-        ts = []
-        for _ in range(2):
-            t0=time.time(); idx.query(q, K, nprobe=npb, approx=True); ts.append(time.time()-t0)
-        print(f"nlist={nlist} np={npb}: recall {rec:.4f} {NQ/min(ts):.0f} QPS", flush=True)
-    del idx
+t0=time.time()
+idx = ann.build_ivf_pq_index(x, nlist=1024, m=128, seed=42)
+print(f"build {time.time()-t0:.1f}s", flush=True)
+for npb in (8, 16, 32):
+    ai, _ = idx.query(q, K, nprobe=npb, approx=True)
+    rec = calculate_recall(ti, ai, K)
+    ts=[]
+    for _ in range(3):
+        t0=time.time(); idx.query(q, K, nprobe=npb, approx=True); ts.append(time.time()-t0)
+    print(f"np={npb}: recall {rec:.4f} {NQ/min(ts):.0f} QPS (runs {[f'{t:.2f}' for t in ts]})", flush=True)
