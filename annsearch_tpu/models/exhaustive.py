@@ -40,7 +40,11 @@ class ExhaustiveIndex(BaseIndex):
         k: int,
         query_block: int = DEFAULT_QUERY_BLOCK,
         db_chunk: int = DEFAULT_DB_CHUNK,
+        selector: str = "exact",
     ) -> tuple[np.ndarray, np.ndarray]:
+        """``selector``: "exact" (default — ground-truth quality),
+        "approx" (per-tile approx_min_k) or "bins" (selection-free running
+        bins — fastest, ~1e-5 tail loss)."""
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         d, i = blocked_query_topk(
@@ -52,6 +56,7 @@ class ExhaustiveIndex(BaseIndex):
             query_block=query_block,
             db_chunk=db_chunk,
             precision=self.precision,
+            selector=selector,
         )
         return np.asarray(i), np.asarray(d)
 

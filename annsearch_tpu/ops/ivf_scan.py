@@ -103,9 +103,13 @@ def build_probe_lists_from_pairs(
     total_rows = int(nchunks.sum())
     ncl = _next_pow2(total_rows)
 
-    cluster_ids = np.full(ncl, nlist, dtype=np.int32)
-    cluster_ids[:total_rows] = np.repeat(active, nchunks).astype(np.int32)
-    lists = np.full((ncl, maxq), nq, dtype=np.int32)
+    # smallest dtypes that fit — probe lists travel host→device every query
+    # batch, and on bandwidth-limited links the upload is measurable
+    q_dtype = np.uint16 if nq < 2**16 - 1 else np.int32
+    c_dtype = np.uint16 if nlist < 2**16 - 1 else np.int32
+    cluster_ids = np.full(ncl, nlist, dtype=c_dtype)
+    cluster_ids[:total_rows] = np.repeat(active, nchunks).astype(c_dtype)
+    lists = np.full((ncl, maxq), nq, dtype=q_dtype)
 
     qs = flat_q[order]
     # rank of each task within its cluster
@@ -127,8 +131,9 @@ def build_probe_lists_from_pairs(
         np.arange(len(flat_q)) - np.repeat(qstarts, qcounts)
     ).astype(np.int32)
     t_max = int(qcounts.max()) if len(flat_q) else 1
-    ordinals = np.zeros((ncl, maxq), np.int32)
-    ordinals[rows, ranks % maxq] = qranks[order]
+    o_dtype = np.uint8 if t_max < 255 else np.int32
+    ordinals = np.zeros((ncl, maxq), o_dtype)
+    ordinals[rows, ranks % maxq] = qranks[order].astype(o_dtype)
     return cluster_ids, lists, ordinals, _next_pow2(max(t_max, 1))
 
 
@@ -186,10 +191,12 @@ def ivf_cluster_scan(
     pad_rows = (-ncl) % S
     if pad_rows:
         cluster_ids = jnp.concatenate(
-            [cluster_ids, jnp.full((pad_rows,), nlist, cluster_ids.dtype)]
+            [cluster_ids,
+             jnp.full((pad_rows,), nlist, cluster_ids.dtype)]
         )
         probe_lists = jnp.concatenate(
-            [probe_lists, jnp.full((pad_rows, maxq), nq, probe_lists.dtype)]
+            [probe_lists,
+             jnp.full((pad_rows, maxq), nq, probe_lists.dtype)]
         )
         ordinals = jnp.concatenate(
             [ordinals, jnp.zeros((pad_rows, maxq), ordinals.dtype)]
@@ -224,9 +231,9 @@ def ivf_cluster_scan(
     def step(carry, si):
         bd, bi = carry
         rows = si * S + jnp.arange(S)
-        c = cluster_ids[rows]                        # [S]
-        qid = probe_lists[rows]                      # [S, maxq]
-        ords = ordinals[rows]                        # [S, maxq]
+        c = cluster_ids[rows].astype(jnp.int32)      # [S]
+        qid = probe_lists[rows].astype(jnp.int32)    # [S, maxq]
+        ords = ordinals[rows].astype(jnp.int32)      # [S, maxq]
         starts = offsets_x[c]                        # [S]
         cells = jnp.stack(
             [

@@ -27,6 +27,7 @@ __all__ = [
     "topk_smallest",
     "merge_topk",
     "chunked_topk",
+    "chunked_topk_bins",
     "blocked_query_topk",
     "DEFAULT_DB_CHUNK",
     "DEFAULT_QUERY_BLOCK",
@@ -146,6 +147,90 @@ def chunked_topk(
     return best_d, best_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "bins", "precision"),
+)
+def chunked_topk_bins(
+    q: jax.Array,
+    x: jax.Array,
+    k: int,
+    metric: Dist,
+    x_sqnorm: jax.Array | None = None,
+    n_valid: int | jax.Array | None = None,
+    bins: int = 4096,
+    precision=jax.lax.Precision.DEFAULT,
+) -> tuple[jax.Array, jax.Array]:
+    """Selection-free running top-k: the bins/partial-reduce design.
+
+    The database is scanned in tiles of width ``bins``; column-residue class
+    j (one "bin") keeps its best TWO distances with a pure elementwise
+    min-update — NO per-tile sort or top-k at all (the per-tile
+    ``lax.top_k`` is what dominates the exact scan's runtime). One final
+    exact top-k over the ``[bq, 2·bins]`` bin minima returns the answer.
+
+    Approximation: a true top-k entry is lost only when ≥3 of the true
+    top-k share one bin — probability ~ (k choose 3)/bins² (≈1e-5 at k=15,
+    bins=4096). This is the partial-reduce idea behind TPU approx_min_k,
+    applied *across* DB tiles so the whole scan is matmul + elementwise.
+    """
+    n = x.shape[0]
+    if n_valid is None:
+        n_valid = n
+    if metric == Dist.EUCLIDEAN and x_sqnorm is None:
+        x_sqnorm = sq_norms(x)
+
+    bins = min(bins, max(128, n))
+    x = _pad_rows(x, bins)
+    if x_sqnorm is not None:
+        x_sqnorm = _pad_rows(x_sqnorm, bins)
+    n_chunks = x.shape[0] // bins
+    bq = q.shape[0]
+
+    def step(carry, ci):
+        m1, i1, m2, i2 = carry
+        base = ci * bins
+        xc = jax.lax.dynamic_slice_in_dim(x, base, bins, 0)
+        xs = (
+            jax.lax.dynamic_slice_in_dim(x_sqnorm, base, bins, 0)
+            if x_sqnorm is not None
+            else None
+        )
+        d = pairwise_dist(q, xc, metric, x_sqnorm=xs, precision=precision)
+        col = base + jax.lax.broadcasted_iota(jnp.int32, (1, bins), 1)
+        d = jnp.where(col < n_valid, d, _INF)
+        colb = jnp.broadcast_to(col, d.shape)
+        b1 = d < m1
+        nm1 = jnp.where(b1, d, m1)
+        ni1 = jnp.where(b1, colb, i1)
+        spill = jnp.where(b1, m1, d)          # displaced or non-best value
+        spi = jnp.where(b1, i1, colb)
+        b2 = spill < m2
+        nm2 = jnp.where(b2, spill, m2)
+        ni2 = jnp.where(b2, spi, i2)
+        return (nm1, ni1, nm2, ni2), None
+
+    init = (
+        jnp.full((bq, bins), _INF, jnp.float32),
+        jnp.zeros((bq, bins), jnp.int32),
+        jnp.full((bq, bins), _INF, jnp.float32),
+        jnp.zeros((bq, bins), jnp.int32),
+    )
+    (m1, i1, m2, i2), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    all_d = jnp.concatenate([m1, m2], axis=-1)
+    all_i = jnp.concatenate([i1, i2], axis=-1)
+    kk = min(k, all_d.shape[1])
+    nd, pos = jax.lax.top_k(-all_d, kk)
+    return -nd, jnp.take_along_axis(all_i, pos, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "query_block", "db_chunk", "precision", "approx",
+        "selector",
+    ),
+)
 def blocked_query_topk(
     q: jax.Array,
     x: jax.Array,
@@ -157,13 +242,15 @@ def blocked_query_topk(
     db_chunk: int = DEFAULT_DB_CHUNK,
     precision=jax.lax.Precision.HIGHEST,
     approx: bool = False,
+    selector: str = "exact",   # "exact" | "approx" | "bins"
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k for an arbitrary number of queries.
 
     Streams query blocks through :func:`chunked_topk` (``lax.map`` — one
     compiled program reused per block) so ``[nq, n]`` is never materialised;
     this is the TPU analogue of the reference's query-chunk × db-chunk double
-    loop (dist_gpu.rs:550-685).
+    loop (dist_gpu.rs:550-685). ``selector="bins"`` swaps in the
+    selection-free running-bins scan (fastest; ~1e-5 tail loss).
     """
     nq = q.shape[0]
     qb = min(query_block, max(nq, 8))
@@ -171,6 +258,17 @@ def blocked_query_topk(
     blocks = qp.reshape(-1, qb, q.shape[1])
 
     def run(block):
+        if selector == "bins":
+            return chunked_topk_bins(
+                block,
+                x,
+                k,
+                metric,
+                x_sqnorm=x_sqnorm,
+                n_valid=n_valid,
+                bins=min(db_chunk, 2048),
+                precision=precision,
+            )
         return chunked_topk(
             block,
             x,
@@ -180,7 +278,7 @@ def blocked_query_topk(
             n_valid=n_valid,
             db_chunk=db_chunk,
             precision=precision,
-            approx=approx,
+            approx=approx or selector == "approx",
         )
 
     d, i = jax.lax.map(run, blocks)

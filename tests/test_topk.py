@@ -80,3 +80,42 @@ def test_merge_topk():
     d, i = merge_topk(d_a, i_a, d_b, i_b, 3)
     np.testing.assert_allclose(np.asarray(d), [[0.1, 0.2, 0.3]], atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i), [[1, 4, 5]])
+
+
+def test_bins_topk_matches_exact(rng):
+    from annsearch_tpu.ops.topk import chunked_topk_bins
+
+    q = rng.standard_normal((9, 16)).astype(np.float32)
+    x = rng.standard_normal((700, 16)).astype(np.float32)
+    d, i = chunked_topk_bins(
+        jnp.asarray(q), jnp.asarray(x), 5, Dist.EUCLIDEAN, bins=128
+    )
+    full = _brute(q, x, Dist.EUCLIDEAN)
+    expect = np.sort(full, axis=1)[:, :5]
+    # bins is near-exact (loss needs 3 of top-5 in one residue class)
+    close = np.isclose(np.asarray(d), expect, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.97
+
+
+def test_bins_topk_masks_invalid(rng):
+    from annsearch_tpu.ops.topk import chunked_topk_bins
+
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    d, i = chunked_topk_bins(
+        jnp.asarray(x[:3]), jnp.asarray(x), 4, Dist.EUCLIDEAN,
+        n_valid=150, bins=128,
+    )
+    assert (np.asarray(i) < 150).all()
+
+
+def test_blocked_selector_bins(rng):
+    q = rng.standard_normal((17, 12)).astype(np.float32)
+    x = rng.standard_normal((900, 12)).astype(np.float32)
+    d, i = blocked_query_topk(
+        jnp.asarray(q), jnp.asarray(x), 6, Dist.EUCLIDEAN,
+        query_block=8, db_chunk=128, selector="bins",
+    )
+    full = _brute(q, x, Dist.EUCLIDEAN)
+    expect = np.sort(full, axis=1)[:, :6]
+    close = np.isclose(np.asarray(d), expect, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.97
