@@ -1,0 +1,104 @@
+"""Generate docs/benchmarks_tpu.md from live runs.
+
+Equivalent of the reference's ``examples/fill_benchmarks.sh`` (re-runs the
+gridsearch suite and splices result tables into ``docs/benchmarks_*.md``).
+Run on the real TPU:
+
+  python -m benchmarks.fill_benchmarks [--quick]
+
+Default workload matches the reference's benchmark docs: GaussianNoise
+150k×32d, 25 clusters, 15k noisy queries, k=15 (commons/mod.rs:17-27).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+from benchmarks.gridsearch import main as gridsearch_main
+
+CONFIGS = [
+    # (index kind, extra argv)
+    ("exhaustive", []),
+    ("ivf", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19"]),
+    ("kmknn", ["--nlist-sweep", "387"]),
+    ("annoy", []),
+    ("balltree", []),
+    ("hnsw", []),
+    ("vamana", []),
+    ("nndescent", []),
+    ("lsh", []),
+    ("exhaustive-bf16", []),
+    ("ivf-bf16", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19"]),
+    ("ivf-sq8", ["--nlist-sweep", "387", "--nprobe-sweep", "19"]),
+    ("ivf-pq", ["--nlist-sweep", "387", "--m-sweep", "8", "--nprobe-sweep", "19"]),
+    ("binary", []),
+    ("rabitq", []),
+]
+
+QUICK = [
+    ("exhaustive", []),
+    ("ivf", ["--nlist-sweep", "387", "--nprobe-sweep", "19"]),
+    ("ivf-bf16", ["--nlist-sweep", "387", "--nprobe-sweep", "19"]),
+    ("ivf-pq", ["--nlist-sweep", "387", "--m-sweep", "8", "--nprobe-sweep", "19"]),
+    ("nndescent", []),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--n-samples", type=int, default=150_000)
+    p.add_argument("--dim", type=int, default=32)
+    p.add_argument("--k", type=int, default=15)
+    args = p.parse_args(argv)
+
+    base = [
+        "--n-samples", str(args.n_samples), "--dim", str(args.dim),
+        "--n-clusters", "25", "--k", str(args.k),
+    ]
+    configs = QUICK if args.quick else CONFIGS
+
+    lines = [
+        "# TPU benchmarks",
+        "",
+        f"Generated {datetime.datetime.now():%Y-%m-%d %H:%M} on "
+        f"{jax.devices()[0].device_kind} "
+        "(timings include host work; this environment adds tunnel latency "
+        "a production TPU host does not have). Workload: GaussianNoise "
+        f"{args.n_samples}×{args.dim}d, 25 clusters, "
+        f"{args.n_samples // 10} noisy queries, k={args.k} — the reference's "
+        "default benchmark workload (commons/mod.rs:17-27).",
+        "",
+        "| Method | Build (ms) | Query (ms) | Recall@k | Dist ratio | Size MB |",
+        "|---|---|---|---|---|---|",
+    ]
+    for kind, extra in configs:
+        print(f"=== {kind} ===", flush=True)
+        try:
+            results = gridsearch_main(["--index", kind] + base + extra)
+        except Exception as e:
+            print(f"{kind} FAILED: {e}", flush=True)
+            continue
+        for name, build_ms, query_ms, rec, mdr, size_mb in results:
+            lines.append(
+                f"| {name} | {build_ms:,.0f} | {query_ms:,.0f} | "
+                f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
+            )
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/benchmarks_tpu.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote docs/benchmarks_tpu.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
