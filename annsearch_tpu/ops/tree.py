@@ -71,6 +71,79 @@ def _group_stats(vecs_g: jax.Array, valid_g: jax.Array):
     return s / c
 
 
+@functools.partial(jax.jit, static_argnames=("g", "gs", "mode", "n"))
+def _tree_level(vectors, order, keys, g: int, gs: int, mode: str, n: int):
+    """One partition level as a single compiled program (one dispatch per
+    level per tree — the eager version paid ~10 device round-trips per
+    level, which dominates build time on high-latency links)."""
+    d = vectors.shape[1]
+    pts = vectors[jnp.minimum(order, n)].reshape(g, gs, d)
+    valid = (order < n).reshape(g, gs)
+
+    if mode == "annoy":
+        # two-point hyperplane (annoy.rs:299-397)
+        ia = jax.random.randint(keys[0], (g,), 0, gs)
+        ib = jax.random.randint(keys[1], (g,), 0, gs)
+        a = pts[jnp.arange(g), ia]
+        b = pts[jnp.arange(g), ib]
+        normal = a - b
+        nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        rand = jax.random.normal(keys[2], (g, d))
+        normal = jnp.where(nrm > 1e-6, normal, rand)
+    elif mode == "kd":
+        # axis sampled among the top-3 in-group-spread dims
+        # (kd_forest.rs:331-424 — the random pick decorrelates the forest)
+        mean = _group_stats(pts, valid)
+        var = _group_stats((pts - mean[:, None, :]) ** 2, valid)
+        _, top3 = jax.lax.top_k(var, min(3, d))
+        pick = jax.random.randint(keys[0], (g,), 0, top3.shape[1])
+        axis = top3[jnp.arange(g), pick]
+        normal = jax.nn.one_hot(axis, d, dtype=jnp.float32)
+    else:  # ball: approximate diameter axis (ball_tree.rs:418-541)
+        mean = _group_stats(pts, valid)
+        d2c = jnp.sum((pts - mean[:, None, :]) ** 2, axis=-1)
+        d2c = jnp.where(valid, d2c, -1.0)
+        f1 = jnp.argmax(d2c, axis=-1)
+        p1 = pts[jnp.arange(g), f1]
+        d2f = jnp.sum((pts - p1[:, None, :]) ** 2, axis=-1)
+        d2f = jnp.where(valid, d2f, -1.0)
+        f2 = jnp.argmax(d2f, axis=-1)
+        p2 = pts[jnp.arange(g), f2]
+        normal = p1 - p2
+        nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        rand = jax.random.normal(keys[2], (g, d))
+        normal = jnp.where(nrm > 1e-6, normal, rand)
+
+    score = jnp.einsum("gsd,gd->gs", pts, normal)
+    score = jnp.where(valid, score, _BIG)  # padding → right half
+
+    perm = jnp.argsort(score, axis=-1)
+    new_order = jnp.take_along_axis(order.reshape(g, gs), perm, axis=-1)
+    sorted_score = jnp.take_along_axis(score, perm, axis=-1)
+    thr = 0.5 * (sorted_score[:, gs // 2 - 1] + sorted_score[:, gs // 2])
+    thr = jnp.clip(thr, -_BIG, _BIG)
+
+    if mode == "ball":
+        center = _group_stats(pts, valid)
+        dd = jnp.sum((pts - center[:, None, :]) ** 2, axis=-1)
+        dd = jnp.where(valid, dd, 0.0)
+        radius = jnp.sqrt(jnp.max(dd, axis=-1))
+    else:
+        center = radius = None
+    return new_order.reshape(-1), normal, thr, center, radius
+
+
+@functools.partial(jax.jit, static_argnames=("g", "leaf", "n"))
+def _leaf_ball_stats(vectors, order, g: int, leaf: int, n: int):
+    d = vectors.shape[1]
+    pts = vectors[jnp.minimum(order, n)].reshape(g, leaf, d)
+    valid = (order < n).reshape(g, leaf)
+    center = _group_stats(pts, valid)
+    dd = jnp.sum((pts - center[:, None, :]) ** 2, axis=-1)
+    dd = jnp.where(valid, dd, 0.0)
+    return center, jnp.sqrt(jnp.max(dd, axis=-1))
+
+
 def build_partition_tree(
     key: jax.Array,
     vectors: jax.Array,   # [n+1, d] sentinel row n
@@ -78,10 +151,8 @@ def build_partition_tree(
     leaf: int,
     mode: str,            # "annoy" | "kd" | "ball"
 ) -> PartitionTree:
-    """Build one tree (host-driven loop over levels; each level is jitted
-    XLA work on the full array)."""
+    """Build one tree (host loop over levels, one jitted program each)."""
     n = vectors.shape[0] - 1
-    d = vectors.shape[1]
     n_pad = (2**levels) * leaf
     if n_pad < n:
         levels = int(np.ceil(np.log2(max(n / leaf, 1))))
@@ -99,78 +170,19 @@ def build_partition_tree(
         g = 2**lv
         gs = n_pad // g
         keys = jax.random.split(jax.random.fold_in(key, lv), 3)
-        pts = vectors[jnp.minimum(order, n)].reshape(g, gs, d)
-        valid = (order < n).reshape(g, gs)
-
-        if mode == "annoy":
-            # two-point hyperplane (annoy.rs:299-397): normal = x_a − x_b
-            # for two random group members
-            ia = jax.random.randint(keys[0], (g,), 0, gs)
-            ib = jax.random.randint(keys[1], (g,), 0, gs)
-            a = pts[jnp.arange(g), ia]
-            b = pts[jnp.arange(g), ib]
-            normal = a - b
-            nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-            rand = jax.random.normal(keys[2], (g, d))
-            normal = jnp.where(nrm > 1e-6, normal, rand)
-        elif mode == "kd":
-            # axis sampled among the top-3 in-group-spread dims
-            # (kd_forest.rs:331-424 — the random pick is what decorrelates
-            # the forest's trees), stored as a one-hot normal so descent
-            # code is shared
-            mean = _group_stats(pts, valid)
-            var = _group_stats((pts - mean[:, None, :]) ** 2, valid)
-            _, top3 = jax.lax.top_k(var, min(3, d))
-            pick = jax.random.randint(keys[0], (g,), 0, top3.shape[1])
-            axis = top3[jnp.arange(g), pick]
-            normal = jax.nn.one_hot(axis, d, dtype=jnp.float32)
-        else:  # ball: approximate diameter axis (furthest-pair refinement,
-            # ball_tree.rs:418-541 — here: furthest-from-centre, then
-            # furthest-from-that)
-            mean = _group_stats(pts, valid)
-            d2c = jnp.sum((pts - mean[:, None, :]) ** 2, axis=-1)
-            d2c = jnp.where(valid, d2c, -1.0)
-            f1 = jnp.argmax(d2c, axis=-1)
-            p1 = pts[jnp.arange(g), f1]
-            d2f = jnp.sum((pts - p1[:, None, :]) ** 2, axis=-1)
-            d2f = jnp.where(valid, d2f, -1.0)
-            f2 = jnp.argmax(d2f, axis=-1)
-            p2 = pts[jnp.arange(g), f2]
-            normal = p1 - p2
-            nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-            rand = jax.random.normal(keys[2], (g, d))
-            normal = jnp.where(nrm > 1e-6, normal, rand)
-
-        score = jnp.einsum("gsd,gd->gs", pts, normal)
-        score = jnp.where(valid, score, _BIG)  # padding → right half
-
-        # sort within groups, median split
-        perm = jnp.argsort(score, axis=-1)
-        order = jnp.take_along_axis(order.reshape(g, gs), perm, axis=-1)
-        sorted_score = jnp.take_along_axis(score, perm, axis=-1)
-        thr = 0.5 * (sorted_score[:, gs // 2 - 1] + sorted_score[:, gs // 2])
-        thr = jnp.clip(thr, -_BIG, _BIG)
-        order = order.reshape(-1)
-
+        order, normal, thr, center, radius = _tree_level(
+            vectors, order, keys, g, gs, mode, n
+        )
         normals.append(normal)
         thresholds.append(thr)
         if mode == "ball":
-            centers.append(_group_stats(pts, valid))
-            dd = jnp.sum(
-                (pts - centers[-1][:, None, :]) ** 2, axis=-1
-            )
-            dd = jnp.where(valid, dd, 0.0)
-            radii.append(jnp.sqrt(jnp.max(dd, axis=-1)))
+            centers.append(center)
+            radii.append(radius)
 
-    # leaf-level ball stats
     if mode == "ball":
-        g = 2**levels
-        pts = vectors[jnp.minimum(order, n)].reshape(g, leaf, d)
-        valid = (order < n).reshape(g, leaf)
-        centers.append(_group_stats(pts, valid))
-        dd = jnp.sum((pts - centers[-1][:, None, :]) ** 2, axis=-1)
-        dd = jnp.where(valid, dd, 0.0)
-        radii.append(jnp.sqrt(jnp.max(dd, axis=-1)))
+        center, radius = _leaf_ball_stats(vectors, order, 2**levels, leaf, n)
+        centers.append(center)
+        radii.append(radius)
 
     return PartitionTree(
         order,
