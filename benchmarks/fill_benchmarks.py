@@ -81,6 +81,12 @@ def main(argv=None):
         "| Method | Build (ms) | Query (ms) | Recall@k | Dist ratio | Size MB |",
         "|---|---|---|---|---|---|",
     ]
+    os.makedirs("docs", exist_ok=True)
+
+    def write():
+        with open("docs/benchmarks_tpu.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
     for kind, extra in configs:
         print(f"=== {kind} ===", flush=True)
         try:
@@ -93,10 +99,7 @@ def main(argv=None):
                 f"| {name} | {build_ms:,.0f} | {query_ms:,.0f} | "
                 f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
             )
-
-    os.makedirs("docs", exist_ok=True)
-    with open("docs/benchmarks_tpu.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        write()  # incremental — a timeout keeps everything finished so far
     print("wrote docs/benchmarks_tpu.md", flush=True)
 
 
