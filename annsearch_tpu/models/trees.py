@@ -64,25 +64,61 @@ class _ForestIndex(BaseIndex):
         self.trees = build_partition_forest(
             jax.random.key(seed), vecs, n_trees, levels, leaf, self._mode
         )
+        self._qfns = {}
+
+    def _query_fn(self, k: int, qb_size: int):
+        """One jitted program per (k, block size): tree descent + leaf-union
+        rerank. The eager version paid a device round-trip per level per
+        tree per block — thousands of dispatches on latency-bound links."""
+        key = (k, qb_size)
+        if key in self._qfns:
+            return self._qfns[key]
+        tree_data = tuple(
+            (t.order, tuple(t.normals), tuple(t.thresholds), t.leaf)
+            for t in self.trees
+        )
+
+        @jax.jit
+        def fn(qb, vectors):
+            cands = []
+            for order, normals, thresholds, leaf in tree_data:
+                node = jnp.zeros((qb.shape[0],), jnp.int32)
+                for lv in range(len(normals)):
+                    proj = jnp.sum(qb * normals[lv][node], axis=-1)
+                    node = 2 * node + (proj > thresholds[lv][node]).astype(
+                        jnp.int32
+                    )
+                cands.append(order.reshape(-1, leaf)[node])
+            cand = jnp.concatenate(cands, axis=-1)
+            vecs = vectors[jnp.minimum(cand, self.n)]
+            valid = cand < self.n
+            return rerank_exact(
+                qb, vecs, jnp.minimum(cand, self.n - 1), valid, k, self.metric
+            )
+
+        self._qfns[key] = fn
+        return fn
 
     def query(
-        self, query_mat: Any, k: int, query_block: int = 256
+        self, query_mat: Any, k: int, query_block: int = 1024
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         nq = q.shape[0]
+        qb_size = min(query_block, max(nq, 8))
+        pad = (-nq) % qb_size
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+        fn = self._query_fn(k, qb_size)
         out_i, out_d = [], []
-        for s in range(0, nq, query_block):
-            qb = q[s : s + query_block]
-            cand = descend_forest(qb, self.trees)      # [b, T·leaf]
-            vecs = self.vectors[jnp.minimum(cand, self.n)]
-            valid = cand < self.n
-            d, i = rerank_exact(
-                qb, vecs, jnp.minimum(cand, self.n - 1), valid, k, self.metric
-            )
+        for s in range(0, q.shape[0], qb_size):
+            d, i = fn(q[s : s + qb_size], self.vectors)
             out_i.append(np.asarray(i))
             out_d.append(np.asarray(d))
-        return np.concatenate(out_i), np.concatenate(out_d)
+        return (
+            np.concatenate(out_i)[:nq],
+            np.concatenate(out_d)[:nq],
+        )
 
     def generate_knn(self, k: int, **kw):
         return self.query(np.asarray(self.vectors[: self.n]), k, **kw)
@@ -141,6 +177,7 @@ class BallTreeIndex(BaseIndex):
         self.tree = build_partition_tree(
             jax.random.key(seed), vecs, levels, leaf, "ball"
         )
+        self._qfns = {}
 
     def query(
         self,
@@ -156,18 +193,50 @@ class BallTreeIndex(BaseIndex):
         budget = 0.05 if budget is None else budget
         beam = max(1, int(math.ceil(budget * self.n / self.leaf)))
         nq = q.shape[0]
+        qb_size = min(query_block, max(nq, 8))
+        pad = (-nq) % qb_size
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+        fn = self._query_fn(k, beam, qb_size)
         out_i, out_d = [], []
-        for s in range(0, nq, query_block):
-            qb = q[s : s + query_block]
-            cand = self._beam_leaves(qb, beam)         # [b, beam·leaf]
-            vecs = self.vectors[jnp.minimum(cand, self.n)]
-            valid = cand < self.n
-            d, i = rerank_exact(
-                qb, vecs, jnp.minimum(cand, self.n - 1), valid, k, self.metric
-            )
+        for s in range(0, q.shape[0], qb_size):
+            d, i = fn(q[s : s + qb_size], self.vectors)
             out_i.append(np.asarray(i))
             out_d.append(np.asarray(d))
-        return np.concatenate(out_i), np.concatenate(out_d)
+        return (
+            np.concatenate(out_i)[:nq],
+            np.concatenate(out_d)[:nq],
+        )
+
+    def _query_fn(self, k: int, beam: int, qb_size: int):
+        key = (k, beam, qb_size)
+        if key in self._qfns:
+            return self._qfns[key]
+        t = self.tree
+        leaf_centers = t.centers[-1]
+        leaves = t.order.reshape(-1, t.leaf)
+
+        @jax.jit
+        def fn(qb, vectors):
+            d2 = (
+                jnp.sum(leaf_centers * leaf_centers, axis=-1)[None, :]
+                - 2.0
+                * jax.lax.dot_general(
+                    qb, leaf_centers, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            keep = min(beam, leaf_centers.shape[0])
+            _, nodes = jax.lax.top_k(-d2, keep)
+            cand = leaves[nodes].reshape(qb.shape[0], -1)
+            vecs = vectors[jnp.minimum(cand, self.n)]
+            valid = cand < self.n
+            return rerank_exact(
+                qb, vecs, jnp.minimum(cand, self.n - 1), valid, k, self.metric
+            )
+
+        self._qfns[key] = fn
+        return fn
 
     def _beam_leaves(self, q: jax.Array, beam: int) -> jax.Array:
         """Best-`beam` leaves by the ball lower bound, level by level.
