@@ -43,18 +43,38 @@ __all__ = ["HnswIndex"]
 MAX_LAYERS = 16  # reference caps layer assignment at 15 (hnsw.rs:639-645)
 EXACT_LAYER_MAX = 4096  # layers this small get exact kNN graphs (one matmul)
 
+#: below this n²·d budget the blocked exact MXU scan beats NN-descent rounds
+#: (same inversion as models/graph.BRUTE_BUILD_FLOP_BUDGET)
+BRUTE_LAYER_FLOP_BUDGET = 250_000 * 250_000 * 64
+
 
 def _build_knn_graph(
     key, vecs, sq, kk: int, metric: Dist, n_trees: int, max_rounds: int
 ):
     """(ids, dists) kNN graph over vecs[:-1] (sentinel last row)."""
     n = vecs.shape[0] - 1
+    d_dim = vecs.shape[1]
     kk = min(kk, max(n - 1, 1))
     if n <= EXACT_LAYER_MAX:
         d = pairwise_dist(vecs[:n], vecs[:n], metric, x_sqnorm=sq[:n])
         d = d.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
         dd, ii = topk_smallest(d, kk)
         return ii.astype(jnp.int32), dd
+    if n * n * d_dim <= BRUTE_LAYER_FLOP_BUDGET:
+        from ..ops.topk import blocked_query_topk
+
+        d, i = blocked_query_topk(
+            vecs[:n], vecs[:n], min(kk + 1, n), metric,
+            x_sqnorm=sq[:n] if metric == Dist.EUCLIDEAN else None,
+            precision=jax.lax.Precision.HIGH,
+        )
+        self_col = i == jnp.arange(n)[:, None]
+        d = jnp.where(self_col, jnp.inf, d)
+        nd, pos = jax.lax.top_k(-d, kk)
+        ids = jnp.take_along_axis(i, pos, axis=-1)
+        dists = -nd
+        ids = jnp.where(jnp.isinf(dists), n, ids)
+        return ids.astype(jnp.int32), dists
     key, k0 = jax.random.split(key)
     ids, dists = random_init_graph(k0, vecs, sq, kk, metric)
     leaf = 64
