@@ -66,11 +66,15 @@ class _ForestIndex(BaseIndex):
         )
         self._qfns = {}
 
-    def _query_fn(self, k: int, qb_size: int):
-        """One jitted program per (k, block size): tree descent + leaf-union
-        rerank. The eager version paid a device round-trip per level per
-        tree per block — thousands of dispatches on latency-bound links."""
-        key = (k, qb_size)
+    def _query_fn(self, k: int, qb_size: int, n_probes: int):
+        """One jitted program per (k, block size, probes): multi-probe tree
+        descent + leaf-union rerank. Probe p re-descends each tree with its
+        p-th most-uncertain split (smallest |projection − threshold|)
+        flipped — the batched analogue of the reference's margin-ordered
+        backtracking queue (annoy.rs:526-642), so recall scales with
+        n_probes like the reference's search_k budget. The eager version
+        paid a device round-trip per level per tree per block."""
+        key = (k, qb_size, n_probes)
         if key in self._qfns:
             return self._qfns[key]
         tree_data = tuple(
@@ -80,15 +84,32 @@ class _ForestIndex(BaseIndex):
 
         @jax.jit
         def fn(qb, vectors):
+            bq = qb.shape[0]
             cands = []
             for order, normals, thresholds, leaf in tree_data:
-                node = jnp.zeros((qb.shape[0],), jnp.int32)
-                for lv in range(len(normals)):
+                n_levels = len(normals)
+                leaves = order.reshape(-1, leaf)
+                # base descent, recording split margins
+                node = jnp.zeros((bq,), jnp.int32)
+                margins = []
+                for lv in range(n_levels):
                     proj = jnp.sum(qb * normals[lv][node], axis=-1)
-                    node = 2 * node + (proj > thresholds[lv][node]).astype(
-                        jnp.int32
-                    )
-                cands.append(order.reshape(-1, leaf)[node])
+                    thr = thresholds[lv][node]
+                    margins.append(jnp.abs(proj - thr))
+                    node = 2 * node + (proj > thr).astype(jnp.int32)
+                cands.append(leaves[node])
+                if n_probes > 1:
+                    m = jnp.stack(margins, axis=1)        # [bq, L]
+                    flip_order = jnp.argsort(m, axis=1)   # asc by margin
+                    for p in range(min(n_probes - 1, n_levels)):
+                        flip_lv = flip_order[:, p]        # [bq]
+                        node = jnp.zeros((bq,), jnp.int32)
+                        for lv in range(n_levels):
+                            proj = jnp.sum(qb * normals[lv][node], axis=-1)
+                            dec = proj > thresholds[lv][node]
+                            dec = jnp.where(flip_lv == lv, ~dec, dec)
+                            node = 2 * node + dec.astype(jnp.int32)
+                        cands.append(leaves[node])
             cand = jnp.concatenate(cands, axis=-1)
             vecs = vectors[jnp.minimum(cand, self.n)]
             valid = cand < self.n
@@ -100,8 +121,14 @@ class _ForestIndex(BaseIndex):
         return fn
 
     def query(
-        self, query_mat: Any, k: int, query_block: int = 1024
+        self,
+        query_mat: Any,
+        k: int,
+        n_probes: int = 2,
+        query_block: int = 1024,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """Candidate budget ≈ n_trees · n_probes · leaf (the reference's
+        search_k knob, annoy.rs:532)."""
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         nq = q.shape[0]
@@ -109,7 +136,7 @@ class _ForestIndex(BaseIndex):
         pad = (-nq) % qb_size
         if pad:
             q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
-        fn = self._query_fn(k, qb_size)
+        fn = self._query_fn(k, qb_size, n_probes)
         out_i, out_d = [], []
         for s in range(0, q.shape[0], qb_size):
             d, i = fn(q[s : s + qb_size], self.vectors)

@@ -155,3 +155,12 @@ def test_lsh_save_load(tmp_path, tdata):
     i1, _ = index.query(q[:10], 5)
     i2, _ = loaded.query(q[:10], 5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_annoy_multiprobe_improves_recall(tdata):
+    x, q, ti, _ = tdata
+    index = AnnoyIndex(x, n_trees=8, seed=0)
+    r1 = calculate_recall(ti, index.query(q, 10, n_probes=1)[0], 10)
+    r4 = calculate_recall(ti, index.query(q, 10, n_probes=4)[0], 10)
+    assert r4 >= r1 - 0.01
+    assert r4 > 0.85
