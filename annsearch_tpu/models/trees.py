@@ -101,15 +101,28 @@ class _ForestIndex(BaseIndex):
                 if n_probes > 1:
                     m = jnp.stack(margins, axis=1)        # [bq, L]
                     flip_order = jnp.argsort(m, axis=1)   # asc by margin
-                    for p in range(min(n_probes - 1, n_levels)):
-                        flip_lv = flip_order[:, p]        # [bq]
+                    n_extra = min(n_probes - 1, n_levels)
+
+                    def probe(_, flip_lv):
+                        # one re-descent with `flip_lv` inverted; scanned
+                        # over probes so program size is O(levels), not
+                        # O(levels·probes)
                         node = jnp.zeros((bq,), jnp.int32)
                         for lv in range(n_levels):
-                            proj = jnp.sum(qb * normals[lv][node], axis=-1)
+                            proj = jnp.sum(
+                                qb * normals[lv][node], axis=-1
+                            )
                             dec = proj > thresholds[lv][node]
                             dec = jnp.where(flip_lv == lv, ~dec, dec)
                             node = 2 * node + dec.astype(jnp.int32)
-                        cands.append(leaves[node])
+                        return None, leaves[node]
+
+                    _, extra = jax.lax.scan(
+                        probe, None, flip_order[:, :n_extra].T
+                    )  # [n_extra, bq, leaf]
+                    cands.append(
+                        jnp.moveaxis(extra, 0, 1).reshape(bq, -1)
+                    )
             cand = jnp.concatenate(cands, axis=-1)
             vecs = vectors[jnp.minimum(cand, self.n)]
             valid = cand < self.n
