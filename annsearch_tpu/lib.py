@@ -633,12 +633,18 @@ def build_annoy_index(
     return AnnoyIndex(mat, dist_metric, n_trees=n_trees, leaf=leaf, seed=seed)
 
 
-def query_annoy_index(query_mat, index, k, search_k=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k), return_dist)
+def query_annoy_index(
+    query_mat, index, k, n_probes: int = 2, search_k=None,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(*index.query(query_mat, k, n_probes=n_probes), return_dist)
 
 
-def query_annoy_self(index, k, search_k=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.generate_knn(k), return_dist)
+def query_annoy_self(
+    index, k, n_probes: int = 2, search_k=None, return_dist=False,
+    verbose=False,
+):
+    return _maybe_dist(*index.generate_knn(k, n_probes=n_probes), return_dist)
 
 
 def build_balltree_index(
@@ -669,12 +675,18 @@ def build_kd_tree_index(
     return KdTreeIndex(mat, dist_metric, n_trees=n_trees, leaf=leaf, seed=seed)
 
 
-def query_kd_tree_index(query_mat, index, k, search_k=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k), return_dist)
+def query_kd_tree_index(
+    query_mat, index, k, n_probes: int = 2, search_k=None,
+    return_dist=False, verbose=False,
+):
+    return _maybe_dist(*index.query(query_mat, k, n_probes=n_probes), return_dist)
 
 
-def query_kd_tree_self(index, k, search_k=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.generate_knn(k), return_dist)
+def query_kd_tree_self(
+    index, k, n_probes: int = 2, search_k=None, return_dist=False,
+    verbose=False,
+):
+    return _maybe_dist(*index.generate_knn(k, n_probes=n_probes), return_dist)
 
 
 def build_lsh_index(

@@ -77,8 +77,14 @@ SWEEPS = {
         for np_ in a.nprobe_sweep
     ],
     "kmknn": lambda a: [(f"kmknn nl{nl}", {"nlist": nl}) for nl in a.nlist_sweep],
-    "annoy": lambda a: [(f"annoy nt{t}", {"n_trees": t}) for t in (4, 16, 32)],
-    "kdtree": lambda a: [(f"kdtree nt{t}", {"n_trees": t}) for t in (4, 16, 32)],
+    "annoy": lambda a: [
+        (f"annoy nt{t} p{pr}", {"n_trees": t, "n_probes": pr})
+        for t, pr in ((16, 2), (32, 4), (32, 8))
+    ],
+    "kdtree": lambda a: [
+        (f"kdtree nt{t} p{pr}", {"n_trees": t, "n_probes": pr})
+        for t, pr in ((16, 2), (32, 4))
+    ],
     "balltree": lambda a: [
         (f"balltree b{b}", {"budget": b}) for b in (0.01, 0.05, 0.2)
     ],
@@ -161,12 +167,12 @@ def make_runner(kind: str, args, x):
         if kind == "annoy":
             return (
                 lambda: ann.build_annoy_index(x, dist, n_trees=cfg["n_trees"], seed=seed),
-                lambda ix, qq: ann.query_annoy_index(qq, ix, k, return_dist=True),
+                lambda ix, qq: ann.query_annoy_index(qq, ix, k, n_probes=cfg.get("n_probes", 2), return_dist=True),
             )
         if kind == "kdtree":
             return (
                 lambda: ann.build_kd_tree_index(x, dist, n_trees=cfg["n_trees"], seed=seed),
-                lambda ix, qq: ann.query_kd_tree_index(qq, ix, k, return_dist=True),
+                lambda ix, qq: ann.query_kd_tree_index(qq, ix, k, n_probes=cfg.get("n_probes", 2), return_dist=True),
             )
         if kind == "balltree":
             return (
