@@ -65,9 +65,15 @@ class NNDescentIndex(BaseIndex):
         delta: float = 0.001,
         out_deg: int | None = None,
         reverse_extra: int | None = None,
+        refine_rounds: int = 0,
         seed: int = 42,
         verbose: bool = False,
     ):
+        """``refine_rounds``: optional two-hop refinement sweeps after
+        convergence (reference two_hop_refinement, nndescent_gpu.rs:686-825)
+        — one full k² neighbour-of-neighbour pass each, no new/old
+        filtering; squeezes out the last recall the incremental rounds
+        miss."""
         super().__init__(mat, metric)
         n = self.n
         self.k_build = min(build_k if build_k is not None else 2 * k, max(n - 1, 1))
@@ -113,17 +119,29 @@ class NNDescentIndex(BaseIndex):
                     print(f"forest pass {t + 1}/{n_trees} done")
 
             total_edges = n * self.k_build
+            flags = jnp.ones((n, self.k_build), bool)  # everything starts new
             for r in range(max_rounds):
                 key, kr = jax.random.split(key)
-                ids, dists, upd = nnd_round(
+                ids, dists, upd, flags = nnd_round(
                     kr, vecs, sq, ids, dists, self.k_build, self.metric,
-                    fof_sample=min(self.k_build * self.k_build, 1024),
+                    new_in=flags,
                 )
                 rate = float(upd) / max(total_edges, 1)
                 if verbose:
                     print(f"nnd round {r + 1}: update rate {rate:.4f}")
                 if rate < delta:
                     break
+
+            for r in range(refine_rounds):
+                key, kr = jax.random.split(key)
+                ids, dists, upd, _ = nnd_round(
+                    kr, vecs, sq, ids, dists, self.k_build, self.metric,
+                )
+                if verbose:
+                    print(
+                        f"two-hop refinement {r + 1}/{refine_rounds}: "
+                        f"{int(upd)} updates"
+                    )
 
         self.knn_ids = ids
         self.knn_dists = dists

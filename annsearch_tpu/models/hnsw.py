@@ -82,11 +82,11 @@ def _build_knn_graph(
     for _ in range(n_trees):
         key, kt = jax.random.split(key)
         ids, dists = rp_forest_round(kt, vecs, sq, ids, dists, levels, leaf, kk, metric)
+    flags = jnp.ones((n, kk), bool)
     for _ in range(max_rounds):
         key, kr = jax.random.split(key)
-        ids, dists, upd = nnd_round(
-            kr, vecs, sq, ids, dists, kk, metric,
-            fof_sample=min(kk * kk, 1024),
+        ids, dists, upd, flags = nnd_round(
+            kr, vecs, sq, ids, dists, kk, metric, new_in=flags,
         )
         if float(upd) / max(n * kk, 1) < 0.001:
             break

@@ -173,14 +173,14 @@ class IvfBase(BaseIndex):
             None, self._cluster_ptr, self.seg_size, None,
         )
         qs, segs = expand_probes_to_segments(np.asarray(probes), layout_stub)
-        cluster_ids, lists, ords, t_slots = build_probe_lists_from_pairs(
+        cluster_ids, lists, gmap = build_probe_lists_from_pairs(
             qs, segs, len(np.asarray(self.seg_offsets)), nq
         )
         best_d, best_i = ivf_cluster_scan(
             self._encode_queries(q) if q_eff is None else q_eff,
             jnp.asarray(cluster_ids),
             jnp.asarray(lists),
-            jnp.asarray(ords),
+            jnp.asarray(gmap),
             self.storage,
             self.store_sqnorms,
             self.seg_offsets,
@@ -190,12 +190,11 @@ class IvfBase(BaseIndex):
             self.metric,
             self.seg_size,
             self.mode if mode is None else mode,
-            t_slots,
             codebooks=self._codebooks(),
             aux=self._aux(),
             approx=approx,
         )
-        return best_d[:nq], best_i[:nq]
+        return best_d, best_i
 
     def _query_prepped(self, q, k, nprobe, k_scan=None, approx=False):
         k = self._clamp_k(k)

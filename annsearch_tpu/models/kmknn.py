@@ -23,6 +23,7 @@ not spherical — the bound needs euclidean geometry); reported distances are
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -42,6 +43,52 @@ from .kmeans import (
 )
 
 __all__ = ["KmknnIndex"]
+
+
+@functools.partial(jax.jit, static_argnames=("p0",))
+def _route_kmknn(q, centroids, p0):
+    cd2 = jnp.maximum(
+        sq_norms(q)[:, None]
+        + sq_norms(centroids)[None, :]
+        - 2.0
+        * jax.lax.dot_general(
+            q, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+        0.0,
+    )
+    return cd2, topk_smallest(cd2, p0)[1]
+
+
+@jax.jit
+def _phase2_need_packed(
+    cd2: jax.Array,          # [nq, nlist] squared centroid distances
+    kth: jax.Array,          # [nq] phase-1 k-th distance upper bound
+    radii: jax.Array,        # [nlist] cell radii
+    cell_counts: jax.Array,  # [nlist]
+    probes: jax.Array,       # [nq, p0] phase-1 probed cells
+) -> jax.Array:
+    """Triangle-bound cell selection, packed to uint8 bits on device.
+
+    The phase-2 decision matrix is [nq, nlist] — reading it back as f32
+    bounds dominated query latency on slow host links; the packed bitmask is
+    32× smaller and the host only runs nonzero() on it.
+    """
+    nq, nlist = cd2.shape
+    lb = jnp.maximum(jnp.sqrt(cd2) - radii[None, :], 0.0) ** 2
+    need = (lb < kth[:, None]) & (cell_counts[None, :] > 0)
+    probed = jnp.zeros((nq, nlist), bool).at[
+        jnp.arange(nq)[:, None], probes
+    ].set(True)
+    need = need & ~probed
+    pad = (-nlist) % 8
+    if pad:
+        need = jnp.concatenate(
+            [need, jnp.zeros((nq, pad), bool)], axis=1
+        )
+    bits = need.reshape(nq, -1, 8).astype(jnp.uint8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
 
 
 class KmknnIndex(BaseIndex):
@@ -95,17 +142,16 @@ class KmknnIndex(BaseIndex):
 
     def _scan_pairs(self, q, qs, cs_seg, k):
         nq = q.shape[0]
-        cluster_ids, lists, ords, t_slots = build_probe_lists_from_pairs(
+        cluster_ids, lists, gmap = build_probe_lists_from_pairs(
             qs, cs_seg, len(np.asarray(self.seg_offsets)), nq
         )
         d, i = ivf_cluster_scan(
             q, jnp.asarray(cluster_ids), jnp.asarray(lists),
-            jnp.asarray(ords), self.vectors,
+            jnp.asarray(gmap), self.vectors,
             self.sqnorms, self.seg_offsets, self.seg_counts,
             self.seg_centroids, k, Dist.EUCLIDEAN, self.seg_size, "f32",
-            t_slots,
         )
-        return d[:nq], i[:nq]
+        return d, i
 
     def query(
         self, query_mat: Any, k: int, p0: int | None = None
@@ -119,29 +165,21 @@ class KmknnIndex(BaseIndex):
         p0 = p0 if p0 is not None else max(1, int(math.isqrt(self.nlist)))
         p0 = min(p0, self.nlist)
 
-        cd2 = jnp.maximum(
-            sq_norms(q)[:, None]
-            + sq_norms(self.centroids)[None, :]
-            - 2.0
-            * jax.lax.dot_general(
-                q, self.centroids, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ),
-            0.0,
-        )
-
-        # phase 1: nearest p0 cells
-        _, probes = topk_smallest(cd2, p0)
+        # phase 1: nearest p0 cells (one jitted program — eager per-op
+        # dispatch is expensive on slow host links)
+        cd2, probes = _route_kmknn(q, self.centroids, p0)
         qs1, segs1 = expand_probes_to_segments(np.asarray(probes), self._layout)
         d1, i1 = self._scan_pairs(q, qs1, segs1, k)
         kth = d1[:, k - 1]
 
-        # phase 2: every remaining cell the triangle bound cannot exclude
-        lb = jnp.maximum(jnp.sqrt(cd2) - self.radii[None, :], 0.0) ** 2
-        need = np.array((lb < kth[:, None]) & (self.cell_counts[None, :] > 0))
-        probed = np.zeros_like(need)
-        np.put_along_axis(probed, np.asarray(probes), True, axis=1)
-        need &= ~probed
+        # phase 2: every remaining cell the triangle bound cannot exclude —
+        # selected on device, read back as a packed bitmask
+        packed = np.asarray(
+            _phase2_need_packed(cd2, kth, self.radii, self.cell_counts, probes)
+        )
+        need = np.unpackbits(packed, axis=1, bitorder="little")[
+            :, : self.nlist
+        ].astype(bool)
         qrows, crows = np.nonzero(need)
         if len(qrows):
             qs2, segs2 = expand_probes_to_segments(

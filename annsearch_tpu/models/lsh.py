@@ -9,13 +9,23 @@ queries fall back to random candidates (lsh.rs:302-307, reference warns when
 >1% of queries fall back).
 
 Hash-map buckets don't exist on TPU; each table keeps its codes **sorted**
-and a query finds its bucket with a batched ``searchsorted``, reading a
-fixed ``max_bucket`` window masked by hash equality. Candidates from all
-(table × probe) windows are unioned and exactly reranked.
+and a query finds its bucket range with two batched ``searchsorted`` calls.
+A bucket larger than the fixed ``max_bucket`` window is *stride-sampled*
+(every ⌈len/cap⌉-th member) instead of truncated — uniform coverage of hot
+buckets at bounded cost, the TPU analogue of the reference's scan-the-whole-
+bucket behaviour. Candidates from all (table × probe) windows are unioned
+and exactly reranked.
+
+Probe sequences match the reference's ``generate_probes_ranked``
+(lsh.rs:704-757): bits ranked by ascending |projection|, all Hamming
+distance-1 flips first, then distance-2 pairs — the flip *patterns* over
+rank positions are static, so the per-query work is one |proj| argsort plus
+gathers.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -28,6 +38,94 @@ from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
 
 __all__ = ["LSHIndex"]
+
+
+def _probe_patterns(bits: int, n_probes: int) -> tuple[tuple[int, ...], ...]:
+    """Static flip patterns over *rank* positions (0 = most uncertain bit):
+    Hamming distance-1 in rank order, then distance-2 pairs — the reference's
+    probe order (lsh.rs:704-757) with the per-query bit ranking factored out.
+    """
+    pats: list[tuple[int, ...]] = []
+    for r in range(bits):
+        if len(pats) >= n_probes - 1:
+            return tuple(pats)
+        pats.append((r,))
+    for i in range(bits):
+        for j in range(i + 1, bits):
+            if len(pats) >= n_probes - 1:
+                return tuple(pats)
+            pats.append((i, j))
+    return tuple(pats)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "n_probes", "cap", "k", "metric", "n"),
+)
+def _lsh_query_block(
+    q: jax.Array,             # [bq, dim] raw queries (normalised if cosine)
+    projections: jax.Array,   # [T, dim, bits]
+    sorted_hashes: jax.Array, # [T, n]
+    sorted_ids: jax.Array,    # [T, n]
+    vectors: jax.Array,       # [n+1, dim] (sentinel row n)
+    bits: int,
+    n_probes: int,
+    cap: int,
+    k: int,
+    metric: Dist,
+    n: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One jitted program per query block: hash → ranked multi-probe bucket
+    ranges → stride-sampled candidate union → exact rerank.
+
+    Returns (dists [bq,k], ids [bq,k], had_candidates [bq] bool)."""
+    bq = q.shape[0]
+    num_tables = projections.shape[0]
+    qn = q if metric == Dist.COSINE else normalise(q)
+    powers = (2 ** jnp.arange(bits, dtype=jnp.int32))[None, :]
+    lane = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+    pats = _probe_patterns(bits, n_probes)
+
+    all_ids = []
+    for t in range(num_tables):
+        proj = qn @ projections[t]                     # [bq, bits]
+        base_h = jnp.sum((proj > 0).astype(jnp.int32) * powers, axis=-1)
+        flip_order = jnp.argsort(jnp.abs(proj), axis=-1)  # asc — rank → bit
+        probes = [base_h]
+        for pat in pats:
+            h = base_h
+            for r in pat:
+                h = h ^ (1 << flip_order[:, r]).astype(jnp.int32)
+            probes.append(h)
+        ph = jnp.stack(probes, axis=1)                 # [bq, P]
+        pos = jnp.searchsorted(
+            sorted_hashes[t], ph.reshape(-1), side="left"
+        ).reshape(bq, -1).astype(jnp.int32)
+        end = jnp.searchsorted(
+            sorted_hashes[t], ph.reshape(-1), side="right"
+        ).reshape(bq, -1).astype(jnp.int32)
+        blen = end - pos                               # [bq, P]
+        # stride-sample buckets wider than the window (distinct positions:
+        # consecutive lanes advance by ≥1 when blen > cap)
+        off = jnp.where(
+            blen[:, :, None] <= cap,
+            lane,
+            (lane * blen[:, :, None]) // cap,
+        )
+        idx = jnp.minimum(pos[:, :, None] + off, n - 1)
+        hit = lane < jnp.minimum(blen, cap)[:, :, None]
+        ids = jnp.where(hit, jnp.take(sorted_ids[t], idx), n)
+        all_ids.append(ids.reshape(bq, -1))
+    cand = jnp.concatenate(all_ids, axis=-1)           # [bq, T·P·cap]
+
+    had = jnp.any(cand < n, axis=-1)
+    vecs = vectors[jnp.minimum(cand, n)]
+    valid = cand < n
+    d, i = rerank_exact(
+        qn if metric == Dist.COSINE else q,
+        vecs, jnp.minimum(cand, n - 1), valid, k, metric,
+    )
+    return d, i, had
 
 
 class LSHIndex(BaseIndex):
@@ -72,16 +170,31 @@ class LSHIndex(BaseIndex):
 
         powers = (2 ** jnp.arange(bits_per_hash, dtype=jnp.int32))[None, :]
         sorted_h, sorted_i = [], []
+        member_sizes = []
         for t in range(num_tables):
             bits = (hash_input @ self.projections[t]) > 0
             h = jnp.sum(bits.astype(jnp.int32) * powers, axis=-1)
             order = jnp.argsort(h)
             sorted_h.append(h[order])
             sorted_i.append(order.astype(jnp.int32))
+            _, counts = np.unique(np.asarray(h), return_counts=True)
+            # bucket size as seen by a random member (hot buckets dominate
+            # the work a query actually needs)
+            member_sizes.append(np.repeat(counts, counts))
         self.sorted_hashes = jnp.stack(sorted_h)      # [T, n]
         self.sorted_ids = jnp.stack(sorted_i)         # [T, n]
+        # occupancy-aware window default: cover the median member's bucket
+        # fully (hotter buckets are stride-sampled)
+        ms = np.concatenate(member_sizes)
+        self._bucket_q50 = int(np.quantile(ms, 0.5)) if len(ms) else 1
         self._seed = seed
         self.last_fallback_rate = 0.0
+        if verbose:
+            print(
+                f"LSH built: T={num_tables} bits={bits_per_hash} "
+                f"member-bucket q50={self._bucket_q50} "
+                f"q95={int(np.quantile(ms, 0.95))} max={int(ms.max())}"
+            )
 
     def query(
         self,
@@ -89,77 +202,63 @@ class LSHIndex(BaseIndex):
         k: int,
         n_probes: int = 4,
         max_bucket: int | None = None,
-        query_block: int = 256,
+        query_block: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
-        max_bucket = (
-            max_bucket
-            if max_bucket is not None
-            else max(32, int(2 * self.n / (2**self.bits)) + k)
-        )
+        if max_bucket is None:
+            max_bucket = 1 << (
+                max(self._bucket_q50, 2 * k, 32) - 1
+            ).bit_length()
+        max_bucket = min(max_bucket, self.n)
+        if query_block is None:
+            # bound the gathered candidate tile (~256 MB f32)
+            width = self.num_tables * n_probes * max_bucket * self.dim
+            query_block = min(1024, max(16, (64 << 20) // max(width, 1)))
         nq = q.shape[0]
         out_i, out_d = [], []
-        fallbacks = 0
+        fb_rows: list[int] = []
         for s in range(0, nq, query_block):
             qb = q[s : s + query_block]
-            cand, n_fb = self._candidates(qb, n_probes, max_bucket)
-            fallbacks += n_fb
-            vecs = self.vectors[jnp.minimum(cand, self.n)]
-            valid = cand < self.n
-            d, i = rerank_exact(
-                qb, vecs, jnp.minimum(cand, self.n - 1), valid, k, self.metric
+            pad = query_block - qb.shape[0]
+            if pad:
+                qb = jnp.concatenate(
+                    [qb, jnp.zeros((pad, self.dim), jnp.float32)]
+                )
+            d, i, had = _lsh_query_block(
+                qb, self.projections, self.sorted_hashes, self.sorted_ids,
+                self.vectors, self.bits, n_probes, max_bucket, k,
+                self.metric, self.n,
             )
-            out_i.append(np.asarray(i))
-            out_d.append(np.asarray(d))
-        self.last_fallback_rate = fallbacks / max(nq, 1)
+            take = qb.shape[0] - pad
+            out_i.append(np.asarray(i)[:take])
+            out_d.append(np.asarray(d)[:take])
+            misses = np.nonzero(~np.asarray(had)[:take])[0]
+            fb_rows.extend((s + misses).tolist())
+        ids = np.concatenate(out_i)
+        dists = np.concatenate(out_d)
+
+        # empty-bucket fallback: exact rerank over random candidates
+        # (lsh.rs:302-307; reference warns when >1% of queries fall back)
+        self.last_fallback_rate = len(fb_rows) / max(nq, 1)
+        if fb_rows:
+            rows = np.asarray(fb_rows)
+            rnd = jax.random.randint(
+                jax.random.key(self._seed + 1), (len(rows), 1000), 0, self.n
+            )
+            vecs = self.vectors[rnd]
+            d, i = rerank_exact(
+                q[rows], vecs, rnd, jnp.ones(rnd.shape, bool), k, self.metric
+            )
+            ids[rows] = np.asarray(i)
+            dists[rows] = np.asarray(d)
         if self.last_fallback_rate > 0.01:
             print(
                 f"LSH warning: {self.last_fallback_rate:.1%} of queries hit "
                 "empty buckets (random fallback) — consider fewer bits or "
                 "more probes"
             )
-        return np.concatenate(out_i), np.concatenate(out_d)
-
-    def _candidates(self, q: jax.Array, n_probes: int, cap: int):
-        bq = q.shape[0]
-        qn = q if self.metric == Dist.COSINE else normalise(q)
-        powers = (2 ** jnp.arange(self.bits, dtype=jnp.int32))[None, :]
-        lane = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
-        all_cands = []
-        for t in range(self.num_tables):
-            proj = qn @ self.projections[t]            # [bq, bits]
-            base_h = jnp.sum((proj > 0).astype(jnp.int32) * powers, axis=-1)
-            # multi-probe: flip the most-uncertain bits (smallest |proj|)
-            flip_order = jnp.argsort(jnp.abs(proj), axis=-1)  # asc
-            probes = [base_h]
-            for p in range(1, n_probes):
-                bit = flip_order[:, (p - 1) % self.bits]
-                probes.append(base_h ^ (1 << bit).astype(jnp.int32))
-            ph = jnp.stack(probes, axis=1)             # [bq, P]
-            pos = jnp.searchsorted(self.sorted_hashes[t], ph.reshape(-1))
-            pos = pos.reshape(bq, n_probes)
-            idx = jnp.minimum(pos[:, :, None] + lane, self.n - 1)
-            hit = (
-                jnp.take(self.sorted_hashes[t], idx) == ph[:, :, None]
-            )
-            ids = jnp.where(
-                hit, jnp.take(self.sorted_ids[t], idx), self.n
-            )
-            all_cands.append(ids.reshape(bq, -1))
-        cand = jnp.concatenate(all_cands, axis=-1)     # [bq, T·P·cap]
-
-        # empty-bucket fallback: random candidates (lsh.rs:302-307)
-        n_valid = jnp.sum(cand < self.n, axis=-1)
-        need_fb = n_valid == 0
-        n_fb = int(jnp.sum(need_fb))
-        if n_fb:
-            rnd = jax.random.randint(
-                jax.random.key(self._seed + 1), cand.shape, 0,
-                self.n,
-            )
-            cand = jnp.where(need_fb[:, None], rnd, cand)
-        return cand, n_fb
+        return ids, dists
 
     def generate_knn(self, k: int, **kw):
         return self.query(np.asarray(self.vectors[: self.n]), k, **kw)
@@ -192,7 +291,7 @@ class LSHIndex(BaseIndex):
             sorted_ids=np.asarray(self.sorted_ids),
             meta=np.array(
                 [self.n, self.dim, self.num_tables, self.bits, self._seed,
-                 1 if self.metric == Dist.COSINE else 0]
+                 1 if self.metric == Dist.COSINE else 0, self._bucket_q50]
             ),
         )
 
@@ -213,5 +312,6 @@ class LSHIndex(BaseIndex):
             obj.projections = _jnp.asarray(z["projections"])
             obj.sorted_hashes = _jnp.asarray(z["sorted_hashes"])
             obj.sorted_ids = _jnp.asarray(z["sorted_ids"])
+            obj._bucket_q50 = int(meta[6]) if len(meta) > 6 else 32
             obj.last_fallback_rate = 0.0
         return obj

@@ -81,10 +81,16 @@ class IvfSq8Index(IvfBase):
 
 class IvfPqIndex(IvfBase):
     """IVF + residual PQ (reference ivf_pq.rs:23-531): codebooks trained on
-    ``vec − centroid``, ADC-equivalent residual scoring per probed cell."""
+    ``vec − centroid``, ADC-equivalent residual scoring per probed cell.
+
+    ``ds = dim/m == 1`` (scalar sub-codebooks) takes the **int8 fast-scan**
+    path: the decoded residuals are requantised per-dim to int8 at build
+    (error ≤ absmax/254 — far below the PQ error) and the scan becomes a
+    pure int8→bf16 matmul with zero decode work. Same bytes per vector as
+    the u8 codes; the TPU analogue of FAISS's PQ fast-scan relayout."""
 
     mode = "pq_residual"
-    _state_arrays = IvfBase._state_arrays + ("codebooks",)
+    _state_arrays = IvfBase._state_arrays + ("codebooks", "dec_scales")
     _state_scalars = IvfBase._state_scalars + ("m",)
 
     def __init__(self, mat, metric="euclidean", nlist=None, m: int = 16, **kw):
@@ -92,33 +98,64 @@ class IvfPqIndex(IvfBase):
 
     def _encode_storage(self, x_sorted, seed, m: int = 16):
         self.m = m
+        self.dec_scales = None
         owner = self._owner_clusters()
         residuals = x_sorted - self.centroids[owner]
         self.quantiser = ProductQuantiser.train(residuals, m, seed=seed)
         self.codebooks = self.quantiser.codebooks
         codes = self.quantiser.encode(residuals)
-        self._pad_storage(codes, self._recon_sqnorms(codes, owner))
+        if self.dim == m:
+            dec = self.quantiser.decode(codes)       # [n, d] f32 residuals
+            dec8, self.dec_scales = _requantise_i8(dec)
+            self.mode = "i8dec_residual"
+            rec = dec8.astype(jnp.float32) * self.dec_scales[None, :]
+            self._pad_storage(dec8, self._recon_sqnorms_of(rec, owner))
+        else:
+            self._pad_storage(codes, self._recon_sqnorms(codes, owner))
 
     def _recon_sqnorms(self, codes, owner):
+        return self._recon_sqnorms_of(self.quantiser.decode(codes), owner)
+
+    def _recon_sqnorms_of(self, dec_res, owner):
         """euclidean: ‖dec_res‖² (the residual-distance identity term);
         cosine: ‖centroid + dec_res‖² (to renormalise the reconstruction)."""
         if self.metric == Dist.COSINE:
-            recon = self.quantiser.decode(codes) + self.centroids[owner]
-            return sq_norms(recon)
-        return self.quantiser.code_sqnorms(codes)
+            return sq_norms(dec_res + self.centroids[owner])
+        return sq_norms(dec_res)
 
     def _codebooks(self):
+        # the scan's codebooks slot carries the [d] scales in fast-scan mode
+        if self.mode == "i8dec_residual":
+            return self.dec_scales
         return self.codebooks
 
     def _decoded_sorted(self) -> np.ndarray:
-        dec = np.asarray(self.quantiser.decode(self.storage[: self.n]))
         owner = np.asarray(self._owner_clusters())
+        if self.mode == "i8dec_residual":
+            dec = np.asarray(self.storage[: self.n], np.float32) * np.asarray(
+                self.dec_scales
+            )
+        else:
+            dec = np.asarray(self.quantiser.decode(self.storage[: self.n]))
         return dec + np.asarray(self.centroids)[owner]
 
     def _post_load_hook(self):
         super()._post_load_hook()
         self.m = int(self.m)
         self.quantiser = ProductQuantiser(self.codebooks, self.m, self.dim)
+        if self.dec_scales is not None:
+            self.mode = "i8dec_residual"
+            self.storage = self.storage.astype(jnp.int8)
+
+
+def _requantise_i8(dec: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-dim symmetric int8 requantisation of a decoded-vector matrix."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(dec), axis=0), 1e-12)
+    scales = (absmax / 127.0).astype(jnp.float32)
+    dec8 = jnp.clip(
+        jnp.round(dec / scales[None, :]), -127, 127
+    ).astype(jnp.int8)
+    return dec8, scales
 
 
 class IvfOpqIndex(IvfPqIndex):
@@ -131,6 +168,7 @@ class IvfOpqIndex(IvfPqIndex):
 
     def _encode_storage(self, x_sorted, seed, m: int = 16):
         self.m = m
+        self.dec_scales = None
         owner = self._owner_clusters()
         residuals = x_sorted - self.centroids[owner]
         opq = OptimisedProductQuantiser.train(residuals, m, seed=seed)

@@ -99,6 +99,40 @@ class ScalarQuantiser:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _train_scalar_codebooks(v: jax.Array, k: int, iters: int = 25) -> jax.Array:
+    """Batched 1-d k-means over every subspace at once (the ds = dim/m == 1
+    case, e.g. m = dim). Quantile init + midpoint-searchsorted Lloyd —
+    O(n log k) per iteration per dim, no [n, k] distance matrix, and all m
+    subspaces train in ONE device program (the serial per-subspace loop was
+    the dominant IVF-PQ build cost at m = 128).
+
+    v: [m, n] → codebooks [m, k, 1] (sorted ascending per row).
+    """
+    m, n = v.shape
+    qs = jnp.linspace(0.5 / k, 1.0 - 0.5 / k, k)
+    c = jnp.quantile(v, qs, axis=1).T                    # [m, k]
+
+    def body(_, c):
+        bounds = (c[:, 1:] + c[:, :-1]) * 0.5
+        a = jax.vmap(jnp.searchsorted)(bounds, v)        # [m, n] in [0, k)
+        sums = jax.vmap(
+            lambda aa, vv: jax.ops.segment_sum(vv, aa, num_segments=k)
+        )(a, v)
+        cnts = jax.vmap(
+            lambda aa: jax.ops.segment_sum(
+                jnp.ones(aa.shape, jnp.float32), aa, num_segments=k
+            )
+        )(a)
+        c_new = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), c)
+        # 1-d Lloyd preserves order up to empty-cluster carryover; re-sort so
+        # the midpoint assignment stays valid
+        return jnp.sort(c_new, axis=1)
+
+    c = jax.lax.fori_loop(0, iters, body, c)
+    return c[:, :, None]
+
+
 def _train_subspace_codebook(
     x_sub: jax.Array, k: int, seed: int, max_iters: int = 25
 ) -> jax.Array:
@@ -172,6 +206,16 @@ class ProductQuantiser:
         if d < 32:
             raise ValueError("PQ requires dim >= 32")
         ds = d // m
+        if ds == 1:
+            books = _train_scalar_codebooks(
+                jnp.asarray(x).T, min(N_CLUSTERS_PQ, n), iters=max_iters
+            )
+            if books.shape[1] < N_CLUSTERS_PQ:
+                pad = jnp.full(
+                    (m, N_CLUSTERS_PQ - books.shape[1], 1), 1e30, jnp.float32
+                )
+                books = jnp.concatenate([books, pad], axis=1)
+            return cls(books, m, d)
         xs = np.asarray(x).reshape(n, m, ds)
         books = []
         for j in range(m):
@@ -188,6 +232,10 @@ class ProductQuantiser:
     def decode(self, codes: jax.Array) -> jax.Array:
         """Gather decode — fine off the hot path (tests, reconstruction)."""
         m, ds = self.m, self.dim // self.m
+        if ds == 1:
+            return self.codebooks[:, :, 0][
+                jnp.arange(m)[None, :], codes.astype(jnp.int32)
+            ]
         parts = [
             jnp.take(self.codebooks[j], codes[:, j].astype(jnp.int32), axis=0)
             for j in range(m)

@@ -27,9 +27,9 @@ import numpy as np
 
 from ..ops.rerank import rerank_exact
 from ..ops.tree import (
+    PartitionTree,
     build_partition_forest,
     build_partition_tree,
-    descend_forest,
 )
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
@@ -181,6 +181,52 @@ class _ForestIndex(BaseIndex):
             total += sum(int(x.size) * 4 for x in t.thresholds)
         return total
 
+    # -- persistence (the reference has no index persistence; parity-plus) --
+
+    def save(self, path: str) -> None:
+        arrays = {"vectors": np.asarray(self.vectors[: self.n])}
+        for ti, t in enumerate(self.trees):
+            arrays[f"t{ti}_order"] = np.asarray(t.order)
+            for lv in range(t.n_levels):
+                arrays[f"t{ti}_normal{lv}"] = np.asarray(t.normals[lv])
+                arrays[f"t{ti}_thr{lv}"] = np.asarray(t.thresholds[lv])
+        arrays["meta"] = np.array(
+            [self.n, self.dim, len(self.trees), self.leaf,
+             1 if self.metric == Dist.COSINE else 0]
+        )
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str):
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            meta = z["meta"]
+            obj = cls.__new__(cls)
+            obj.n, obj.dim = int(meta[0]), int(meta[1])
+            n_trees, obj.leaf = int(meta[2]), int(meta[3])
+            obj.metric = Dist.COSINE if meta[4] == 1 else Dist.EUCLIDEAN
+            vecs = jnp.concatenate(
+                [jnp.asarray(z["vectors"]),
+                 jnp.zeros((1, obj.dim), jnp.float32)]
+            )
+            obj.vectors = vecs
+            obj.sqnorms = sq_norms(vecs)
+            obj.trees = []
+            for ti in range(n_trees):
+                normals, thrs = [], []
+                lv = 0
+                while f"t{ti}_normal{lv}" in z.files:
+                    normals.append(jnp.asarray(z[f"t{ti}_normal{lv}"]))
+                    thrs.append(jnp.asarray(z[f"t{ti}_thr{lv}"]))
+                    lv += 1
+                obj.trees.append(
+                    PartitionTree(
+                        jnp.asarray(z[f"t{ti}_order"]), normals, thrs,
+                        None, None, obj.leaf,
+                    )
+                )
+            obj._qfns = {}
+        return obj
+
 
 class AnnoyIndex(_ForestIndex):
     """Forest of two-point hyperplane trees (reference annoy.rs:36-788)."""
@@ -278,32 +324,6 @@ class BallTreeIndex(BaseIndex):
         self._qfns[key] = fn
         return fn
 
-    def _beam_leaves(self, q: jax.Array, beam: int) -> jax.Array:
-        """Best-`beam` leaves by the ball lower bound, level by level.
-
-        Rather than a greedy root-to-leaf descent (which commits while the
-        upper-level ball bounds are still uninformative — overlapping balls
-        all bound to ~0), ALL leaf balls are ranked directly by centre
-        distance: one [bq, n_leaves] matmul, n_leaves = n/leaf. This is the
-        batch analogue of the reference's best-first queue reaching its
-        budget — the tree's job reduces to producing the balanced leaf
-        partition."""
-        bq = q.shape[0]
-        t = self.tree
-        ctr = t.centers[-1]                       # [L, d] leaf centres
-        d2 = (
-            jnp.sum(ctr * ctr, axis=-1)[None, :]
-            - 2.0
-            * jax.lax.dot_general(
-                q, ctr, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-        keep = min(beam, ctr.shape[0])
-        _, nodes = jax.lax.top_k(-d2, keep)
-        leaves = t.order.reshape(-1, t.leaf)
-        return leaves[nodes].reshape(bq, -1)
-
     def generate_knn(self, k: int, **kw):
         return self.query(np.asarray(self.vectors[: self.n]), k, **kw)
 
@@ -326,3 +346,52 @@ class BallTreeIndex(BaseIndex):
         total += sum(int(x.size) * 4 for x in t.centers)
         total += sum(int(x.size) * 4 for x in t.radii)
         return total
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        t = self.tree
+        arrays = {"vectors": np.asarray(self.vectors[: self.n]),
+                  "order": np.asarray(t.order)}
+        for lv in range(t.n_levels):
+            arrays[f"normal{lv}"] = np.asarray(t.normals[lv])
+            arrays[f"thr{lv}"] = np.asarray(t.thresholds[lv])
+        for lv in range(len(t.centers)):
+            arrays[f"center{lv}"] = np.asarray(t.centers[lv])
+            arrays[f"radius{lv}"] = np.asarray(t.radii[lv])
+        arrays["meta"] = np.array(
+            [self.n, self.dim, self.leaf,
+             1 if self.metric == Dist.COSINE else 0]
+        )
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "BallTreeIndex":
+        with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+            meta = z["meta"]
+            obj = cls.__new__(cls)
+            obj.n, obj.dim, obj.leaf = int(meta[0]), int(meta[1]), int(meta[2])
+            obj.metric = Dist.COSINE if meta[3] == 1 else Dist.EUCLIDEAN
+            vecs = jnp.concatenate(
+                [jnp.asarray(z["vectors"]),
+                 jnp.zeros((1, obj.dim), jnp.float32)]
+            )
+            obj.vectors = vecs
+            obj.sqnorms = sq_norms(vecs)
+            normals, thrs, centers, radii = [], [], [], []
+            lv = 0
+            while f"normal{lv}" in z.files:
+                normals.append(jnp.asarray(z[f"normal{lv}"]))
+                thrs.append(jnp.asarray(z[f"thr{lv}"]))
+                lv += 1
+            lv = 0
+            while f"center{lv}" in z.files:
+                centers.append(jnp.asarray(z[f"center{lv}"]))
+                radii.append(jnp.asarray(z[f"radius{lv}"]))
+                lv += 1
+            obj.tree = PartitionTree(
+                jnp.asarray(z["order"]), normals, thrs, centers, radii,
+                obj.leaf,
+            )
+            obj._qfns = {}
+        return obj

@@ -130,11 +130,11 @@ class VamanaIndex(BaseIndex):
             ids, dists = rp_forest_round(
                 kt, vecs, sq, ids, dists, levels, leaf, build_k, self.metric
             )
+        flags = jnp.ones((n, build_k), bool)
         for r in range(max_rounds):
             key, kr = jax.random.split(key)
-            ids, dists, upd = nnd_round(
-                kr, vecs, sq, ids, dists, build_k, self.metric,
-                fof_sample=min(build_k * build_k, 1024),
+            ids, dists, upd, flags = nnd_round(
+                kr, vecs, sq, ids, dists, build_k, self.metric, new_in=flags,
             )
             if float(upd) / max(n * build_k, 1) < 0.001:
                 break

@@ -10,15 +10,20 @@ probe lists but inverts the loop to make every step a *dense* matmul:
     dec    = decode(cell)                                  (variant-specific)
     qg     = queries[probe_lists[c]]                       ([maxq, d] gather)
     dists  = distance(qg, dec)                             ([maxq, cap] MXU)
-    best[probe_lists[c]] = merge_topk(best[...], dists)    (scatter-merge)
+    ys[c]  = per-(query,cell) top-k_cell                   (dense stacked write)
 
 Each cell is read/decoded ONCE per query batch regardless of how many
 queries probe it, and the scoring matmul is [maxq, d] × [d, cap] — dense MXU
-work. Query ids within a step are unique except the sentinel padding slot
-(row nq, discarded by callers), so the scatter is race-free for real rows.
+work. Per-step results are stacked densely by ``lax.scan`` (contiguous
+writes — the previous design's scatter into a per-query proposal buffer was
+~40% of step time); one host-built gather map regroups lanes per query for
+the final top-k.
 
 Supports storage variants: f32, bf16, int8 (SQ8 integer-space), PQ codes
-(+ residual PQ for IVF-PQ/OPQ).
+(+ residual PQ for IVF-PQ/OPQ), int8 fast-scan decode caches
+(i8dec/i8dec_residual — PQ reconstructions requantised per-dim to int8 so
+the scan is a pure matmul with zero decode work; exact int8 values are
+loss-free in bf16 on the MXU).
 """
 
 from __future__ import annotations
@@ -44,16 +49,16 @@ def _next_pow2(v: int) -> int:
 
 def build_probe_lists(
     probes: np.ndarray, nlist: int, nq: int
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Invert [nq, nprobe] probe assignments into per-cluster query lists.
 
-    Returns ``(cluster_ids [ncl], lists [ncl, maxq], ordinals [ncl, maxq],
-    t_slots)`` covering only clusters
-    probed by ≥1 query; ``lists`` is padded with ``nq`` (sentinel row of the
-    scatter target), ``cluster_ids`` is padded to a power of two with
-    ``nlist`` (sentinel cluster with zero count). Host-side — the analogue of
-    the reference's CPU task-list construction (ivf_gpu.rs:600-635). Both
-    dims are rounded up to powers of two to bound recompilation.
+    Returns ``(cluster_ids [ncl], lists [ncl, maxq], gather_map [nq, T])``
+    covering only clusters probed by ≥1 query; ``lists`` is padded with
+    ``nq`` (a sentinel query row), ``cluster_ids`` is padded to a power of
+    two with ``nlist`` (sentinel cluster with zero count). Host-side — the
+    analogue of the reference's CPU task-list construction
+    (ivf_gpu.rs:600-635). Both dims are rounded up to powers of two to bound
+    recompilation.
     """
     probes = np.asarray(probes)
     flat_c = probes.reshape(-1)
@@ -69,10 +74,16 @@ def build_probe_lists_from_pairs(
     nlist: int,
     nq: int,
     maxq_cap: int | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Build per-cluster padded query lists from explicit (query, cluster)
     task pairs. Fully vectorised host work (the self-kNN path pushes
     nq·nprobe into the millions — no python loops).
+
+    Returns ``(cluster_ids [ncl], lists [ncl, maxq], gather_map [nq, T])``.
+    ``gather_map[q, t]`` is the flat scan lane (``row·maxq + col``) holding
+    query ``q``'s ``t``-th task result, padded with ``-1`` (out-of-bounds →
+    ``jnp.take(mode="fill")`` yields +inf). ``T`` is the padded max task
+    count per query.
 
     Skewed probe distributions make the padded width ``maxq`` balloon (a
     popular cluster sets the pad for every row). ``maxq_cap`` chunks a
@@ -89,8 +100,7 @@ def build_probe_lists_from_pairs(
         return (
             np.full(1, nlist, np.int32),
             np.full((1, 1), nq, np.int32),
-            np.zeros((1, 1), np.int32),
-            1,
+            np.full((nq, 1), -1, np.int32),
         )
     acounts = counts[active]
     if maxq_cap is None:
@@ -118,11 +128,12 @@ def build_probe_lists_from_pairs(
     # row = cluster's first row + rank // maxq; col = rank % maxq
     row_base = np.concatenate([[0], np.cumsum(nchunks)[:-1]])
     rows = np.repeat(row_base, acounts) + ranks // maxq
-    lists[rows, ranks % maxq] = qs
+    cols = ranks % maxq
+    lists[rows, cols] = qs
 
     # per-task ordinal within its query (0..T-1): occurrence index of the
-    # query id over the task stream — gives each (query, task) a unique
-    # write slot for the write-out scan
+    # query id over the task stream — gives each (query, task) a column in
+    # the final gather map
     qorder = np.argsort(flat_q, kind="stable")
     qcounts = np.bincount(flat_q, minlength=nq)
     qstarts = np.concatenate([[0], np.cumsum(qcounts)[:-1]])
@@ -131,24 +142,24 @@ def build_probe_lists_from_pairs(
         np.arange(len(flat_q)) - np.repeat(qstarts, qcounts)
     ).astype(np.int32)
     t_max = int(qcounts.max()) if len(flat_q) else 1
-    o_dtype = np.uint8 if t_max < 255 else np.int32
-    ordinals = np.zeros((ncl, maxq), o_dtype)
-    ordinals[rows, ranks % maxq] = qranks[order].astype(o_dtype)
-    return cluster_ids, lists, ordinals, _next_pow2(max(t_max, 1))
+    T = _next_pow2(max(t_max, 1))
+    gather_map = np.full((nq, T), -1, np.int32)
+    gather_map[qs, qranks[order]] = (rows * maxq + cols).astype(np.int32)
+    return cluster_ids, lists, gather_map
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "metric", "cap", "mode", "k_cell", "precision", "approx",
-        "t_slots", "s_rows",
+        "s_rows",
     ),
 )
 def ivf_cluster_scan(
     queries: jax.Array,      # [nq, d] effective queries (f32, u32 or i8)
-    cluster_ids: jax.Array,  # [ncl] int32 active clusters (pad = nlist)
-    probe_lists: jax.Array,  # [ncl, maxq] int32 query ids (pad = nq)
-    ordinals: jax.Array,     # [ncl, maxq] int32 per-task slot within query
+    cluster_ids: jax.Array,  # [ncl] int active clusters (pad = nlist)
+    probe_lists: jax.Array,  # [ncl, maxq] int query ids (pad = nq)
+    gather_map: jax.Array,   # [nq, T] int32 flat scan lanes (pad = -1)
     storage: jax.Array,      # [n_pad, d] (f32/bf16/i8) or [n_pad, m] u8/u32
     sqnorms: jax.Array,      # [n_pad] f32|i32 — ‖row‖² in the scoring space
     offsets: jax.Array,      # [nlist] int32 into the sorted storage
@@ -158,27 +169,24 @@ def ivf_cluster_scan(
     metric: Dist,
     cap: int,
     mode: str,
-    t_slots: int,            # max tasks per query (write-out slot count)
-    codebooks: jax.Array | None = None,  # [m, 256, ds] for pq modes
+    codebooks: jax.Array | None = None,  # [m, 256, ds] for pq; [d] scales for i8dec
     k_cell: int | None = None,
     aux: jax.Array | None = None,        # [n_pad] extra (rabitq: dot_corr)
     approx: bool = False,                # approx_min_k per-cell selection
     precision=None,
     s_rows: int = 4,                     # scan rows batched per step
 ) -> tuple[jax.Array, jax.Array]:
-    """Write-out cluster scan.
+    """Dense-output cluster scan.
 
-    Each (query, task) owns a unique slot in a [nq, t_slots·k_cell] proposal
-    buffer (slot = the task's per-query ordinal, computed host-side), so a
-    step is a pure conflict-free indexed WRITE — no read-modify-write
-    top-k carry, no merge scatter (which dominated the previous design's
-    runtime). ``s_rows`` scan rows are processed per step as one batched
-    einsum to amortise fixed per-step costs. One final top-k over the
-    proposal buffer produces the answer.
+    Each step scores ``s_rows`` scan rows and emits that tile's per-(query,
+    task) top-``k_cell`` as a stacked ``lax.scan`` output — a contiguous
+    write, no read-modify-write carry and no scatter. The final phase
+    gathers each query's ``T`` task lanes (host-built ``gather_map``) and
+    runs one exact top-k.
 
-    Returns (best_d, best_i) of shape [nq+1, k] — callers drop the last
-    (sentinel) row. ``best_i`` are positions in the sorted storage.
-    ``storage``/``sqnorms`` must be padded with ≥ ``cap`` trailing rows.
+    Returns ``(best_d, best_i)`` of shape ``[nq, k]`` ascending.
+    ``best_i`` are positions in the sorted storage. ``storage``/``sqnorms``
+    must be padded with ≥ ``cap`` trailing rows.
     """
     nq, dq = queries.shape
     nlist = offsets.shape[0]
@@ -197,9 +205,6 @@ def ivf_cluster_scan(
         probe_lists = jnp.concatenate(
             [probe_lists,
              jnp.full((pad_rows, maxq), nq, probe_lists.dtype)]
-        )
-        ordinals = jnp.concatenate(
-            [ordinals, jnp.zeros((pad_rows, maxq), ordinals.dtype)]
         )
     n_steps = cluster_ids.shape[0] // S
 
@@ -221,19 +226,10 @@ def ivf_cluster_scan(
         [centroids, jnp.zeros((1, centroids.shape[1]), centroids.dtype)]
     )
 
-    # proposal buffers: rows nq..nq+S·maxq−1 are per-slot sentinels so every
-    # write in a step hits a distinct row (unique_indices scatter)
-    buf_rows = nq + S * maxq
-    slot_w = t_slots * kc
-    buf_d = jnp.full((buf_rows * slot_w,), _INF, jnp.float32)
-    buf_i = jnp.zeros((buf_rows * slot_w,), jnp.int32)
-
-    def step(carry, si):
-        bd, bi = carry
+    def step(_, si):
         rows = si * S + jnp.arange(S)
         c = cluster_ids[rows].astype(jnp.int32)      # [S]
         qid = probe_lists[rows].astype(jnp.int32)    # [S, maxq]
-        ords = ordinals[rows].astype(jnp.int32)      # [S, maxq]
         starts = offsets_x[c]                        # [S]
         cells = jnp.stack(
             [
@@ -258,11 +254,17 @@ def ivf_cluster_scan(
                 preferred_element_type=pref,
             )
 
-        if mode in ("pq", "pq_residual"):
-            dec = pq_decode_tile(
-                cells.reshape(S * cap, -1), codebooks
-            ).reshape(S, cap, -1)                    # [S, cap, d] f32
-            if mode == "pq_residual":
+        if mode in ("pq", "pq_residual", "i8dec", "i8dec_residual"):
+            if mode.startswith("i8dec"):
+                # int8 fast-scan decode cache: storage holds per-dim
+                # requantised PQ reconstructions; decode = one VPU multiply
+                # (codebooks arg carries the [d] scales)
+                dec = cells.astype(jnp.float32) * codebooks[None, None, :]
+            else:
+                dec = pq_decode_tile(
+                    cells.reshape(S * cap, -1), codebooks
+                ).reshape(S, cap, -1)                # [S, cap, d] f32
+            if mode.endswith("_residual"):
                 if metric == Dist.COSINE:
                     num = dots_of(qg, dec, prec_pq) + jnp.einsum(
                         "smd,sd->sm", qg, centroids_x[c]
@@ -370,34 +372,28 @@ def ivf_cluster_scan(
         gi = (
             jnp.repeat(starts, maxq)[:, None] + ci
         )                                            # [S·maxq, kc]
+        return 0, (cd, gi)
 
-        # conflict-free write: slot = (query row, task ordinal); padded
-        # tasks get distinct sentinel rows nq + flat-lane
-        flat_lane = jnp.arange(S * maxq, dtype=jnp.int32)
-        qid_f = qid.reshape(-1)
-        qid_u = jnp.where(qid_f >= nq, nq + flat_lane, qid_f)
-        base = qid_u * slot_w + ords.reshape(-1) * kc
-        idx = base[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
-        idx = idx.reshape(-1)
-        bd = bd.at[idx].set(cd.reshape(-1), mode="drop", unique_indices=True)
-        bi = bi.at[idx].set(gi.reshape(-1), mode="drop", unique_indices=True)
-        return (bd, bi), None
+    _, (ds, gs) = jax.lax.scan(step, 0, jnp.arange(n_steps))
+    flat_d = ds.reshape(-1, kc)                      # [ncl_pad·maxq, kc]
+    flat_i = gs.reshape(-1, kc)
 
-    (buf_d, buf_i), _ = jax.lax.scan(
-        step, (buf_d, buf_i), jnp.arange(n_steps)
+    # regroup lanes per query (pad lanes -1 → +inf) and take the final top-k
+    gd = jnp.take(
+        flat_d, gather_map, axis=0, mode="fill", fill_value=float("inf")
     )
-
-    prop_d = buf_d[: (nq + 1) * slot_w].reshape(nq + 1, slot_w)
-    prop_i = buf_i[: (nq + 1) * slot_w].reshape(nq + 1, slot_w)
-    kk = min(k, slot_w)
-    nd, pos = jax.lax.top_k(-prop_d, kk)
-    best_i = jnp.take_along_axis(prop_i, pos, axis=-1)
+    gi2 = jnp.take(flat_i, gather_map, axis=0, mode="fill", fill_value=0)
+    gd = gd.reshape(nq, -1)
+    gi2 = gi2.reshape(nq, -1)
+    kk = min(k, gd.shape[1])
+    nd, pos = jax.lax.top_k(-gd, kk)
+    best_i = jnp.take_along_axis(gi2, pos, axis=-1)
     best_d = -nd
     if kk < k:  # tiny indexes: pad out to k with inf/0
         best_d = jnp.concatenate(
-            [best_d, jnp.full((nq + 1, k - kk), _INF, jnp.float32)], axis=-1
+            [best_d, jnp.full((nq, k - kk), _INF, jnp.float32)], axis=-1
         )
         best_i = jnp.concatenate(
-            [best_i, jnp.zeros((nq + 1, k - kk), jnp.int32)], axis=-1
+            [best_i, jnp.zeros((nq, k - kk), jnp.int32)], axis=-1
         )
     return best_d, best_i

@@ -81,15 +81,31 @@ def _tree_level(vectors, order, keys, g: int, gs: int, mode: str, n: int):
     valid = (order < n).reshape(g, gs)
 
     if mode == "annoy":
-        # two-point hyperplane (annoy.rs:299-397)
-        ia = jax.random.randint(keys[0], (g,), 0, gs)
-        ib = jax.random.randint(keys[1], (g,), 0, gs)
-        a = pts[jnp.arange(g), ia]
-        b = pts[jnp.arange(g), ib]
-        normal = a - b
-        nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-        rand = jax.random.normal(keys[2], (g, d))
-        normal = jnp.where(nrm > 1e-6, normal, rand)
+        # two-point hyperplane with split-quality retries: the reference
+        # retries up to 10 random pairs for a 5–95% balanced split
+        # (annoy.rs:299-397). Our median split is balanced by construction,
+        # so the retry budget buys *quality* instead: score R candidate
+        # hyperplanes per group by in-group projection variance (spread ⇒
+        # better separation) and keep the best.
+        R = 4
+        ia = jax.random.randint(keys[0], (R, g), 0, gs)
+        ib = jax.random.randint(keys[1], (R, g), 0, gs)
+        a = pts[jnp.arange(g)[None, :], ia]               # [R, g, d]
+        b = pts[jnp.arange(g)[None, :], ib]
+        cand = a - b
+        nrm = jnp.linalg.norm(cand, axis=-1, keepdims=True)
+        rand = jax.random.normal(keys[2], (R, g, d))
+        cand = jnp.where(nrm > 1e-6, cand, rand)
+        cand = cand / jnp.maximum(
+            jnp.linalg.norm(cand, axis=-1, keepdims=True), 1e-12
+        )
+        sc = jnp.einsum("gsd,rgd->rgs", pts, cand)        # [R, g, gs]
+        w = valid.astype(jnp.float32)[None]
+        cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+        mean = jnp.sum(sc * w, axis=-1) / cnt
+        var = jnp.sum((sc - mean[..., None]) ** 2 * w, axis=-1) / cnt
+        best = jnp.argmax(var, axis=0)                    # [g]
+        normal = cand[best, jnp.arange(g)]
     elif mode == "kd":
         # axis sampled among the top-3 in-group-spread dims
         # (kd_forest.rs:331-424 — the random pick decorrelates the forest)

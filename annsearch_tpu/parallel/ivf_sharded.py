@@ -39,7 +39,11 @@ from ..ops.topk import topk_smallest
 from ..utils.dist import Dist, normalise, parse_ann_dist, sq_norms
 from .mesh import DB_AXIS, make_mesh
 
-__all__ = ["train_centroids_sharded", "ShardedIvfIndex"]
+__all__ = [
+    "train_centroids_sharded",
+    "ShardedIvfIndex",
+    "ShardedIvfPqIndex",
+]
 
 
 def train_centroids_sharded(
@@ -145,7 +149,9 @@ class ShardedIvfIndex:
         # per-shard cells (host-side layout, like the single-chip path)
         x_np = np.asarray(x)
         c_np = np.asarray(self.centroids)
-        storages, offsets, counts, orig = [], [], [], []
+        sorted_parts, owners_parts = [], []
+        offsets, counts, orig = [], [], []
+        self._shard_valid = []
         cell_cap = 1
         for s in range(ndev):
             lo, hi = s * self.shard_rows, (s + 1) * self.shard_rows
@@ -162,7 +168,10 @@ class ShardedIvfIndex:
             cell_cap = max(cell_cap, members.shape[1])
             sorted_x = np.zeros_like(xs)
             sorted_x[:valid] = xs[order]
-            storages.append(sorted_x)
+            owners = np.zeros(self.shard_rows, np.int32)
+            owners[:valid] = a[:valid][order]
+            sorted_parts.append(sorted_x)
+            owners_parts.append(owners)
             counts.append(cnt)
             offsets.append(
                 np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int32)
@@ -170,7 +179,12 @@ class ShardedIvfIndex:
             om = np.zeros(self.shard_rows, np.int32)
             om[:valid] = order + lo
             orig.append(om)
+            self._shard_valid.append(valid)
         self.cell_cap = cell_cap
+
+        storages, sqnorm_parts = self._encode_shards(
+            sorted_parts, owners_parts, seed
+        )
 
         # sharded device arrays: leading dim = device axis
         def put(parts, spec):
@@ -179,18 +193,34 @@ class ShardedIvfIndex:
             )
 
         # storage is padded with cell_cap rows per shard for static slices
-        pads = np.zeros((ndev, cell_cap, self.dim), np.float32)
+        pads = np.zeros((ndev, cell_cap) + storages[0].shape[1:], storages[0].dtype)
         self.storage = put(
             [np.concatenate([s, p]) for s, p in zip(storages, pads)],
             P(DB_AXIS, None, None),
         )
         self.store_sqnorms = put(
-            [np.concatenate([(s**2).sum(1), np.zeros(cell_cap, np.float32)]) for s in storages],
+            [
+                np.concatenate([sq, np.zeros(cell_cap, np.float32)])
+                for sq in sqnorm_parts
+            ],
             P(DB_AXIS, None),
         )
         self.offsets = put(offsets, P(DB_AXIS, None))
         self.counts = put(counts, P(DB_AXIS, None))
         self.original_ids = put(orig, P(DB_AXIS, None))
+
+    # -- storage-encoding hook (f32 base; ShardedIvfPqIndex overrides) -------
+
+    mode = "f32"
+
+    def _encode_shards(self, sorted_parts, owners_parts, seed):
+        return sorted_parts, [(s**2).sum(1) for s in sorted_parts]
+
+    def _scan_codebooks(self):
+        return None
+
+    def _encode_queries(self, q):
+        return q
 
     def default_nprobe(self) -> int:
         return max(1, int(math.isqrt(self.nlist)))
@@ -215,16 +245,18 @@ class ShardedIvfIndex:
                 - 2.0 * dots
             )
         _, probes = topk_smallest(cd, nprobe)
-        cluster_ids, lists, ords, t_slots = build_probe_lists(
+        cluster_ids, lists, gmap = build_probe_lists(
             np.asarray(probes), self.nlist, nq
         )
         cluster_ids = jnp.asarray(cluster_ids)
         lists = jnp.asarray(lists)
-        ords = jnp.asarray(ords)
+        gmap = jnp.asarray(gmap)
 
         metric = self.metric
         cap = self.cell_cap
-        nlist = self.nlist
+        mode = self.mode
+        codebooks = self._scan_codebooks()
+        has_cb = codebooks is not None
 
         @functools.partial(
             _shard_map,
@@ -233,24 +265,114 @@ class ShardedIvfIndex:
                 P(), P(), P(), P(),
                 P(DB_AXIS, None, None), P(DB_AXIS, None),
                 P(DB_AXIS, None), P(DB_AXIS, None), P(DB_AXIS, None), P(),
-            ),
+            )
+            + ((P(),) if has_cb else ()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def run(qq, cids, plists, pords, storage, sqn, offs, cnts, oids, cents):
+        def run(qq, cids, plists, pgmap, storage, sqn, offs, cnts, oids,
+                cents, *cb):
             d, i = ivf_cluster_scan(
-                qq, cids, plists, pords, storage[0], sqn[0], offs[0], cnts[0],
-                cents, k, metric, cap, "f32", t_slots,
+                qq, cids, plists, pgmap, storage[0], sqn[0], offs[0], cnts[0],
+                cents, k, metric, cap, mode,
+                codebooks=cb[0] if cb else None,
             )
-            d, i = d[:nq], i[:nq]
             gids = oids[0][jnp.clip(i, 0, oids.shape[1] - 1)]
             dg = jax.lax.all_gather(d, DB_AXIS, axis=1, tiled=True)
             ig = jax.lax.all_gather(gids, DB_AXIS, axis=1, tiled=True)
             md, pos = topk_smallest(dg, k)
             return md, jnp.take_along_axis(ig, pos, axis=-1)
 
-        d, ids = run(
-            q, cluster_ids, lists, ords, self.storage, self.store_sqnorms,
-            self.offsets, self.counts, self.original_ids, self.centroids,
-        )
+        args = (
+            self._encode_queries(q), cluster_ids, lists, gmap, self.storage,
+            self.store_sqnorms, self.offsets, self.counts, self.original_ids,
+            self.centroids,
+        ) + ((codebooks,) if has_cb else ())
+        d, ids = run(*args)
         return np.asarray(ids), np.asarray(d)
+
+
+class ShardedIvfPqIndex(ShardedIvfIndex):
+    """Sharded IVF-PQ: distributed coarse quantiser + per-shard residual
+    PQ cells (the north-star index, scaled over the mesh).
+
+    Codebooks are trained once on a replicated residual sample (PQ training
+    data is capped anyway — reference ivf_pq.rs:195-234); each shard encodes
+    its own rows. The ``dim == m`` configuration stores the int8 fast-scan
+    decode cache (see ``models/quantised/ivf.py``), so the distributed scan
+    is the same int8 matmul as the single-chip flagship; other ``m`` store u8
+    codes and decode on the fly.
+    """
+
+    def __init__(self, mat, metric="euclidean", nlist=None, m=None,
+                 max_iters=15, seed=42, mesh=None):
+        self._m = m
+        super().__init__(
+            mat, metric, nlist=nlist, max_iters=max_iters, seed=seed,
+            mesh=mesh,
+        )
+
+    def _encode_shards(self, sorted_parts, owners_parts, seed):
+        from ..models.quantised.quantisers import ProductQuantiser
+
+        dim = sorted_parts[0].shape[1]
+        m = self._m if self._m is not None else dim
+        c_np = np.asarray(self.centroids)
+
+        # train codebooks on a capped residual sample across shards
+        # (valid rows only — trailing shard rows are zero padding)
+        res_parts = [
+            s - c_np[o] for s, o in zip(sorted_parts, owners_parts)
+        ]
+        sample = np.concatenate(
+            [r[:v] for r, v in zip(res_parts, self._shard_valid)]
+        )[:: max(1, self.n // 100_000)]
+        self.pq = ProductQuantiser.train(jnp.asarray(sample), m, seed=seed)
+
+        if self.metric == Dist.COSINE:
+            def full_sq(rec, o):
+                recon = rec + c_np[o]
+                return (recon**2).sum(1).astype(np.float32)
+        else:
+            def full_sq(rec, o):
+                return (rec**2).sum(1).astype(np.float32)
+
+        storages, sqnorms = [], []
+        if dim == m:
+            # global int8 requantisation scales for the decode cache
+            dec_all = []
+            for r in res_parts:
+                dec_all.append(
+                    np.asarray(self.pq.decode(self.pq.encode(jnp.asarray(r))))
+                )
+            absmax = np.maximum(
+                np.abs(
+                    np.concatenate(
+                        [d[:v] for d, v in zip(dec_all, self._shard_valid)]
+                    )
+                ).max(axis=0),
+                1e-12,
+            )
+            self.dec_scales = jnp.asarray((absmax / 127.0), jnp.float32)
+            self.mode = "i8dec_residual"
+            for dec, o in zip(dec_all, owners_parts):
+                d8 = np.clip(
+                    np.round(dec / np.asarray(self.dec_scales)), -127, 127
+                ).astype(np.int8)
+                rec = d8.astype(np.float32) * np.asarray(self.dec_scales)
+                storages.append(d8)
+                sqnorms.append(full_sq(rec, o))
+        else:
+            self.dec_scales = None
+            self.mode = "pq_residual"
+            for r, o in zip(res_parts, owners_parts):
+                codes = np.asarray(self.pq.encode(jnp.asarray(r)))
+                dec = np.asarray(self.pq.decode(jnp.asarray(codes)))
+                storages.append(codes)
+                sqnorms.append(full_sq(dec, o))
+        return storages, sqnorms
+
+    def _scan_codebooks(self):
+        if self.mode == "i8dec_residual":
+            return self.dec_scales
+        return self.pq.codebooks

@@ -26,7 +26,12 @@ from ..ops.topk import chunked_topk, topk_smallest
 from ..utils.dist import Dist
 from .mesh import DB_AXIS, make_mesh
 
-__all__ = ["ShardedExhaustive", "sharded_topk"]
+__all__ = [
+    "ShardedExhaustive",
+    "BatchShardedExhaustive",
+    "sharded_topk",
+    "batch_sharded_topk",
+]
 
 
 def _pad_to_multiple(x: np.ndarray, m: int) -> np.ndarray:
@@ -72,6 +77,73 @@ def sharded_topk(
         return md, jnp.take_along_axis(ig, pos, axis=-1)
 
     return run(q, x_sharded)
+
+
+def batch_sharded_topk(
+    q_sharded: jax.Array,
+    x: jax.Array,
+    k: int,
+    metric: Dist,
+    n_valid: int,
+    mesh,
+    db_chunk: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k with the *query batch* sharded over the mesh and the database
+    replicated — pure data parallelism (the reference's rayon par_iter over
+    query rows, lib.rs:84-121, lifted across chips). No collective at all:
+    each device answers its own query block; outputs stay batch-sharded."""
+
+    @functools.partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=(P(DB_AXIS), P()),
+        out_specs=(P(DB_AXIS), P(DB_AXIS)),
+        check_vma=False,
+    )
+    def run(q_shard, xx):
+        return chunked_topk(
+            q_shard, xx, k, metric, n_valid=n_valid, db_chunk=db_chunk
+        )
+
+    return run(q_sharded, x)
+
+
+class BatchShardedExhaustive:
+    """Multi-chip exhaustive index with the database REPLICATED and query
+    batches sharded — the right layout when the DB fits on every chip and
+    query throughput is the scaling goal (dual of :class:`ShardedExhaustive`,
+    which shards the DB and replicates queries)."""
+
+    def __init__(self, mat, metric: str = "euclidean", mesh=None):
+        from ..models.base import as_f32_matrix
+        from ..utils.dist import normalise, parse_ann_dist
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        arr = as_f32_matrix(mat)
+        self.metric = parse_ann_dist(metric)
+        self.n, self.dim = arr.shape
+        x = jnp.asarray(arr)
+        if self.metric == Dist.COSINE:
+            x = normalise(x)
+        self.vectors = jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def query(self, query_mat, k: int, db_chunk: int = 16384):
+        from ..models.base import as_f32_matrix
+        from ..utils.dist import normalise
+
+        q = as_f32_matrix(query_mat)
+        nq = q.shape[0]
+        ndev = self.mesh.devices.size
+        q = _pad_to_multiple(q, ndev)
+        qj = jnp.asarray(q)
+        if self.metric == Dist.COSINE:
+            qj = normalise(qj).at[nq:].set(0.0)
+        qj = jax.device_put(qj, NamedSharding(self.mesh, P(DB_AXIS)))
+        k = max(1, min(k, self.n))
+        d, i = batch_sharded_topk(
+            qj, self.vectors, k, self.metric, self.n, self.mesh, db_chunk
+        )
+        return np.asarray(i)[:nq], np.asarray(d)[:nq]
 
 
 class ShardedExhaustive:

@@ -33,7 +33,7 @@ from annsearch_tpu.utils.metrics import (
 )
 
 
-def _run(name, build_fn, query_fn, q, k, ti, td, results):
+def _run(name, build_fn, query_fn, q, k, ti, td, results, int_space=False):
     t0 = time.perf_counter()
     index = build_fn()
     build_ms = (time.perf_counter() - t0) * 1000
@@ -45,7 +45,7 @@ def _run(name, build_fn, query_fn, q, k, ti, td, results):
     rec = calculate_recall(ti, ai, k)
     mdr = (
         calculate_mean_distance_ratio(td, ad, k)
-        if ad is not None
+        if ad is not None and not int_space
         else float("nan")
     )
     size_mb = index.memory_usage_bytes() / 1e6
@@ -139,7 +139,31 @@ SWEEPS = {
         (f"rabitq rf{rf}", {"rerank": "exact", "rerank_factor": rf})
         for rf in (5, 10, 20)
     ],
+    "ivf-binary": lambda a: [
+        (
+            f"ivf-binary nl{nl} {b}b np{np_} rr{rr}",
+            {"nlist": nl, "n_bits": b, "nprobe": np_, "rerank": rr},
+        )
+        for nl in a.nlist_sweep[:2]
+        for b in (128, 256)
+        for np_ in a.nprobe_sweep[1:3]
+        for rr in (None, "exact")
+    ],
+    "ivf-rabitq": lambda a: [
+        (
+            f"ivf-rabitq nl{nl} np{np_} rf{rf}",
+            {"nlist": nl, "nprobe": np_,
+             "rerank": "exact" if rf else None, "rerank_factor": max(rf, 1)},
+        )
+        for nl in a.nlist_sweep[:2]
+        for np_ in a.nprobe_sweep[1:]
+        for rf in (0, 10, 20)
+    ],
 }
+
+#: index kinds whose reported distances live in quantised integer space —
+#: the f32 distance ratio is meaningless there (reference prints NaN)
+_INT_SPACE_KINDS = {"ivf-sq8", "exhaustive-sq8"}
 
 
 def make_runner(kind: str, args, x):
@@ -244,6 +268,16 @@ def make_runner(kind: str, args, x):
                 lambda: ann.build_exhaustive_index_rabitq(x, dist, seed=seed),
                 lambda ix, qq: ann.query_exhaustive_index_rabitq(qq, ix, k, rerank=cfg["rerank"], rerank_factor=cfg["rerank_factor"], return_dist=True),
             )
+        if kind == "ivf-binary":
+            return (
+                lambda: ann.build_ivf_index_binary(x, dist, nlist=cfg.get("nlist"), n_bits=cfg["n_bits"], seed=seed),
+                lambda ix, qq: ann.query_ivf_index_binary(qq, ix, k, nprobe=cfg.get("nprobe"), rerank=cfg["rerank"], return_dist=True),
+            )
+        if kind == "ivf-rabitq":
+            return (
+                lambda: ann.build_ivf_index_rabitq(x, dist, nlist=cfg.get("nlist"), seed=seed),
+                lambda ix, qq: ann.query_ivf_index_rabitq(qq, ix, k, nprobe=cfg.get("nprobe"), rerank=cfg["rerank"], rerank_factor=cfg["rerank_factor"], return_dist=True),
+            )
         raise ValueError(f"unknown index kind {kind!r}")
 
     return r
@@ -278,7 +312,11 @@ def main(argv=None):
     if args.nprobe_sweep is None:
         args.nprobe_sweep = [4, 8, 16, 32]
     if args.m_sweep is None:
-        args.m_sweep = [m for m in (8, 16, 32, 64) if args.dim % m == 0 and args.dim // m >= 2]
+        # m == dim is the int8 fast-scan point (scalar sub-codebooks)
+        args.m_sweep = list(dict.fromkeys(
+            m for m in (8, 16, 32, 64, args.dim)
+            if args.dim % m == 0 and m >= 8
+        ))
 
     x, labels = generate_data(
         args.data, args.n_samples, args.dim, args.n_clusters, args.seed,
@@ -302,7 +340,10 @@ def main(argv=None):
     for name, cfg in SWEEPS[args.index](args):
         build_fn, query_fn = runner(cfg)
         try:
-            _run(name, build_fn, query_fn, q, args.k, ti, td, results)
+            _run(
+                name, build_fn, query_fn, q, args.k, ti, td, results,
+                int_space=args.index in _INT_SPACE_KINDS,
+            )
         except Exception as e:  # keep sweeping past OOM/param errors
             print(f"{name:<48} FAILED: {e}", flush=True)
     print("-" * 120)

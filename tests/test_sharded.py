@@ -5,7 +5,10 @@ import numpy as np
 import jax
 
 from annsearch_tpu.parallel.mesh import make_mesh
-from annsearch_tpu.parallel.sharded import ShardedExhaustive
+from annsearch_tpu.parallel.sharded import (
+    BatchShardedExhaustive,
+    ShardedExhaustive,
+)
 
 
 def test_eight_devices_available():
@@ -34,6 +37,21 @@ def test_sharded_with_padding(rng):
     assert (idx < 77).all()
     np.testing.assert_allclose(dist[:, 0], np.zeros(5), atol=1e-4)
     np.testing.assert_array_equal(idx[:, 0], np.arange(5))
+
+
+def test_batch_sharded_matches_brute(rng):
+    # queries sharded, DB replicated — results identical to brute force,
+    # uneven query count exercises the batch padding
+    x = rng.standard_normal((150, 16)).astype(np.float32)
+    q = rng.standard_normal((13, 16)).astype(np.float32)
+    mesh = make_mesh(8)
+    index = BatchShardedExhaustive(x, "euclidean", mesh=mesh)
+    idx, dist = index.query(q, 7, db_chunk=32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    expect_i = np.argsort(full, axis=1)[:, :7]
+    expect_d = np.sort(full, axis=1)[:, :7]
+    np.testing.assert_allclose(dist, expect_d, rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(idx, expect_i)
 
 
 def test_sharded_cosine(rng):
