@@ -177,6 +177,19 @@ class IvfOpqIndex(IvfPqIndex):
         self.codebooks = opq.pq.codebooks
         self.quantiser = opq.pq
         codes = opq.encode(residuals)
+        if self.dim == m:
+            # int8 fast-scan cache of the rotated-space reconstructions
+            # (scoring already happens in the rotated space)
+            dec = opq.pq.decode(codes)
+            dec8, self.dec_scales = _requantise_i8(dec)
+            self.mode = "i8dec_residual"
+            rec = dec8.astype(jnp.float32) * self.dec_scales[None, :]
+            if self.metric == Dist.COSINE:
+                sn = sq_norms(rec + self.centroids[owner] @ self.rotation)
+            else:
+                sn = sq_norms(rec)
+            self._pad_storage(dec8, sn)
+            return
         if self.metric == Dist.COSINE:
             # norms in rotated space equal norms in original space
             recon = opq.pq.decode(codes) + self.centroids[owner] @ self.rotation
@@ -194,8 +207,15 @@ class IvfOpqIndex(IvfPqIndex):
         return self.seg_centroids @ self.rotation
 
     def _decoded_sorted(self) -> np.ndarray:
-        dec = np.asarray(self.opq.decode(self.storage[: self.n]))
         owner = np.asarray(self._owner_clusters())
+        if self.mode == "i8dec_residual":
+            # storage holds rotated-space int8 reconstructions
+            rec = np.asarray(self.storage[: self.n], np.float32) * np.asarray(
+                self.dec_scales
+            )
+            dec = rec @ np.asarray(self.rotation).T
+        else:
+            dec = np.asarray(self.opq.decode(self.storage[: self.n]))
         return dec + np.asarray(self.centroids)[owner]
 
     def _post_load_hook(self):

@@ -31,17 +31,25 @@ CONFIGS = [
     ("ivf", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19"]),
     ("kmknn", ["--nlist-sweep", "387"]),
     ("annoy", []),
+    ("kdtree", []),
     ("balltree", []),
     ("hnsw", []),
     ("vamana", []),
     ("nndescent", []),
     ("lsh", []),
     ("exhaustive-bf16", []),
+    ("exhaustive-sq8", []),
+    ("exhaustive-pq", ["--m-sweep", "8", "16"]),
     ("ivf-bf16", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19"]),
     ("ivf-sq8", ["--nlist-sweep", "387", "--nprobe-sweep", "19"]),
-    ("ivf-pq", ["--nlist-sweep", "387", "--m-sweep", "8", "--nprobe-sweep", "19"]),
+    ("ivf-pq", ["--nlist-sweep", "387", "--m-sweep", "8", "32",
+                "--nprobe-sweep", "19"]),
+    ("ivf-opq", ["--nlist-sweep", "387", "--m-sweep", "8",
+                 "--nprobe-sweep", "19"]),
     ("binary", []),
     ("rabitq", []),
+    ("ivf-binary", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19", "38"]),
+    ("ivf-rabitq", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19", "38"]),
 ]
 
 QUICK = [

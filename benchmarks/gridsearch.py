@@ -33,15 +33,19 @@ from annsearch_tpu.utils.metrics import (
 )
 
 
-def _run(name, build_fn, query_fn, q, k, ti, td, results, int_space=False):
+def _run(name, build_fn, query_fn, q, k, ti, td, results, int_space=False,
+         reps=2):
     t0 = time.perf_counter()
     index = build_fn()
     build_ms = (time.perf_counter() - t0) * 1000
-    # warm the query path once (jit compile), then time
+    # warm the query path once (jit compile), then time ≥2 runs and take the
+    # min — run-to-run variance through the device tunnel is large (±2×)
     query_fn(index, q[:8])
-    t0 = time.perf_counter()
-    ai, ad = query_fn(index, q)
-    query_ms = (time.perf_counter() - t0) * 1000
+    query_ms = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        ai, ad = query_fn(index, q)
+        query_ms = min(query_ms, (time.perf_counter() - t0) * 1000)
     rec = calculate_recall(ti, ai, k)
     mdr = (
         calculate_mean_distance_ratio(td, ad, k)
@@ -302,6 +306,7 @@ def main(argv=None):
     p.add_argument("--nlist-sweep", type=int, nargs="+", default=None)
     p.add_argument("--nprobe-sweep", type=int, nargs="+", default=None)
     p.add_argument("--m-sweep", type=int, nargs="+", default=None)
+    p.add_argument("--reps", type=int, default=2)
     args = p.parse_args(argv)
 
     if args.n_queries is None:
@@ -342,7 +347,7 @@ def main(argv=None):
         try:
             _run(
                 name, build_fn, query_fn, q, args.k, ti, td, results,
-                int_space=args.index in _INT_SPACE_KINDS,
+                int_space=args.index in _INT_SPACE_KINDS, reps=args.reps,
             )
         except Exception as e:  # keep sweeping past OOM/param errors
             print(f"{name:<48} FAILED: {e}", flush=True)
