@@ -44,8 +44,15 @@ DTYPE_BYTES = {
 
 
 def as_f32_matrix(mat: Any) -> np.ndarray:
-    """Coerce input to a C-contiguous ``[n, d]`` float32 numpy matrix
-    (the reference's ``matrix_to_flat``, utils/mod.rs:40-53)."""
+    """Coerce input to a C-contiguous ``[n, d]`` float32 matrix
+    (the reference's ``matrix_to_flat``, utils/mod.rs:40-53).
+
+    Device arrays pass through (cast only) — round-tripping a large on-device
+    dataset through host memory costs minutes on slow host links."""
+    if isinstance(mat, jax.Array) and not isinstance(mat, np.ndarray):
+        if mat.ndim != 2:
+            raise ValueError(f"expected a 2-D matrix, got shape {mat.shape}")
+        return mat.astype(jnp.float32)
     arr = np.asarray(mat, dtype=np.float32)
     if arr.ndim != 2:
         raise ValueError(f"expected a 2-D matrix, got shape {arr.shape}")

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
+from ..ops.ivf_scan_pallas import fused_eligible, fused_ivf_scan, repack_blocks
 from ..ops.topk import topk_smallest
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
@@ -125,6 +126,18 @@ class IvfBase(BaseIndex):
     def _aux(self):
         return None
 
+    def _fused_blocks(self):
+        """Block-aligned storage tiles for the fused Pallas scan (repacked
+        once per index, on device)."""
+        cached = getattr(self, "_fused_blocks_cache", None)
+        if cached is None:
+            cached = repack_blocks(
+                self.storage, self.store_sqnorms, self.seg_offsets,
+                self.seg_size,
+            )
+            self._fused_blocks_cache = cached
+        return cached
+
     def _pad_storage(self, storage: jax.Array, sqnorms: jax.Array):
         pad = self.seg_size
         self.storage = jnp.concatenate(
@@ -176,6 +189,29 @@ class IvfBase(BaseIndex):
         cluster_ids, lists, gmap = build_probe_lists_from_pairs(
             qs, segs, len(np.asarray(self.seg_offsets)), nq
         )
+        eff_mode = self.mode if mode is None else mode
+        if approx and q_eff is None and fused_eligible(
+            eff_mode, self.seg_size, int(self.storage.shape[1]), k
+        ):
+            blocks, sn_blocks = self._fused_blocks()
+            kb = max(8, 1 << (max(k, 1) - 1).bit_length())
+            return fused_ivf_scan(
+                self._encode_queries(q),
+                jnp.asarray(cluster_ids),
+                jnp.asarray(lists),
+                jnp.asarray(gmap),
+                blocks,
+                sn_blocks,
+                self.seg_offsets,
+                self.seg_counts,
+                self._scan_seg_centroids(),
+                k,
+                self.metric,
+                eff_mode,
+                self._codebooks(),
+                kb,
+                interpret=jax.default_backend() != "tpu",
+            )
         best_d, best_i = ivf_cluster_scan(
             self._encode_queries(q) if q_eff is None else q_eff,
             jnp.asarray(cluster_ids),

@@ -1,0 +1,289 @@
+"""Fused Pallas IVF cell-scan kernel.
+
+The XLA-composed cluster scan (``ops/ivf_scan.py``) bottoms out at
+~0.2 ms/step: every step round-trips the [maxq, cap] distance tile and the
+per-cell selection through HBM, and the dynamic storage slices defeat XLA's
+prefetcher. This kernel fuses score → epilogue → select inside VMEM, with
+the cell blocks streamed by the Pallas pipeline itself (scalar-prefetched
+block ids drive the BlockSpec index map, so the next cell's DMA overlaps the
+current cell's matmul — the TPU analogue of the reference GPU's
+fire-and-forget mega-kernel, src/gpu/dist_gpu.rs:742-1652).
+
+Selection inside the kernel is two-stage and approximate-with-recovery:
+fold the ``seg`` lanes to 128 stride-class minima (full-lane VPU ops),
+then extract ``kb`` minima from the 128 survivors. Each (query, task) keeps
+``kb ≥ k`` candidates and the final cross-task top-k outside the kernel is
+exact, so quality matches ``lax.approx_min_k`` per-cell selection (the
+``approx=True`` scan mode).
+
+Storage layout: cells are repacked once per index into block-aligned
+``[nseg+1, seg, w]`` tiles (sentinel block = zeros) so the kernel's
+index map is a pure block lookup; the repack is an on-device gather cached
+by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.dist import Dist, sq_norms
+
+__all__ = ["fused_eligible", "fused_ivf_scan", "repack_blocks"]
+
+_LANES = 128
+
+
+def _next_pow2(v: int) -> int:
+    return 1 << (max(v, 1) - 1).bit_length()
+
+
+def fused_eligible(mode: str, seg_size: int, dim_w: int, k: int) -> bool:
+    """The fused kernel handles dense-row storage (one matmul per cell) with
+    hardware-aligned tiles. PQ-coded / packed-bit modes keep the XLA scan."""
+    return (
+        mode in ("bf16", "i8dec", "i8dec_residual")
+        and seg_size % _LANES == 0
+        and seg_size >= _LANES
+        and dim_w % _LANES == 0
+        and k <= _LANES
+    )
+
+
+def repack_blocks(
+    storage: jax.Array, sqnorms: jax.Array, seg_offsets: jax.Array,
+    seg_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather the segmented storage into block-aligned [nseg+1, seg, w] tiles
+    (+1 = zero sentinel block for padded scan rows). On-device; cached by the
+    index."""
+    idx = seg_offsets.astype(jnp.int32)[:, None] + jnp.arange(
+        seg_size, dtype=jnp.int32
+    )
+    blocks = jnp.concatenate(
+        [storage[idx], jnp.zeros((1, seg_size) + storage.shape[1:],
+                                 storage.dtype)]
+    )
+    sn = jnp.concatenate(
+        [sqnorms[idx].astype(jnp.float32),
+         jnp.zeros((1, seg_size), jnp.float32)]
+    )
+    return blocks, sn
+
+
+def _scan_kernel(
+    # scalar prefetch
+    blk_ref,      # [R] int32 block ids
+    cnt_ref,      # [R] int32 valid rows per block
+    # VMEM blocks
+    qg_ref,       # [1, maxq, d] bf16 (pre-scaled / residual-shifted)
+    qadd_ref,     # [1, maxq] f32 additive query term
+    cell_ref,     # [1, seg, d] int8|bf16
+    sn_ref,       # [1, seg] f32
+    # outputs
+    cd_ref,       # [1, maxq, kb] f32
+    ci_ref,       # [1, maxq, kb] int32 (lane within segment)
+    *,
+    epilogue: str,
+    kb: int,
+):
+    r = pl.program_id(0)
+    qg = qg_ref[0]
+    cell = cell_ref[0].astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(
+        qg, cell, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # [maxq, seg]
+    maxq, seg = dots.shape
+    sn = sn_ref[0]                                # [seg]
+    qadd = qadd_ref[0]                            # [maxq]
+    if epilogue == "l2":
+        dist = jnp.maximum(qadd[:, None] + sn[None, :] - 2.0 * dots, 0.0)
+    elif epilogue == "cos_renorm":
+        rs = jax.lax.rsqrt(jnp.maximum(sn, 1e-12))
+        dist = 1.0 - (dots + qadd[:, None]) * rs[None, :]
+    else:  # cos_plain — rows pre-normalised
+        dist = 1.0 - dots
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (maxq, seg), 1)
+    dist = jnp.where(lane < cnt_ref[r], dist, jnp.inf)
+
+    # stage 1: fold seg lanes → 128 stride-class minima (full-lane VPU ops)
+    li = jax.lax.broadcasted_iota(jnp.int32, (maxq, _LANES), 1)
+    vals = dist[:, :_LANES]
+    idx = li
+    for c in range(1, seg // _LANES):
+        nv = dist[:, c * _LANES:(c + 1) * _LANES]
+        upd = nv < vals
+        idx = jnp.where(upd, c * _LANES + li, idx)
+        vals = jnp.where(upd, nv, vals)
+
+    # stage 2: kb sequential min-extractions from the 128 survivors
+    vs, ls = [], []
+    for _ in range(kb):
+        v = jnp.min(vals, axis=-1)                        # [maxq]
+        hit = vals == v[:, None]
+        l_of_v = jnp.min(jnp.where(hit, idx, seg), axis=-1)
+        vs.append(v)
+        ls.append(l_of_v)
+        vals = jnp.where(hit & (idx == l_of_v[:, None]), jnp.inf, vals)
+    cd_ref[0] = jnp.stack(vs, axis=-1)
+    ci_ref[0] = jnp.stack(ls, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kb", "epilogue", "interpret"),
+)
+def _fused_cell_scan(
+    qg: jax.Array,        # [R, maxq, d] bf16
+    qadd: jax.Array,      # [R, maxq] f32
+    blk_ids: jax.Array,   # [R] int32
+    counts_r: jax.Array,  # [R] int32
+    blocks: jax.Array,    # [nseg+1, seg, d]
+    sn_blocks: jax.Array, # [nseg+1, seg] f32
+    kb: int,
+    epilogue: str,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    R, maxq, d = qg.shape
+    seg = blocks.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, maxq, d), lambda r, blk, cnt: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxq), lambda r, blk, cnt: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seg, d), lambda r, blk, cnt: (blk[r], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seg), lambda r, blk, cnt: (blk[r], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, maxq, kb), lambda r, blk, cnt: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxq, kb), lambda r, blk, cnt: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kern = functools.partial(_scan_kernel, epilogue=epilogue, kb=kb)
+    cd, ci = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, maxq, kb), jnp.float32),
+            jax.ShapeDtypeStruct((R, maxq, kb), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blk_ids, counts_r, qg, qadd, blocks, sn_blocks)
+    return cd, ci
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "mode", "kb", "interpret"),
+)
+def fused_ivf_scan(
+    queries: jax.Array,       # [nq, d] f32 effective queries
+    cluster_ids: jax.Array,   # [R] int segment ids (pad = nseg)
+    probe_lists: jax.Array,   # [R, maxq] int query ids (pad = nq)
+    gather_map: jax.Array,    # [nq, T] int32 flat scan lanes (pad = -1)
+    blocks: jax.Array,        # [nseg+1, seg, d] repacked cells
+    sn_blocks: jax.Array,     # [nseg+1, seg] f32
+    seg_offsets: jax.Array,   # [nseg] int32 (maps lanes back to sorted rows)
+    seg_counts: jax.Array,    # [nseg] int32
+    seg_centroids: jax.Array, # [nseg, d] f32 (scoring space)
+    k: int,
+    metric: Dist,
+    mode: str,
+    scales: jax.Array | None, # [d] f32 decode scales (i8dec modes)
+    kb: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-kernel replacement for ``ivf_cluster_scan`` (approx selection).
+
+    Returns ``(best_d, best_i)`` of shape ``[nq, k]`` ascending, with
+    ``best_i`` positions in the sorted storage.
+    """
+    nq, d = queries.shape
+    nseg = seg_offsets.shape[0]
+    R, maxq = probe_lists.shape
+
+    queries_x = jnp.concatenate([queries, jnp.zeros((1, d), queries.dtype)])
+    cent_x = jnp.concatenate(
+        [seg_centroids, jnp.zeros((1, d), seg_centroids.dtype)]
+    )
+    offs_x = jnp.concatenate(
+        [seg_offsets.astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+    )
+    cnts_x = jnp.concatenate(
+        [seg_counts.astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+    )
+
+    cid = jnp.minimum(cluster_ids.astype(jnp.int32), nseg)     # [R]
+    qid = jnp.minimum(probe_lists.astype(jnp.int32), nq)       # [R, maxq]
+    qg = queries_x[qid]                                        # [R, maxq, d]
+    cent = cent_x[cid]                                         # [R, d]
+
+    if mode == "i8dec_residual":
+        if metric == Dist.COSINE:
+            qadd = jnp.einsum("rmd,rd->rm", qg, cent)
+            qk = qg * scales[None, None, :]
+            epilogue = "cos_renorm"
+        else:
+            qr = qg - cent[:, None, :]
+            qadd = jnp.sum(qr * qr, axis=-1)
+            qk = qr * scales[None, None, :]
+            epilogue = "l2"
+    elif mode == "i8dec":
+        qk = qg * scales[None, None, :]
+        if metric == Dist.COSINE:
+            qadd = jnp.zeros((R, maxq), jnp.float32)
+            epilogue = "cos_renorm"
+        else:
+            qadd = jnp.sum(qg * qg, axis=-1)
+            epilogue = "l2"
+    else:  # bf16
+        qk = qg
+        if metric == Dist.COSINE:
+            qadd = jnp.zeros((R, maxq), jnp.float32)
+            epilogue = "cos_plain"
+        else:
+            qadd = sq_norms(qg.reshape(-1, d)).reshape(R, maxq)
+            epilogue = "l2"
+
+    cd, ci = _fused_cell_scan(
+        qk.astype(jnp.bfloat16), qadd.astype(jnp.float32),
+        cid, cnts_x[cid], blocks, sn_blocks, kb, epilogue, interpret,
+    )
+    # lane → sorted-storage row (sentinel lane ``seg`` lands in the padded
+    # trailing rows — storage carries ≥ seg_size pad, matching the XLA scan)
+    gi = offs_x[cid][:, None, None] + ci
+
+    flat_d = cd.reshape(-1, kb)
+    flat_i = gi.reshape(-1, kb)
+    gd = jnp.take(
+        flat_d, gather_map, axis=0, mode="fill", fill_value=float("inf")
+    ).reshape(nq, -1)
+    gi2 = jnp.take(
+        flat_i, gather_map, axis=0, mode="fill", fill_value=0
+    ).reshape(nq, -1)
+    kk = min(k, gd.shape[1])
+    nd, pos = jax.lax.top_k(-gd, kk)
+    best_i = jnp.take_along_axis(gi2, pos, axis=-1)
+    best_d = -nd
+    if kk < k:
+        best_d = jnp.concatenate(
+            [best_d, jnp.full((nq, k - kk), jnp.inf, jnp.float32)], axis=-1
+        )
+        best_i = jnp.concatenate(
+            [best_i, jnp.zeros((nq, k - kk), jnp.int32)], axis=-1
+        )
+    return best_d, best_i

@@ -20,15 +20,19 @@ not a TPU hot path.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 __all__ = [
     "generate_clustered_data",
+    "generate_clustered_data_device",
     "generate_clustered_data_high_dim",
     "generate_low_rank_rotated_data",
     "generate_quantisation_stress",
     "generate_data",
     "subsample_with_noise",
+    "subsample_with_noise_device",
     "DEFAULT_COR_STRENGTH",
 ]
 
@@ -65,6 +69,50 @@ def generate_clustered_data(
     noise = rng.standard_normal((n_samples, dim))
     data = centres[labels] + noise * stds[labels][:, None]
     return data.astype(np.float32), labels
+
+
+def generate_clustered_data_device(
+    n_samples: int, dim: int, n_clusters: int, seed: int = 42
+):
+    """GaussianNoise suite generated ON DEVICE (same distribution family as
+    :func:`generate_clustered_data`: centres U(-7.5, 7.5), stds U(0.5, 2.5),
+    cluster sizes ∝ U(0.5, 2.5) weights).
+
+    For benchmark-scale datasets the host→device upload dominates on slow
+    links (a 1M×128d matrix is 512 MB); generating on device costs one tiny
+    program instead. Returns ``(data [n, d] f32 device array, labels)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def _gen(key, n, d, k):
+        kc, ks, kw, kl, kn = jax.random.split(key, 5)
+        centres = jax.random.uniform(kc, (k, d), minval=-7.5, maxval=7.5)
+        stds = jax.random.uniform(ks, (k,), minval=0.5, maxval=2.5)
+        w = jax.random.uniform(kw, (k,), minval=0.5, maxval=2.5)
+        labels = jax.random.categorical(kl, jnp.log(w), shape=(n,))
+        noise = jax.random.normal(kn, (n, d))
+        data = centres[labels] + noise * stds[labels][:, None]
+        return data.astype(jnp.float32), labels.astype(jnp.int32)
+
+    return _gen(jax.random.key(seed), n_samples, dim, n_clusters)
+
+
+def subsample_with_noise_device(data, n_samples: int, seed: int = 42):
+    """Device-side noisy query subsample (σ=0.05, seed offset +1000 —
+    mirrors :func:`subsample_with_noise`)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _sub(key, x, m):
+        ki, kn = jax.random.split(key)
+        idx = jax.random.choice(ki, x.shape[0], (m,), replace=False)
+        return x[idx] + jax.random.normal(kn, (m, x.shape[1])) * 0.05
+
+    m = min(n_samples, data.shape[0])
+    return _sub(jax.random.key(seed + 1000), data, m)
 
 
 def _separated_centres(

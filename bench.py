@@ -33,7 +33,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 import numpy as np
 
 import annsearch_tpu as ann
-from annsearch_tpu.utils.data import generate_clustered_data, subsample_with_noise
 from annsearch_tpu.utils.metrics import calculate_recall
 
 BASELINE_IVFPQ_QPS = 15_000 / 1.585  # reference CPU IVF-PQ batch rate
@@ -43,10 +42,18 @@ BASELINE_EXH_QPS = 15_000 / 0.641    # reference GPU exhaustive batch rate
 def headline_ivfpq():
     N, D, NC, NQ, K = 1_000_000, 128, 100, 10_000, 10
     NQ_GT = 2_000
-    x, _ = generate_clustered_data(N, D, NC, seed=42)
-    q = subsample_with_noise(x, NQ, seed=42)
+    # generated ON DEVICE: the 512 MB host upload dominates (and has crashed
+    # the worker) on slow tunnel links; the GT cache is keyed to this
+    # generator's seed
+    from annsearch_tpu.utils.data import (
+        generate_clustered_data_device,
+        subsample_with_noise_device,
+    )
 
-    gt_path = f"/tmp/gt_{N}_{D}d.npz"
+    x, _ = generate_clustered_data_device(N, D, NC, seed=42)
+    q = subsample_with_noise_device(x, NQ, seed=42)
+
+    gt_path = f"/tmp/gt_dev_{N}_{D}d.npz"
     if os.path.exists(gt_path) and np.load(gt_path)["ti"].shape[0] >= NQ_GT:
         ti = np.load(gt_path)["ti"][:NQ_GT]
     else:
@@ -92,8 +99,13 @@ def headline_ivfpq():
 
 def fallback_exhaustive():
     N, DIM, NCLUST, NQ, K = 150_000, 32, 25, 15_000, 15
-    x, _ = generate_clustered_data(N, DIM, NCLUST, seed=42)
-    q = subsample_with_noise(x, NQ, seed=42)
+    from annsearch_tpu.utils.data import (
+        generate_clustered_data_device,
+        subsample_with_noise_device,
+    )
+
+    x, _ = generate_clustered_data_device(N, DIM, NCLUST, seed=42)
+    q = subsample_with_noise_device(x, NQ, seed=42)
     index = ann.build_exhaustive_index(x, "euclidean")
     index.query(q, K)
     t0 = time.time()
