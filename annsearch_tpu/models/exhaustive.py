@@ -43,8 +43,9 @@ class ExhaustiveIndex(BaseIndex):
         selector: str = "exact",
     ) -> tuple[np.ndarray, np.ndarray]:
         """``selector``: "exact" (default — ground-truth quality),
-        "approx" (per-tile approx_min_k) or "bins" (selection-free running
-        bins — fastest, ~1e-5 tail loss)."""
+        "approx" (per-tile approx_min_k), "bins" (selection-free running
+        bins, ~1e-5 tail loss) or "fused" (Pallas kernel — bins state in
+        VMEM, fastest on TPU, same tail loss as "bins")."""
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         d, i = blocked_query_topk(

@@ -224,11 +224,15 @@ class NNDescentIndex(BaseIndex):
         kk = min(self.k_build + 1, n)
         # HIGH (bf16x3) — measured: DEFAULT single-pass bf16 destroys
         # neighbour order on low-intrinsic-dim data (recall 0.08 on the
-        # lowrank suite) while HIGH holds 0.986
+        # lowrank suite) while HIGH holds 0.986. On TPU the fused Pallas
+        # flat scan keeps the bins state in VMEM (the XLA carry spill to
+        # HBM was the floor of this build).
+        selector = "fused" if jax.default_backend() == "tpu" else "exact"
         d, i = blocked_query_topk(
             vecs[:n], vecs[:n], kk, self.metric,
             x_sqnorm=sq[:n] if self.metric == Dist.EUCLIDEAN else None,
             precision=jax.lax.Precision.HIGH,
+            selector=selector,
         )
         # drop the self column (first hit is self at distance ~0; if ties
         # shuffled it, mask any exact self id)

@@ -1,0 +1,256 @@
+"""Fused Pallas flat-scan top-k (exhaustive / self-kNN path).
+
+The XLA running-bins scan (``ops/topk.chunked_topk_bins``) is the fastest
+XLA formulation — matmul + elementwise min-updates, no per-tile sort — but
+its ``[bq, bins]`` carry exceeds VMEM, so XLA spills it to HBM every scan
+step; the spill traffic is the measured floor of the 1M self-kNN build
+(PROGRESS_NOTES #bottlenecks). This kernel keeps the bins state in VMEM
+scratch across database tiles and fuses the distance epilogue into the
+min-update, cutting the per-element VPU work to ~4 ops:
+
+  grid (query_tile i, db_tile j) — j innermost, so one query tile streams
+  the whole database while its bins state lives in VMEM:
+    dots  = q_tile · db_tile^T         (MXU; 1 bf16 pass or 3-pass bf16x3)
+    score = sn_tile − 2·dots           (rank-equivalent: ‖q‖² added at the end)
+    bins[lane] = min-update (depth 1 or 2 per residue class)
+    at j == last: extract kb minima → dense [QT, kb] outputs
+
+Selection quality matches the XLA bins scan: a true top-k entry is lost only
+when > depth of the true top-k share one residue class
+(P ≈ C(k, depth+1)/bins^depth).
+
+Precision: ``passes=1`` is a plain bf16 matmul; ``passes=3`` is the bf16x3
+split (hi/lo) ≈ f32 — required on low-rank/correlated data where bf16
+rounding cancels the signal (see PROGRESS_NOTES).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.dist import Dist, sq_norms
+
+__all__ = ["flat_topk_fused"]
+
+_DEF_QT = 128
+_DEF_B = 4096
+
+
+def _flat_kernel(
+    q_refs,       # tuple of [1, QT, d] bf16 blocks (hi[, lo])
+    x_refs,       # tuple of [1, B, d] bf16 blocks (hi[, lo])
+    sn_ref,       # [1, B] f32 (additive; +inf on padding rows)
+    qadd_ref,     # [1, QT] f32 (added to outputs at extraction)
+    d_out_ref,    # [1, QT, kb] f32
+    i_out_ref,    # [1, QT, kb] int32
+    m_ref,        # scratch [QT, depth*B] f32
+    ii_ref,       # scratch [QT, depth*B] int32
+    *,
+    kb: int,
+    depth: int,
+):
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    QT = m_ref.shape[0]
+    B = sn_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full(m_ref.shape, jnp.inf, jnp.float32)
+        ii_ref[:] = jnp.zeros(ii_ref.shape, jnp.int32)
+
+    qhi = q_refs[0][0]
+    xhi = x_refs[0][0]
+    dn = (((1,), (1,)), ((), ()))
+    dots = jax.lax.dot_general(
+        qhi, xhi, dn, preferred_element_type=jnp.float32
+    )
+    if len(q_refs) == 2:  # bf16x3: hi·hi + hi·lo + lo·hi
+        qlo = q_refs[1][0]
+        xlo = x_refs[1][0]
+        dots = dots + jax.lax.dot_general(
+            qhi, xlo, dn, preferred_element_type=jnp.float32
+        )
+        dots = dots + jax.lax.dot_general(
+            qlo, xhi, dn, preferred_element_type=jnp.float32
+        )
+    score = sn_ref[0][None, :] - 2.0 * dots           # [QT, B]
+    col = j * B + jax.lax.broadcasted_iota(jnp.int32, (QT, B), 1)
+
+    m1 = m_ref[:, :B]
+    b1 = score < m1
+    m_ref[:, :B] = jnp.where(b1, score, m1)
+    i1 = ii_ref[:, :B]
+    ii_ref[:, :B] = jnp.where(b1, col, i1)
+    if depth == 2:
+        spill = jnp.where(b1, m1, score)
+        spi = jnp.where(b1, i1, col)
+        m2 = m_ref[:, B:]
+        b2 = spill < m2
+        m_ref[:, B:] = jnp.where(b2, spill, m2)
+        ii_ref[:, B:] = jnp.where(b2, spi, ii_ref[:, B:])
+
+    @pl.when(j == nb - 1)
+    def _():
+        vals = m_ref[:]
+        idx = ii_ref[:]
+        qadd = qadd_ref[0]
+        vs, ls = [], []
+        for _ in range(kb):
+            v = jnp.min(vals, axis=-1)                        # [QT]
+            hit = vals == v[:, None]
+            l_of_v = jnp.min(jnp.where(hit, idx, 2**30), axis=-1)
+            vs.append(v + qadd)
+            ls.append(l_of_v)
+            vals = jnp.where(hit & (idx == l_of_v[:, None]), jnp.inf, vals)
+        d_out_ref[0] = jnp.stack(vs, axis=-1)
+        i_out_ref[0] = jnp.stack(ls, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "n_valid", "passes", "depth", "block_q", "block_db",
+        "interpret",
+    ),
+)
+def flat_topk_fused(
+    q: jax.Array,                     # [nq, d] f32 (pre-normalised if cosine)
+    x: jax.Array,                     # [n, d] f32
+    k: int,
+    metric: Dist,
+    x_sqnorm: jax.Array | None = None,
+    n_valid: int | None = None,
+    passes: int = 1,
+    depth: int = 2,
+    block_q: int = _DEF_QT,
+    block_db: int = _DEF_B,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused flat top-k: ``(dists [nq, k], indices [nq, k])`` ascending.
+
+    Euclidean distances are squared (library convention); cosine returns
+    ``1 − sim``. Padding rows (beyond ``n_valid``) never win.
+    """
+    nq, d = q.shape
+    n = x.shape[0]
+    if n_valid is None:
+        n_valid = n
+    kb = min(1 << (max(k, 8) - 1).bit_length(), 128)
+
+    B = min(block_db, max(128, 1 << (n - 1).bit_length()))
+    QT = min(block_q, max(8, 1 << (nq - 1).bit_length()))
+    pad_n = (-n) % B
+    pad_q = (-nq) % QT
+
+    if metric == Dist.EUCLIDEAN:
+        sn = sq_norms(x) if x_sqnorm is None else x_sqnorm.astype(jnp.float32)
+        qadd = sq_norms(q)
+        out_shift = 0.0
+    else:
+        # cosine: the shared epilogue yields score = −2·dots (norm term
+        # zero); rank-equivalent — rescaled to 1 − dots after extraction
+        sn = jnp.zeros((n,), jnp.float32)
+        qadd = jnp.zeros((nq,), jnp.float32)
+        out_shift = 1.0
+    # +inf on padding / out-of-range rows keeps them out of every bin
+    rows = jnp.arange(n, dtype=jnp.int32)
+    sn = jnp.where(rows < n_valid, sn, jnp.inf)
+    if pad_n:
+        x = jnp.concatenate([x, jnp.zeros((pad_n, d), x.dtype)])
+        sn = jnp.concatenate([sn, jnp.full((pad_n,), jnp.inf, jnp.float32)])
+    if pad_q:
+        q = jnp.concatenate([q, jnp.zeros((pad_q, d), q.dtype)])
+        qadd = jnp.concatenate([qadd, jnp.zeros((pad_q,), jnp.float32)])
+
+    NB = x.shape[0] // B
+    QI = q.shape[0] // QT
+    x_blocks = x.reshape(NB, B, d)
+    sn_blocks = sn.reshape(NB, B)
+    q_blocks = q.reshape(QI, QT, d)
+    qadd_blocks = qadd.reshape(QI, QT)
+
+    def hi_lo(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    if passes == 3:
+        qhi, qlo = hi_lo(q_blocks)
+        xhi, xlo = hi_lo(x_blocks)
+        q_in, x_in = (qhi, qlo), (xhi, xlo)
+    else:
+        q_in = (q_blocks.astype(jnp.bfloat16),)
+        x_in = (x_blocks.astype(jnp.bfloat16),)
+
+    q_specs = [
+        pl.BlockSpec((1, QT, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in q_in
+    ]
+    x_specs = [
+        pl.BlockSpec((1, B, d), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in x_in
+    ]
+
+    kern = functools.partial(
+        lambda *refs, kb, depth, nq_in, nx_in: _flat_kernel(
+            refs[:nq_in], refs[nq_in:nq_in + nx_in],
+            refs[nq_in + nx_in], refs[nq_in + nx_in + 1],
+            refs[nq_in + nx_in + 2], refs[nq_in + nx_in + 3],
+            refs[nq_in + nx_in + 4], refs[nq_in + nx_in + 5],
+            kb=kb, depth=depth,
+        ),
+        kb=kb, depth=depth, nq_in=len(q_in), nx_in=len(x_in),
+    )
+    cd, ci = pl.pallas_call(
+        kern,
+        grid=(QI, NB),
+        in_specs=q_specs + x_specs + [
+            pl.BlockSpec((1, B), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, QT, kb), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, kb), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((QI, QT, kb), jnp.float32),
+            jax.ShapeDtypeStruct((QI, QT, kb), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((QT, depth * B), jnp.float32),
+            pltpu.VMEM((QT, depth * B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*q_in, *x_in, sn_blocks, qadd_blocks)
+
+    cd = cd.reshape(-1, kb)[:nq]
+    if metric == Dist.EUCLIDEAN:
+        cd = jnp.maximum(cd, 0.0)
+    else:
+        cd = cd * 0.5 + out_shift
+    ci = ci.reshape(-1, kb)[:nq]
+    kk = min(k, kb)
+    # kernel extraction is already ascending; slice and clamp
+    best_d = cd[:, :kk]
+    best_i = jnp.minimum(ci[:, :kk], max(n_valid - 1, 0))
+    if kk < k:
+        best_d = jnp.concatenate(
+            [best_d, jnp.full((nq, k - kk), jnp.inf, jnp.float32)], axis=-1
+        )
+        best_i = jnp.concatenate(
+            [best_i, jnp.zeros((nq, k - kk), jnp.int32)], axis=-1
+        )
+    return best_d, best_i

@@ -250,8 +250,23 @@ def blocked_query_topk(
     compiled program reused per block) so ``[nq, n]`` is never materialised;
     this is the TPU analogue of the reference's query-chunk × db-chunk double
     loop (dist_gpu.rs:550-685). ``selector="bins"`` swaps in the
-    selection-free running-bins scan (fastest; ~1e-5 tail loss).
+    selection-free running-bins scan; ``selector="fused"`` runs the Pallas
+    flat-scan kernel (bins state held in VMEM — no HBM carry spill; same
+    ~1e-5 tail loss as "bins").
     """
+    if selector == "fused":
+        from .flat_scan_pallas import flat_topk_fused
+
+        passes = (
+            3
+            if precision
+            in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
+            else 1
+        )
+        return flat_topk_fused(
+            q, x, k, metric, x_sqnorm=x_sqnorm, n_valid=n_valid,
+            passes=passes, interpret=jax.default_backend() != "tpu",
+        )
     nq = q.shape[0]
     qb = min(query_block, max(nq, 8))
     qp = _pad_rows(q, qb)
