@@ -227,7 +227,14 @@ class NNDescentIndex(BaseIndex):
         # lowrank suite) while HIGH holds 0.986. On TPU the fused Pallas
         # flat scan keeps the bins state in VMEM (the XLA carry spill to
         # HBM was the floor of this build).
-        selector = "fused" if jax.default_backend() == "tpu" else "exact"
+        import os
+
+        selector = (
+            "fused"
+            if jax.default_backend() == "tpu"
+            and not os.environ.get("ANNSEARCH_NO_PALLAS")
+            else "exact"
+        )
         d, i = blocked_query_topk(
             vecs[:n], vecs[:n], kk, self.metric,
             x_sqnorm=sq[:n] if self.metric == Dist.EUCLIDEAN else None,

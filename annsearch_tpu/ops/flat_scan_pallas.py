@@ -38,15 +38,22 @@ from ..utils.dist import Dist, sq_norms
 
 __all__ = ["flat_topk_fused"]
 
+#: finite "masked" sentinel (fast-math-safe stand-in for +inf inside the
+#: kernel; still ranks last in every merge). Python float — a jnp scalar
+#: would be a captured constant, which pallas kernels reject.
+_BIG = 3.0e38
+
 _DEF_QT = 128
-_DEF_B = 4096
+# VMEM budget at depth 2: scratch QT·2B·8 bytes + dots QT·B·4 + double-
+# buffered db blocks; B=2048 keeps the worst case (d=128, passes=3) ≈ 9 MB
+_DEF_B = 2048
 
 
 def _flat_kernel(
     q_refs,       # tuple of [1, QT, d] bf16 blocks (hi[, lo])
     x_refs,       # tuple of [1, B, d] bf16 blocks (hi[, lo])
-    sn_ref,       # [1, B] f32 (additive; +inf on padding rows)
-    qadd_ref,     # [1, QT] f32 (added to outputs at extraction)
+    sn_ref,       # [1, 8, B] f32, sublane-replicated (BIG on padding rows)
+    qadd_ref,     # [1, 8, QT] f32, sublane-replicated
     d_out_ref,    # [1, QT, kb] f32
     i_out_ref,    # [1, QT, kb] int32
     m_ref,        # scratch [QT, depth*B] f32
@@ -58,15 +65,19 @@ def _flat_kernel(
     j = pl.program_id(1)
     nb = pl.num_programs(1)
     QT = m_ref.shape[0]
-    B = sn_ref.shape[1]
+    B = sn_ref.shape[2]
 
     @pl.when(j == 0)
     def _():
-        m_ref[:] = jnp.full(m_ref.shape, jnp.inf, jnp.float32)
+        m_ref[:] = jnp.full(m_ref.shape, _BIG, jnp.float32)
         ii_ref[:] = jnp.zeros(ii_ref.shape, jnp.int32)
 
     qhi = q_refs[0][0]
     xhi = x_refs[0][0]
+    # rows are sublane-replicated ([*, 8, W] tiles — a natively-tiled (8,128)
+    # layout; a (1, W) block is a partial tile Mosaic handles poorly)
+    sn_row = sn_ref[0, 0:1, :]                        # [1, B]
+    qadd_row = qadd_ref[0, 0]                         # [QT]
     dn = (((1,), (1,)), ((), ()))
     dots = jax.lax.dot_general(
         qhi, xhi, dn, preferred_element_type=jnp.float32
@@ -80,7 +91,7 @@ def _flat_kernel(
         dots = dots + jax.lax.dot_general(
             qlo, xhi, dn, preferred_element_type=jnp.float32
         )
-    score = sn_ref[0][None, :] - 2.0 * dots           # [QT, B]
+    score = sn_row - 2.0 * dots                       # [QT, B]
     col = j * B + jax.lax.broadcasted_iota(jnp.int32, (QT, B), 1)
 
     m1 = m_ref[:, :B]
@@ -100,17 +111,16 @@ def _flat_kernel(
     def _():
         vals = m_ref[:]
         idx = ii_ref[:]
-        qadd = qadd_ref[0]
-        vs, ls = [], []
-        for _ in range(kb):
+        qadd = qadd_row
+        # per-column writes (static lane index) rather than a lane-vector
+        # stack; finite sentinel rather than inf (fast-math-safe)
+        for t in range(kb):
             v = jnp.min(vals, axis=-1)                        # [QT]
             hit = vals == v[:, None]
             l_of_v = jnp.min(jnp.where(hit, idx, 2**30), axis=-1)
-            vs.append(v + qadd)
-            ls.append(l_of_v)
-            vals = jnp.where(hit & (idx == l_of_v[:, None]), jnp.inf, vals)
-        d_out_ref[0] = jnp.stack(vs, axis=-1)
-        i_out_ref[0] = jnp.stack(ls, axis=-1)
+            d_out_ref[0, :, t] = v + qadd
+            i_out_ref[0, :, t] = l_of_v
+            vals = jnp.where(hit & (idx == l_of_v[:, None]), _BIG, vals)
 
 
 @functools.partial(
@@ -159,12 +169,13 @@ def flat_topk_fused(
         sn = jnp.zeros((n,), jnp.float32)
         qadd = jnp.zeros((nq,), jnp.float32)
         out_shift = 1.0
-    # +inf on padding / out-of-range rows keeps them out of every bin
+    # large-finite sentinel on padding / out-of-range rows keeps them out of
+    # every bin (inf is avoided inside the kernel — fast-math)
     rows = jnp.arange(n, dtype=jnp.int32)
-    sn = jnp.where(rows < n_valid, sn, jnp.inf)
+    sn = jnp.where(rows < n_valid, sn, _BIG)
     if pad_n:
         x = jnp.concatenate([x, jnp.zeros((pad_n, d), x.dtype)])
-        sn = jnp.concatenate([sn, jnp.full((pad_n,), jnp.inf, jnp.float32)])
+        sn = jnp.concatenate([sn, jnp.full((pad_n,), _BIG, jnp.float32)])
     if pad_q:
         q = jnp.concatenate([q, jnp.zeros((pad_q, d), q.dtype)])
         qadd = jnp.concatenate([qadd, jnp.zeros((pad_q,), jnp.float32)])
@@ -172,9 +183,11 @@ def flat_topk_fused(
     NB = x.shape[0] // B
     QI = q.shape[0] // QT
     x_blocks = x.reshape(NB, B, d)
-    sn_blocks = sn.reshape(NB, B)
+    # sublane-replicated rows: full (8, 128) tiles; Mosaic also requires the
+    # last two block dims be (÷8, ÷128) or equal to the array dims
+    sn_blocks = jnp.broadcast_to(sn.reshape(NB, 1, B), (NB, 8, B))
     q_blocks = q.reshape(QI, QT, d)
-    qadd_blocks = qadd.reshape(QI, QT)
+    qadd_blocks = jnp.broadcast_to(qadd.reshape(QI, 1, QT), (QI, 8, QT))
 
     def hi_lo(a):
         hi = a.astype(jnp.bfloat16)
@@ -214,9 +227,9 @@ def flat_topk_fused(
         kern,
         grid=(QI, NB),
         in_specs=q_specs + x_specs + [
-            pl.BlockSpec((1, B), lambda i, j: (j, 0),
+            pl.BlockSpec((1, 8, B), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QT), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 8, QT), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

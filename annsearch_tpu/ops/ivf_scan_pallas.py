@@ -37,6 +37,10 @@ from ..utils.dist import Dist, sq_norms
 __all__ = ["fused_eligible", "fused_ivf_scan", "repack_blocks"]
 
 _LANES = 128
+#: finite "masked" sentinel used inside kernels (fast-math-safe stand-in
+#: for +inf; still ranks last in every top-k merge). Python float — a jnp
+#: scalar would be a captured constant, which pallas kernels reject.
+_BIG = 3.0e38
 
 
 def _next_pow2(v: int) -> int:
@@ -45,7 +49,12 @@ def _next_pow2(v: int) -> int:
 
 def fused_eligible(mode: str, seg_size: int, dim_w: int, k: int) -> bool:
     """The fused kernel handles dense-row storage (one matmul per cell) with
-    hardware-aligned tiles. PQ-coded / packed-bit modes keep the XLA scan."""
+    hardware-aligned tiles. PQ-coded / packed-bit modes keep the XLA scan.
+    ``ANNSEARCH_NO_PALLAS=1`` disables the fused path entirely."""
+    import os
+
+    if os.environ.get("ANNSEARCH_NO_PALLAS"):
+        return False
     return (
         mode in ("bf16", "i8dec", "i8dec_residual")
         and seg_size % _LANES == 0
@@ -73,7 +82,9 @@ def repack_blocks(
         [sqnorms[idx].astype(jnp.float32),
          jnp.zeros((1, seg_size), jnp.float32)]
     )
-    return blocks, sn
+    # sublane-replicated [nseg+1, 8, seg] (full (8,128) tiles for Mosaic)
+    nsegp = sn.shape[0]
+    return blocks, jnp.broadcast_to(sn[:, None, :], (nsegp, 8, seg_size))
 
 
 def _scan_kernel(
@@ -82,9 +93,9 @@ def _scan_kernel(
     cnt_ref,      # [R] int32 valid rows per block
     # VMEM blocks
     qg_ref,       # [1, maxq, d] bf16 (pre-scaled / residual-shifted)
-    qadd_ref,     # [1, maxq] f32 additive query term
+    qadd_ref,     # [1, 8, maxq] f32 additive query term (sublane-replicated)
     cell_ref,     # [1, seg, d] int8|bf16
-    sn_ref,       # [1, seg] f32
+    sn_ref,       # [1, 8, seg] f32 (sublane-replicated)
     # outputs
     cd_ref,       # [1, maxq, kb] f32
     ci_ref,       # [1, maxq, kb] int32 (lane within segment)
@@ -100,18 +111,23 @@ def _scan_kernel(
         preferred_element_type=jnp.float32,
     )                                             # [maxq, seg]
     maxq, seg = dots.shape
-    sn = sn_ref[0]                                # [seg]
-    qadd = qadd_ref[0]                            # [maxq]
+    # rows are sublane-replicated ([*, 8, W] tiles — natively-tiled (8,128)
+    # layouts; a (1, W) block is a partial tile Mosaic handles poorly)
+    sn = sn_ref[0, 0:1, :]                        # [1, seg]
+    qadd = qadd_ref[0, 0]                         # [maxq]
     if epilogue == "l2":
-        dist = jnp.maximum(qadd[:, None] + sn[None, :] - 2.0 * dots, 0.0)
+        dist = jnp.maximum(qadd[:, None] + sn - 2.0 * dots, 0.0)
     elif epilogue == "cos_renorm":
         rs = jax.lax.rsqrt(jnp.maximum(sn, 1e-12))
-        dist = 1.0 - (dots + qadd[:, None]) * rs[None, :]
+        dist = 1.0 - (dots + qadd[:, None]) * rs
     else:  # cos_plain — rows pre-normalised
         dist = 1.0 - dots
 
+    # large finite sentinel, not inf: Mosaic compiles with fast-math-style
+    # flags (--xla_allow_excess_precision) where inf equality/compare
+    # behaviour is not guaranteed
     lane = jax.lax.broadcasted_iota(jnp.int32, (maxq, seg), 1)
-    dist = jnp.where(lane < cnt_ref[r], dist, jnp.inf)
+    dist = jnp.where(lane < cnt_ref[r], dist, _BIG)
 
     # stage 1: fold seg lanes → 128 stride-class minima (full-lane VPU ops)
     li = jax.lax.broadcasted_iota(jnp.int32, (maxq, _LANES), 1)
@@ -123,17 +139,15 @@ def _scan_kernel(
         idx = jnp.where(upd, c * _LANES + li, idx)
         vals = jnp.where(upd, nv, vals)
 
-    # stage 2: kb sequential min-extractions from the 128 survivors
-    vs, ls = [], []
-    for _ in range(kb):
+    # stage 2: kb sequential min-extractions from the 128 survivors;
+    # per-column writes (static lane index) rather than a lane-vector stack
+    for t in range(kb):
         v = jnp.min(vals, axis=-1)                        # [maxq]
         hit = vals == v[:, None]
         l_of_v = jnp.min(jnp.where(hit, idx, seg), axis=-1)
-        vs.append(v)
-        ls.append(l_of_v)
-        vals = jnp.where(hit & (idx == l_of_v[:, None]), jnp.inf, vals)
-    cd_ref[0] = jnp.stack(vs, axis=-1)
-    ci_ref[0] = jnp.stack(ls, axis=-1)
+        cd_ref[0, :, t] = v
+        ci_ref[0, :, t] = l_of_v
+        vals = jnp.where(hit & (idx == l_of_v[:, None]), _BIG, vals)
 
 
 @functools.partial(
@@ -142,11 +156,11 @@ def _scan_kernel(
 )
 def _fused_cell_scan(
     qg: jax.Array,        # [R, maxq, d] bf16
-    qadd: jax.Array,      # [R, maxq] f32
+    qadd: jax.Array,      # [R, 8, maxq] f32 (sublane-replicated)
     blk_ids: jax.Array,   # [R] int32
     counts_r: jax.Array,  # [R] int32
     blocks: jax.Array,    # [nseg+1, seg, d]
-    sn_blocks: jax.Array, # [nseg+1, seg] f32
+    sn_blocks: jax.Array, # [nseg+1, 8, seg] f32 (sublane-replicated)
     kb: int,
     epilogue: str,
     interpret: bool,
@@ -159,11 +173,12 @@ def _fused_cell_scan(
         in_specs=[
             pl.BlockSpec((1, maxq, d), lambda r, blk, cnt: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, maxq), lambda r, blk, cnt: (r, 0),
+            # [R, 8, maxq] / [nseg+1, 8, seg] sublane-replicated rows
+            pl.BlockSpec((1, 8, maxq), lambda r, blk, cnt: (r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, seg, d), lambda r, blk, cnt: (blk[r], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seg), lambda r, blk, cnt: (blk[r], 0),
+            pl.BlockSpec((1, 8, seg), lambda r, blk, cnt: (blk[r], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -259,8 +274,11 @@ def fused_ivf_scan(
             qadd = sq_norms(qg.reshape(-1, d)).reshape(R, maxq)
             epilogue = "l2"
 
+    qadd_rep = jnp.broadcast_to(
+        qadd.astype(jnp.float32)[:, None, :], (R, 8, maxq)
+    )
     cd, ci = _fused_cell_scan(
-        qk.astype(jnp.bfloat16), qadd.astype(jnp.float32),
+        qk.astype(jnp.bfloat16), qadd_rep,
         cid, cnts_x[cid], blocks, sn_blocks, kb, epilogue, interpret,
     )
     # lane → sorted-storage row (sentinel lane ``seg`` lands in the padded
