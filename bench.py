@@ -57,8 +57,20 @@ def headline_ivfpq():
     if os.path.exists(gt_path) and np.load(gt_path)["ti"].shape[0] >= NQ_GT:
         ti = np.load(gt_path)["ti"][:NQ_GT]
     else:
+        # the tunnelled worker intermittently returns corrupted results after
+        # a crash/restart — validate the GT with a distance invariant
+        # (queries are σ=0.05 noisy subsamples: median nearest distance must
+        # be ≈ 0.05²·D) and retry until sane
         exact = ann.build_exhaustive_index(x)
-        ti, _ = exact.query(q[:NQ_GT], K)
+        ti = None
+        for _ in range(4):
+            t, td = exact.query(q[:NQ_GT], K)
+            if float(np.median(np.asarray(td)[:, 0])) < 40 * 0.0025 * D:
+                ti = np.asarray(t)
+                break
+            time.sleep(20)
+        if ti is None:
+            raise RuntimeError("exhaustive GT failed its sanity invariant")
         np.savez(gt_path, ti=ti)
         del exact
 
