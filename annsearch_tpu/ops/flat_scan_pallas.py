@@ -72,25 +72,27 @@ def _flat_kernel(
         m_ref[:] = jnp.full(m_ref.shape, _BIG, jnp.float32)
         ii_ref[:] = jnp.zeros(ii_ref.shape, jnp.int32)
 
-    qhi = q_refs[0][0]
-    xhi = x_refs[0][0]
     # rows are sublane-replicated ([*, 8, W] tiles — a natively-tiled (8,128)
     # layout; a (1, W) block is a partial tile Mosaic handles poorly)
     sn_row = sn_ref[0, 0:1, :]                        # [1, B]
     qadd_row = qadd_ref[0, 0]                         # [QT]
     dn = (((1,), (1,)), ((), ()))
-    dots = jax.lax.dot_general(
-        qhi, xhi, dn, preferred_element_type=jnp.float32
-    )
+
+    def mm(a_ref, b_ref):
+        return jax.lax.dot_general(
+            a_ref[0], b_ref[0], dn, preferred_element_type=jnp.float32
+        )
+
+    dots = mm(q_refs[0], x_refs[0])
     if len(q_refs) == 2:  # bf16x3: hi·hi + hi·lo + lo·hi
-        qlo = q_refs[1][0]
-        xlo = x_refs[1][0]
-        dots = dots + jax.lax.dot_general(
-            qhi, xlo, dn, preferred_element_type=jnp.float32
-        )
-        dots = dots + jax.lax.dot_general(
-            qlo, xhi, dn, preferred_element_type=jnp.float32
-        )
+        dots = dots + mm(q_refs[0], x_refs[1])
+        dots = dots + mm(q_refs[1], x_refs[0])
+    elif len(q_refs) == 3:  # bf16x6 ≈ f32: three-way mantissa split
+        dots = dots + mm(q_refs[0], x_refs[1])
+        dots = dots + mm(q_refs[1], x_refs[0])
+        dots = dots + mm(q_refs[0], x_refs[2])
+        dots = dots + mm(q_refs[2], x_refs[0])
+        dots = dots + mm(q_refs[1], x_refs[1])
     score = sn_row - 2.0 * dots                       # [QT, B]
     col = j * B + jax.lax.broadcasted_iota(jnp.int32, (QT, B), 1)
 
@@ -189,15 +191,21 @@ def flat_topk_fused(
     q_blocks = q.reshape(QI, QT, d)
     qadd_blocks = jnp.broadcast_to(qadd.reshape(QI, 1, QT), (QI, 8, QT))
 
-    def hi_lo(a):
-        hi = a.astype(jnp.bfloat16)
-        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, lo
+    def split(a, parts):
+        out, r = [], a
+        for _ in range(parts - 1):
+            h = r.astype(jnp.bfloat16)
+            out.append(h)
+            r = r - h.astype(jnp.float32)
+        out.append(r.astype(jnp.bfloat16))
+        return tuple(out)
 
-    if passes == 3:
-        qhi, qlo = hi_lo(q_blocks)
-        xhi, xlo = hi_lo(x_blocks)
-        q_in, x_in = (qhi, qlo), (xhi, xlo)
+    if passes >= 6:      # 3-way mantissa split ≈ full f32
+        q_in = split(q_blocks, 3)
+        x_in = split(x_blocks, 3)
+    elif passes == 3:    # hi/lo split ≈ f32 with 16-bit mantissa
+        q_in = split(q_blocks, 2)
+        x_in = split(x_blocks, 2)
     else:
         q_in = (q_blocks.astype(jnp.bfloat16),)
         x_in = (x_blocks.astype(jnp.bfloat16),)

@@ -56,7 +56,7 @@ def fused_eligible(mode: str, seg_size: int, dim_w: int, k: int) -> bool:
     if os.environ.get("ANNSEARCH_NO_PALLAS"):
         return False
     return (
-        mode in ("bf16", "i8dec", "i8dec_residual")
+        mode in ("bf16", "i8dec", "i8dec_residual", "sq8")
         and seg_size % _LANES == 0
         and seg_size >= _LANES
         and dim_w % _LANES == 0
@@ -120,6 +120,11 @@ def _scan_kernel(
     elif epilogue == "cos_renorm":
         rs = jax.lax.rsqrt(jnp.maximum(sn, 1e-12))
         dist = 1.0 - (dots + qadd[:, None]) * rs
+    elif epilogue == "cos_qnorm":
+        # sq8 cosine: qadd carries 1/‖q‖ (0 for zero queries), sn the raw
+        # quantised ‖x‖² — matches the XLA scan's integer-space cosine
+        rs = jax.lax.rsqrt(jnp.maximum(sn, 1e-12))
+        dist = 1.0 - dots * qadd[:, None] * rs
     else:  # cos_plain — rows pre-normalised
         dist = 1.0 - dots
 
@@ -264,6 +269,21 @@ def fused_ivf_scan(
             epilogue = "cos_renorm"
         else:
             qadd = jnp.sum(qg * qg, axis=-1)
+            epilogue = "l2"
+    elif mode == "sq8":
+        # int8 codes are exact in bf16, and products (≤127²) accumulate
+        # exactly in f32 — the fused matmul reproduces the XLA scan's
+        # integer-space distances bit-for-bit
+        qf = qg.astype(jnp.float32)
+        qk = qf
+        q_sq = jnp.sum(qf * qf, axis=-1)
+        if metric == Dist.COSINE:
+            qadd = jnp.where(
+                q_sq > 0, jax.lax.rsqrt(jnp.maximum(q_sq, 1e-12)), 0.0
+            )
+            epilogue = "cos_qnorm"
+        else:
+            qadd = q_sq
             epilogue = "l2"
     else:  # bf16
         qk = qg

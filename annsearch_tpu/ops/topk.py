@@ -257,12 +257,12 @@ def blocked_query_topk(
     if selector == "fused":
         from .flat_scan_pallas import flat_topk_fused
 
-        passes = (
-            3
-            if precision
-            in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
-            else 1
-        )
+        if precision == jax.lax.Precision.HIGHEST:
+            passes = 6
+        elif precision == jax.lax.Precision.HIGH:
+            passes = 3
+        else:
+            passes = 1
         return flat_topk_fused(
             q, x, k, metric, x_sqnorm=x_sqnorm, n_valid=n_valid,
             passes=passes, interpret=jax.default_backend() != "tpu",

@@ -21,7 +21,7 @@ def data():
 
 
 @pytest.mark.parametrize("metric", [Dist.EUCLIDEAN, Dist.COSINE])
-@pytest.mark.parametrize("passes,depth", [(3, 2), (1, 1)])
+@pytest.mark.parametrize("passes,depth", [(6, 2), (3, 2), (1, 1)])
 def test_flat_fused_parity(data, metric, passes, depth):
     x, q = data
     if metric == Dist.COSINE:
@@ -33,8 +33,8 @@ def test_flat_fused_parity(data, metric, passes, depth):
         block_q=32, block_db=128, interpret=True,
     )
     rec = calculate_recall(np.asarray(ie), np.asarray(i_f), 10)
-    assert rec >= (0.99 if passes == 3 else 0.9)
-    if passes == 3:
+    assert rec >= (0.99 if passes >= 3 else 0.9)
+    if passes >= 3:
         # bf16x3 ≈ f32 but not bitwise: near-zero distances carry absolute
         # error ~‖q‖‖x‖·2⁻²⁴-ish from the split residual
         assert np.allclose(

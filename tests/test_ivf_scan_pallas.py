@@ -13,6 +13,7 @@ from annsearch_tpu.models.quantised.ivf import (
     IvfIndexBf16,
     IvfOpqIndex,
     IvfPqIndex,
+    IvfSq8Index,
 )
 from annsearch_tpu.ops.ivf_scan_pallas import fused_eligible
 from annsearch_tpu.utils.data import (
@@ -75,6 +76,28 @@ def test_fused_self_query(data128):
     ids, dists = idx.query(x[:20], 5, nprobe=4, approx=True)
     assert (ids[:, 0] == np.arange(20)).mean() >= 0.95
     assert np.all(np.diff(np.asarray(dists), axis=-1) >= -1e-5)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_fused_sq8_matches_xla_scan(data128, metric):
+    """sq8 integer-space distances are exact in the fused kernel (int8 codes
+    are exact in bf16, products accumulate exactly in f32)."""
+    x, q = data128
+    idx = IvfSq8Index(x, metric, nlist=8, seg_size=256)
+    assert fused_eligible(idx.mode, idx.seg_size, int(idx.storage.shape[1]), 10)
+    ie, de = idx.query(q, 10, nprobe=4, approx=False)
+    ia, da = idx.query(q, 10, nprobe=4, approx=True)
+    # distances are bit-exact; the approx selection tier may swap the odd
+    # near-tie, so compare element-wise agreement rather than full equality
+    assert calculate_recall(ie, ia, 10) >= 0.97
+    agree = np.isclose(
+        np.sort(np.asarray(de), axis=-1),
+        np.sort(np.asarray(da), axis=-1),
+        rtol=1e-5, atol=1e-5,
+    )
+    # one swapped near-tie shifts every later sorted entry in its row, so
+    # element-wise agreement understates set agreement
+    assert agree.mean() >= 0.9
 
 
 def test_fused_gate_rejects_unaligned():
