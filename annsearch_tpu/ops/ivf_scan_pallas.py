@@ -56,7 +56,7 @@ def fused_eligible(mode: str, seg_size: int, dim_w: int, k: int) -> bool:
     if os.environ.get("ANNSEARCH_NO_PALLAS"):
         return False
     return (
-        mode in ("bf16", "i8dec", "i8dec_residual", "sq8")
+        mode in ("f32", "bf16", "i8dec", "i8dec_residual", "sq8")
         and seg_size % _LANES == 0
         and seg_size >= _LANES
         and dim_w % _LANES == 0
@@ -74,42 +74,55 @@ def repack_blocks(
     idx = seg_offsets.astype(jnp.int32)[:, None] + jnp.arange(
         seg_size, dtype=jnp.int32
     )
-    blocks = jnp.concatenate(
+    g = jnp.concatenate(
         [storage[idx], jnp.zeros((1, seg_size) + storage.shape[1:],
                                  storage.dtype)]
     )
+    if g.dtype == jnp.float32:
+        # hi/lo bf16 mantissa split (the kernel's 3-pass f32-grade matmul)
+        hi = g.astype(jnp.bfloat16)
+        cells = (hi, (g - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+    else:
+        cells = (g,)
     sn = jnp.concatenate(
         [sqnorms[idx].astype(jnp.float32),
          jnp.zeros((1, seg_size), jnp.float32)]
     )
     # sublane-replicated [nseg+1, 8, seg] (full (8,128) tiles for Mosaic)
     nsegp = sn.shape[0]
-    return blocks, jnp.broadcast_to(sn[:, None, :], (nsegp, 8, seg_size))
+    return cells, jnp.broadcast_to(sn[:, None, :], (nsegp, 8, seg_size))
 
 
 def _scan_kernel(
     # scalar prefetch
     blk_ref,      # [R] int32 block ids
     cnt_ref,      # [R] int32 valid rows per block
-    # VMEM blocks
-    qg_ref,       # [1, maxq, d] bf16 (pre-scaled / residual-shifted)
-    qadd_ref,     # [1, 8, maxq] f32 additive query term (sublane-replicated)
-    cell_ref,     # [1, seg, d] int8|bf16
-    sn_ref,       # [1, 8, seg] f32 (sublane-replicated)
-    # outputs
-    cd_ref,       # [1, maxq, kb] f32
-    ci_ref,       # [1, maxq, kb] int32 (lane within segment)
-    *,
+    *refs,        # q terms..., cell terms..., qadd, sn, cd_out, ci_out
     epilogue: str,
     kb: int,
+    nq_t: int,    # number of query mantissa terms (1 or 2)
+    nx_t: int,    # number of cell mantissa terms (1 or 2)
 ):
+    q_refs = refs[:nq_t]
+    x_refs = refs[nq_t:nq_t + nx_t]
+    qadd_ref = refs[nq_t + nx_t]      # [1, 8, maxq] f32 (sublane-replicated)
+    sn_ref = refs[nq_t + nx_t + 1]    # [1, 8, seg] f32 (sublane-replicated)
+    cd_ref = refs[nq_t + nx_t + 2]    # [1, maxq, kb] f32
+    ci_ref = refs[nq_t + nx_t + 3]    # [1, maxq, kb] int32 (lane in segment)
     r = pl.program_id(0)
-    qg = qg_ref[0]
-    cell = cell_ref[0].astype(jnp.bfloat16)
-    dots = jax.lax.dot_general(
-        qg, cell, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                             # [maxq, seg]
+    dn = (((1,), (1,)), ((), ()))
+
+    def mm(a_ref, b_ref):
+        return jax.lax.dot_general(
+            a_ref[0].astype(jnp.bfloat16), b_ref[0].astype(jnp.bfloat16),
+            dn, preferred_element_type=jnp.float32,
+        )
+
+    dots = mm(q_refs[0], x_refs[0])               # [maxq, seg]
+    if nx_t == 2:  # f32 cells, hi/lo split: hi·hi + hi·lo + lo·hi
+        dots = dots + mm(q_refs[0], x_refs[1])
+    if nq_t == 2:
+        dots = dots + mm(q_refs[1], x_refs[0])
     maxq, seg = dots.shape
     # rows are sublane-replicated ([*, 8, W] tiles — natively-tiled (8,128)
     # layouts; a (1, W) block is a partial tile Mosaic handles poorly)
@@ -129,8 +142,8 @@ def _scan_kernel(
         dist = 1.0 - dots
 
     # large finite sentinel, not inf: Mosaic compiles with fast-math-style
-    # flags (--xla_allow_excess_precision) where inf equality/compare
-    # behaviour is not guaranteed
+    # flags (--xla_allow_excess_precision) where inf compare behaviour is
+    # not guaranteed
     lane = jax.lax.broadcasted_iota(jnp.int32, (maxq, seg), 1)
     dist = jnp.where(lane < cnt_ref[r], dist, _BIG)
 
@@ -160,28 +173,34 @@ def _scan_kernel(
     static_argnames=("kb", "epilogue", "interpret"),
 )
 def _fused_cell_scan(
-    qg: jax.Array,        # [R, maxq, d] bf16
+    qg,                   # tuple of [R, maxq, d] bf16 mantissa terms
     qadd: jax.Array,      # [R, 8, maxq] f32 (sublane-replicated)
     blk_ids: jax.Array,   # [R] int32
     counts_r: jax.Array,  # [R] int32
-    blocks: jax.Array,    # [nseg+1, seg, d]
+    blocks,               # tuple of [nseg+1, seg, d] cell mantissa terms
     sn_blocks: jax.Array, # [nseg+1, 8, seg] f32 (sublane-replicated)
     kb: int,
     epilogue: str,
     interpret: bool,
 ) -> tuple[jax.Array, jax.Array]:
-    R, maxq, d = qg.shape
-    seg = blocks.shape[1]
+    R, maxq, d = qg[0].shape
+    seg = blocks[0].shape[1]
+    q_specs = [
+        pl.BlockSpec((1, maxq, d), lambda r, blk, cnt: (r, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in qg
+    ]
+    x_specs = [
+        pl.BlockSpec((1, seg, d), lambda r, blk, cnt: (blk[r], 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in blocks
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(R,),
-        in_specs=[
-            pl.BlockSpec((1, maxq, d), lambda r, blk, cnt: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=q_specs + x_specs + [
             # [R, 8, maxq] / [nseg+1, 8, seg] sublane-replicated rows
             pl.BlockSpec((1, 8, maxq), lambda r, blk, cnt: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seg, d), lambda r, blk, cnt: (blk[r], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, seg), lambda r, blk, cnt: (blk[r], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -193,7 +212,10 @@ def _fused_cell_scan(
                          memory_space=pltpu.VMEM),
         ],
     )
-    kern = functools.partial(_scan_kernel, epilogue=epilogue, kb=kb)
+    kern = functools.partial(
+        _scan_kernel, epilogue=epilogue, kb=kb,
+        nq_t=len(qg), nx_t=len(blocks),
+    )
     cd, ci = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -202,7 +224,7 @@ def _fused_cell_scan(
             jax.ShapeDtypeStruct((R, maxq, kb), jnp.int32),
         ],
         interpret=interpret,
-    )(blk_ids, counts_r, qg, qadd, blocks, sn_blocks)
+    )(blk_ids, counts_r, *qg, *blocks, qadd, sn_blocks)
     return cd, ci
 
 
@@ -285,7 +307,7 @@ def fused_ivf_scan(
         else:
             qadd = q_sq
             epilogue = "l2"
-    else:  # bf16
+    else:  # f32 / bf16 dense rows
         qk = qg
         if metric == Dist.COSINE:
             qadd = jnp.zeros((R, maxq), jnp.float32)
@@ -294,11 +316,18 @@ def fused_ivf_scan(
             qadd = sq_norms(qg.reshape(-1, d)).reshape(R, maxq)
             epilogue = "l2"
 
+    if len(blocks) == 2:
+        # f32 cells travel as hi/lo bf16; split the queries to match
+        # (3-pass ≈ Precision.HIGH — the fused tier is approximate anyway)
+        qhi = qk.astype(jnp.bfloat16)
+        qk_t = (qhi, (qk - qhi.astype(jnp.float32)).astype(jnp.bfloat16))
+    else:
+        qk_t = (qk.astype(jnp.bfloat16),)
     qadd_rep = jnp.broadcast_to(
         qadd.astype(jnp.float32)[:, None, :], (R, 8, maxq)
     )
     cd, ci = _fused_cell_scan(
-        qk.astype(jnp.bfloat16), qadd_rep,
+        qk_t, qadd_rep,
         cid, cnts_x[cid], blocks, sn_blocks, kb, epilogue, interpret,
     )
     # lane → sorted-storage row (sentinel lane ``seg`` lands in the padded

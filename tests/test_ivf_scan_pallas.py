@@ -9,6 +9,7 @@ XLA scan on the same index.
 import numpy as np
 import pytest
 
+from annsearch_tpu.models.ivf import IvfIndex
 from annsearch_tpu.models.quantised.ivf import (
     IvfIndexBf16,
     IvfOpqIndex,
@@ -37,6 +38,7 @@ def data128():
         (IvfPqIndex, {"m": 128}),
         (IvfOpqIndex, {"m": 128}),
         (IvfIndexBf16, {}),
+        (IvfIndex, {}),
     ],
 )
 def test_fused_matches_xla_scan(data128, cls, kw, metric):
