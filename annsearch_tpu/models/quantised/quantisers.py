@@ -102,31 +102,57 @@ class ScalarQuantiser:
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def _train_scalar_codebooks(v: jax.Array, k: int, iters: int = 25) -> jax.Array:
     """Batched 1-d k-means over every subspace at once (the ds = dim/m == 1
-    case, e.g. m = dim). Quantile init + midpoint-searchsorted Lloyd —
-    O(n log k) per iteration per dim, no [n, k] distance matrix, and all m
-    subspaces train in ONE device program (the serial per-subspace loop was
-    the dominant IVF-PQ build cost at m = 128).
+    case, e.g. m = dim), all m subspaces in ONE device program.
 
-    v: [m, n] → codebooks [m, k, 1] (sorted ascending per row).
+    Sort-once formulation: rows are sorted up front, so each Lloyd iteration
+    only needs the bin-boundary *positions* — a chunked compare-count
+    against the midpoints — and per-bin sums fall out of prefix-sum
+    differences. No scatters and no per-element binary search (the vmapped
+    searchsorted + segment_sum loop crashed the TPU worker at benchmark
+    scale, and scatters are far off the VPU fast path anyway).
+
+    v: [m, n] -> codebooks [m, k, 1] (sorted ascending per row).
     """
     m, n = v.shape
-    qs = jnp.linspace(0.5 / k, 1.0 - 0.5 / k, k)
-    c = jnp.quantile(v, qs, axis=1).T                    # [m, k]
+    CH = min(2048, 1 << (max(n, 1) - 1).bit_length())
+    pad = (-n) % CH
+    vs = jnp.sort(v, axis=1)                             # [m, n]
+    vs_p = (
+        jnp.concatenate([vs, jnp.full((m, pad), 3e38, v.dtype)], axis=1)
+        if pad else vs
+    )
+    cums = jnp.concatenate(
+        [jnp.zeros((m, 1), jnp.float32), jnp.cumsum(vs, axis=1)], axis=1
+    )                                                    # [m, n+1]
+    # quantile init straight off the sorted rows
+    qidx = jnp.clip(
+        (jnp.linspace(0.5 / k, 1.0 - 0.5 / k, k) * (n - 1)).astype(jnp.int32),
+        0, n - 1,
+    )
+    c = vs[:, qidx]                                      # [m, k]
+    chunks = vs_p.reshape(m, -1, CH).transpose(1, 0, 2)  # [nch, m, CH]
 
     def body(_, c):
-        bounds = (c[:, 1:] + c[:, :-1]) * 0.5
-        a = jax.vmap(jnp.searchsorted)(bounds, v)        # [m, n] in [0, k)
-        sums = jax.vmap(
-            lambda aa, vv: jax.ops.segment_sum(vv, aa, num_segments=k)
-        )(a, v)
-        cnts = jax.vmap(
-            lambda aa: jax.ops.segment_sum(
-                jnp.ones(aa.shape, jnp.float32), aa, num_segments=k
-            )
-        )(a)
-        c_new = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), c)
-        # 1-d Lloyd preserves order up to empty-cluster carryover; re-sort so
-        # the midpoint assignment stays valid
+        bounds = (c[:, 1:] + c[:, :-1]) * 0.5            # [m, k-1]
+
+        def count(carry, vc):                            # vc [m, CH]
+            return carry + jnp.sum(
+                vc[:, :, None] < bounds[:, None, :], axis=1,
+                dtype=jnp.int32,
+            ), None
+
+        pos0, _ = jax.lax.scan(
+            count, jnp.zeros((m, k - 1), jnp.int32), chunks
+        )
+        pos = jnp.concatenate(
+            [jnp.zeros((m, 1), jnp.int32), pos0,
+             jnp.full((m, 1), n, jnp.int32)], axis=1
+        )                                                # [m, k+1]
+        cnt = (pos[:, 1:] - pos[:, :-1]).astype(jnp.float32)
+        csel = jnp.take_along_axis(cums, pos, axis=1)
+        sums = csel[:, 1:] - csel[:, :-1]
+        c_new = jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), c)
+        # re-sort so the midpoint assignment stays valid
         return jnp.sort(c_new, axis=1)
 
     c = jax.lax.fori_loop(0, iters, body, c)
@@ -207,8 +233,17 @@ class ProductQuantiser:
             raise ValueError("PQ requires dim >= 32")
         ds = d // m
         if ds == 1:
+            # train the scalar codebooks on a ≤256k row sample — same policy
+            # as the coarse k-means (train_sample_size); ample for 256
+            # scalar centroids, and the full-n searchsorted/segment-sum loop
+            # at 1M rows overwhelms the worker
+            xs_in = jnp.asarray(x)
+            cap = 262_144
+            if n > cap:
+                step = n // cap
+                xs_in = xs_in[:: step][:cap]
             books = _train_scalar_codebooks(
-                jnp.asarray(x).T, min(N_CLUSTERS_PQ, n), iters=max_iters
+                xs_in.T, min(N_CLUSTERS_PQ, n), iters=max_iters
             )
             if books.shape[1] < N_CLUSTERS_PQ:
                 pad = jnp.full(
