@@ -22,6 +22,11 @@ import numpy as np
 
 from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
 from ..ops.ivf_scan_pallas import fused_eligible, fused_ivf_scan, repack_blocks
+from ..ops.probe_device import (
+    build_probe_lists_device,
+    device_probe_shapes,
+    expand_probes_device,
+)
 from ..ops.topk import topk_smallest
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
@@ -179,27 +184,32 @@ class IvfBase(BaseIndex):
         (dists [nq, k], sorted-storage positions [nq, k])."""
         nq = q.shape[0]
         probes = route_to_cells(q, self.centroids, nprobe, self.metric)
-        from .kmeans import SegmentLayout  # local import to avoid cycle
-
-        layout_stub = SegmentLayout(
-            None, np.asarray(self.seg_offsets), np.asarray(self.seg_counts),
-            None, self._cluster_ptr, self.seg_size, None,
-        )
-        qs, segs = expand_probes_to_segments(np.asarray(probes), layout_stub)
-        cluster_ids, lists, gmap = build_probe_lists_from_pairs(
-            qs, segs, len(np.asarray(self.seg_offsets)), nq
-        )
         eff_mode = self.mode if mode is None else mode
         if approx and q_eff is None and fused_eligible(
             eff_mode, self.seg_size, int(self.storage.shape[1]), k
         ):
+            # fully device-resident: expand probes to segments, invert into
+            # scan rows, and run the fused kernel in one dispatch chain —
+            # no host round-trip for the task lists (ops/probe_device.py)
+            nseg = int(self.seg_offsets.shape[0])
+            ptr = np.asarray(self._cluster_ptr)
+            s_max = int(max(1, (ptr[1:] - ptr[:-1]).max()))
+            maxq, R = device_probe_shapes(nq, int(probes.shape[1]), nseg, s_max)
+            ptr_dev = getattr(self, "_cluster_ptr_dev", None)
+            if ptr_dev is None:
+                ptr_dev = jnp.asarray(ptr, jnp.int32)
+                self._cluster_ptr_dev = ptr_dev
+            seg_probes = expand_probes_device(probes, ptr_dev, s_max, nseg)
+            cluster_ids, lists, gmap = build_probe_lists_device(
+                seg_probes, nseg, maxq, R
+            )
             blocks, sn_blocks = self._fused_blocks()
             kb = max(8, 1 << (max(k, 1) - 1).bit_length())
             return fused_ivf_scan(
                 self._encode_queries(q),
-                jnp.asarray(cluster_ids),
-                jnp.asarray(lists),
-                jnp.asarray(gmap),
+                cluster_ids,
+                lists,
+                gmap,
                 blocks,
                 sn_blocks,
                 self.seg_offsets,
@@ -212,6 +222,16 @@ class IvfBase(BaseIndex):
                 kb,
                 interpret=jax.default_backend() != "tpu",
             )
+        from .kmeans import SegmentLayout  # local import to avoid cycle
+
+        layout_stub = SegmentLayout(
+            None, np.asarray(self.seg_offsets), np.asarray(self.seg_counts),
+            None, self._cluster_ptr, self.seg_size, None,
+        )
+        qs, segs = expand_probes_to_segments(np.asarray(probes), layout_stub)
+        cluster_ids, lists, gmap = build_probe_lists_from_pairs(
+            qs, segs, len(np.asarray(self.seg_offsets)), nq
+        )
         best_d, best_i = ivf_cluster_scan(
             self._encode_queries(q) if q_eff is None else q_eff,
             jnp.asarray(cluster_ids),

@@ -110,6 +110,28 @@ def _scan_kernel(
     cd_ref = refs[nq_t + nx_t + 2]    # [1, maxq, kb] f32
     ci_ref = refs[nq_t + nx_t + 3]    # [1, maxq, kb] int32 (lane in segment)
     r = pl.program_id(0)
+    maxq_s = cd_ref.shape[1]
+    kb_s = cd_ref.shape[2]
+
+    # rows with no valid cells (sentinel / padding) skip all compute but
+    # must still emit masked outputs — their lanes may appear in gather maps
+    @pl.when(cnt_ref[r] == 0)
+    def _():
+        cd_ref[0] = jnp.full((maxq_s, kb_s), _BIG, jnp.float32)
+        ci_ref[0] = jnp.zeros((maxq_s, kb_s), jnp.int32)
+
+    @pl.when(cnt_ref[r] > 0)
+    def _():
+        _scan_body(
+            r, cnt_ref, q_refs, x_refs, qadd_ref, sn_ref, cd_ref, ci_ref,
+            epilogue=epilogue, kb=kb, nq_t=nq_t, nx_t=nx_t,
+        )
+
+
+def _scan_body(
+    r, cnt_ref, q_refs, x_refs, qadd_ref, sn_ref, cd_ref, ci_ref,
+    *, epilogue, kb, nq_t, nx_t,
+):
     dn = (((1,), (1,)), ((), ()))
 
     def mm(a_ref, b_ref):
