@@ -13,6 +13,7 @@ binary bits all share this skeleton.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -55,6 +56,31 @@ def route_to_cells(
         d = sq_norms(q)[:, None] + sq_norms(centroids)[None, :] - 2.0 * dots
     _, probes = topk_smallest(d, nprobe)
     return probes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "s_max", "nseg", "maxq", "R", "k", "metric", "mode", "kb",
+        "interpret",
+    ),
+)
+def _fused_query_e2e(
+    q, q_enc, centroids, ptr_dev, blocks, sn_blocks, seg_offsets, seg_counts,
+    seg_cents, scales, *, nprobe, s_max, nseg, maxq, R, k, metric, mode, kb,
+    interpret,
+):
+    """Route → expand → invert → fused scan as one compiled program."""
+    probes = route_to_cells(q, centroids, nprobe, metric)
+    seg_probes = expand_probes_device(probes, ptr_dev, s_max, nseg)
+    cluster_ids, lists, gmap = build_probe_lists_device(
+        seg_probes, nseg, maxq, R
+    )
+    return fused_ivf_scan(
+        q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
+        seg_offsets, seg_counts, seg_cents, k, metric, mode, scales, kb,
+        interpret=interpret,
+    )
 
 
 class IvfBase(BaseIndex):
@@ -183,45 +209,47 @@ class IvfBase(BaseIndex):
         """Route → segment task lists → cluster-major scan. Returns
         (dists [nq, k], sorted-storage positions [nq, k])."""
         nq = q.shape[0]
-        probes = route_to_cells(q, self.centroids, nprobe, self.metric)
         eff_mode = self.mode if mode is None else mode
         if approx and q_eff is None and fused_eligible(
             eff_mode, self.seg_size, int(self.storage.shape[1]), k
         ):
-            # fully device-resident: expand probes to segments, invert into
-            # scan rows, and run the fused kernel in one dispatch chain —
-            # no host round-trip for the task lists (ops/probe_device.py)
+            # fully device-resident, ONE dispatch: route → segment expansion
+            # → task-list inversion → fused kernel (ops/probe_device.py).
+            # Per-dispatch latency dominates on tunnelled hosts, so the
+            # whole query is a single jitted program.
             nseg = int(self.seg_offsets.shape[0])
             ptr = np.asarray(self._cluster_ptr)
             s_max = int(max(1, (ptr[1:] - ptr[:-1]).max()))
-            maxq, R = device_probe_shapes(nq, int(probes.shape[1]), nseg, s_max)
+            maxq, R = device_probe_shapes(nq, nprobe, nseg, s_max)
             ptr_dev = getattr(self, "_cluster_ptr_dev", None)
             if ptr_dev is None:
                 ptr_dev = jnp.asarray(ptr, jnp.int32)
                 self._cluster_ptr_dev = ptr_dev
-            seg_probes = expand_probes_device(probes, ptr_dev, s_max, nseg)
-            cluster_ids, lists, gmap = build_probe_lists_device(
-                seg_probes, nseg, maxq, R
-            )
             blocks, sn_blocks = self._fused_blocks()
             kb = max(8, 1 << (max(k, 1) - 1).bit_length())
-            return fused_ivf_scan(
+            return _fused_query_e2e(
+                q,
                 self._encode_queries(q),
-                cluster_ids,
-                lists,
-                gmap,
+                self.centroids,
+                ptr_dev,
                 blocks,
                 sn_blocks,
                 self.seg_offsets,
                 self.seg_counts,
                 self._scan_seg_centroids(),
-                k,
-                self.metric,
-                eff_mode,
                 self._codebooks(),
-                kb,
+                nprobe=nprobe,
+                s_max=s_max,
+                nseg=nseg,
+                maxq=maxq,
+                R=R,
+                k=k,
+                metric=self.metric,
+                mode=eff_mode,
+                kb=kb,
                 interpret=jax.default_backend() != "tpu",
             )
+        probes = route_to_cells(q, self.centroids, nprobe, self.metric)
         from .kmeans import SegmentLayout  # local import to avoid cycle
 
         layout_stub = SegmentLayout(
