@@ -61,20 +61,26 @@ def route_to_cells(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nprobe", "s_max", "nseg", "maxq", "R", "k", "metric", "mode", "kb",
+        "nprobe_seg", "nseg", "maxq", "R", "k", "metric", "mode", "kb",
         "interpret",
     ),
 )
 def _fused_query_e2e(
-    q, q_enc, centroids, ptr_dev, blocks, sn_blocks, seg_offsets, seg_counts,
-    seg_cents, scales, *, nprobe, s_max, nseg, maxq, R, k, metric, mode, kb,
+    q, q_enc, route_cents, blocks, sn_blocks, seg_offsets, seg_counts,
+    seg_cents, scales, *, nprobe_seg, nseg, maxq, R, k, metric, mode, kb,
     interpret,
 ):
-    """Route → expand → invert → fused scan as one compiled program."""
-    probes = route_to_cells(q, centroids, nprobe, metric)
-    seg_probes = expand_probes_device(probes, ptr_dev, s_max, nseg)
+    """Route → invert → fused scan as one compiled program.
+
+    Routing goes straight to SEGMENTS (``route_cents`` = per-segment copies
+    of the owning cluster's centroid): a split cell's segments appear as
+    duplicate routing rows and the nearest are probed together. Avoids the
+    cluster→segment expansion fan-out, whose worst-case (max segments per
+    cluster) blows the task list up with sentinels.
+    """
+    probes = route_to_cells(q, route_cents, nprobe_seg, metric)
     cluster_ids, lists, gmap = build_probe_lists_device(
-        seg_probes, nseg, maxq, R
+        probes.astype(jnp.int32), nseg, maxq, R
     )
     return fused_ivf_scan(
         q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
@@ -213,33 +219,29 @@ class IvfBase(BaseIndex):
         if approx and q_eff is None and fused_eligible(
             eff_mode, self.seg_size, int(self.storage.shape[1]), k
         ):
-            # fully device-resident, ONE dispatch: route → segment expansion
-            # → task-list inversion → fused kernel (ops/probe_device.py).
+            # fully device-resident, ONE dispatch: route (to segments) →
+            # task-list inversion → fused kernel (ops/probe_device.py).
             # Per-dispatch latency dominates on tunnelled hosts, so the
-            # whole query is a single jitted program.
+            # whole query is a single jitted program. nprobe is scaled to
+            # segments so the probed DB fraction matches cell semantics.
             nseg = int(self.seg_offsets.shape[0])
-            ptr = np.asarray(self._cluster_ptr)
-            s_max = int(max(1, (ptr[1:] - ptr[:-1]).max()))
-            maxq, R = device_probe_shapes(nq, nprobe, nseg, s_max)
-            ptr_dev = getattr(self, "_cluster_ptr_dev", None)
-            if ptr_dev is None:
-                ptr_dev = jnp.asarray(ptr, jnp.int32)
-                self._cluster_ptr_dev = ptr_dev
+            nprobe_seg = min(
+                nseg, max(nprobe, -(-nprobe * nseg) // max(self.nlist, 1))
+            )
+            maxq, R = device_probe_shapes(nq, nprobe_seg, nseg, 1)
             blocks, sn_blocks = self._fused_blocks()
             kb = max(8, 1 << (max(k, 1) - 1).bit_length())
             return _fused_query_e2e(
                 q,
                 self._encode_queries(q),
-                self.centroids,
-                ptr_dev,
+                self.seg_centroids,
                 blocks,
                 sn_blocks,
                 self.seg_offsets,
                 self.seg_counts,
                 self._scan_seg_centroids(),
                 self._codebooks(),
-                nprobe=nprobe,
-                s_max=s_max,
+                nprobe_seg=nprobe_seg,
                 nseg=nseg,
                 maxq=maxq,
                 R=R,

@@ -40,12 +40,20 @@ def _next_pow2(v: int) -> int:
 def device_probe_shapes(
     nq: int, nprobe: int, nseg: int, s_max: int
 ) -> tuple[int, int]:
-    """Static ``(maxq, R)`` for the device-built lists."""
+    """Static ``(maxq, R)`` for the device-built lists.
+
+    Total kernel work scales with ``R·maxq`` slots (= tasks + padding):
+    padding ≈ ``nseg·maxq`` (each active segment holds ≤1 partial chunk
+    row), so a *small* maxq minimises waste; the floor keeps per-row
+    matmuls MXU-shaped. ``R`` is a multiple of 64, not a power of two —
+    these shapes derive from static (nq, nprobe, nseg), so recompiles are
+    already bounded."""
     total = nq * nprobe * s_max
     mean = max(1, (nq * nprobe) // max(nseg, 1))
-    maxq = min(_next_pow2(2 * mean), 2048, _next_pow2(nq))
-    maxq = max(maxq, 16)
-    R = _next_pow2(-(-total // maxq) + nseg + 2)
+    maxq = min(_next_pow2(-(-mean // 2)), 1024, _next_pow2(nq))
+    maxq = max(maxq, 32)
+    rows = -(-total // maxq) + nseg + 2
+    R = -(-rows // 64) * 64
     return maxq, R
 
 
