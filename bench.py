@@ -80,7 +80,7 @@ def headline_ivfpq():
 
     def sweep():
         best = None
-        for nprobe in (8, 16, 32, 64):
+        for nprobe in (8, 16, 24, 32, 48, 64):
             ai, _ = index.query(q[:NQ_GT], K, nprobe=nprobe, approx=True)
             rec = calculate_recall(ti, ai, K)
             if rec >= 0.95:
