@@ -82,10 +82,16 @@ def _fused_query_e2e(
     cluster_ids, lists, gmap = build_probe_lists_device(
         probes.astype(jnp.int32), nseg, maxq, R
     )
-    return fused_ivf_scan(
+    d, i = fused_ivf_scan(
         q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
         seg_offsets, seg_counts, seg_cents, k, metric, mode, scales, kb,
         interpret=interpret,
+    )
+    # pack (dists, positions) into ONE buffer — each host readback pays a
+    # full link round-trip, so two transfers ≈ 2× the latency of one
+    return jnp.concatenate(
+        [d, jax.lax.bitcast_convert_type(i.astype(jnp.int32), jnp.float32)],
+        axis=-1,
     )
 
 
@@ -231,7 +237,7 @@ class IvfBase(BaseIndex):
             maxq, R = device_probe_shapes(nq, nprobe_seg, nseg, 1)
             blocks, sn_blocks = self._fused_blocks()
             kb = max(8, 1 << (max(k, 1) - 1).bit_length())
-            return _fused_query_e2e(
+            packed = _fused_query_e2e(
                 q,
                 self._encode_queries(q),
                 self.seg_centroids,
@@ -251,6 +257,10 @@ class IvfBase(BaseIndex):
                 kb=kb,
                 interpret=jax.default_backend() != "tpu",
             )
+            arr = np.asarray(packed)              # single transfer
+            d = arr[:, :k]
+            i = np.ascontiguousarray(arr[:, k:]).view(np.int32)
+            return d, i
         probes = route_to_cells(q, self.centroids, nprobe, self.metric)
         from .kmeans import SegmentLayout  # local import to avoid cycle
 
