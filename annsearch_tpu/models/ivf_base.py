@@ -82,10 +82,14 @@ def _fused_query_e2e(
     cluster_ids, lists, gmap = build_probe_lists_device(
         probes.astype(jnp.int32), nseg, maxq, R
     )
+    import os  # debug escape hatches (trace-time; fresh process to change)
+
     d, i = fused_ivf_scan(
         q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
         seg_offsets, seg_counts, seg_cents, k, metric, mode, scales, kb,
         interpret=interpret,
+        q_split=not os.environ.get("ANNSEARCH_IVF_NOQSPLIT"),
+        fold_depth=1 if os.environ.get("ANNSEARCH_IVF_FOLD1") else 2,
     )
     # pack (dists, positions) into ONE buffer — each host readback pays a
     # full link round-trip, so two transfers ≈ 2× the latency of one

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.dist import Dist, sq_norms
+from ..utils.dist import Dist, mantissa_split, sq_norms
 
 __all__ = ["flat_topk_fused"]
 
@@ -191,21 +191,12 @@ def flat_topk_fused(
     q_blocks = q.reshape(QI, QT, d)
     qadd_blocks = jnp.broadcast_to(qadd.reshape(QI, 1, QT), (QI, 8, QT))
 
-    def split(a, parts):
-        out, r = [], a
-        for _ in range(parts - 1):
-            h = r.astype(jnp.bfloat16)
-            out.append(h)
-            r = r - h.astype(jnp.float32)
-        out.append(r.astype(jnp.bfloat16))
-        return tuple(out)
-
     if passes >= 6:      # 3-way mantissa split ≈ full f32
-        q_in = split(q_blocks, 3)
-        x_in = split(x_blocks, 3)
-    elif passes == 3:    # hi/lo split ≈ f32 with 16-bit mantissa
-        q_in = split(q_blocks, 2)
-        x_in = split(x_blocks, 2)
+        q_in = mantissa_split(q_blocks, 3)
+        x_in = mantissa_split(x_blocks, 3)
+    elif passes == 3:    # hi/lo split ≈ f32 with 15-bit mantissa
+        q_in = mantissa_split(q_blocks, 2)
+        x_in = mantissa_split(x_blocks, 2)
     else:
         q_in = (q_blocks.astype(jnp.bfloat16),)
         x_in = (x_blocks.astype(jnp.bfloat16),)

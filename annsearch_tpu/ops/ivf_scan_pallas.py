@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.dist import Dist, sq_norms
+from ..utils.dist import Dist, mantissa_split, sq_norms
 
 __all__ = ["fused_eligible", "fused_ivf_scan", "repack_blocks"]
 
@@ -79,9 +79,10 @@ def repack_blocks(
                                  storage.dtype)]
     )
     if g.dtype == jnp.float32:
-        # hi/lo bf16 mantissa split (the kernel's 3-pass f32-grade matmul)
-        hi = g.astype(jnp.bfloat16)
-        cells = (hi, (g - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+        # hi/lo bf16 mantissa split (the kernel's 3-pass f32-grade matmul);
+        # masked split — a plain astype round-trip is elided by XLA's
+        # excess-precision pass, zeroing the lo term (utils/dist.py)
+        cells = mantissa_split(g, 2)
     else:
         cells = (g,)
     sn = jnp.concatenate(
@@ -102,6 +103,7 @@ def _scan_kernel(
     kb: int,
     nq_t: int,    # number of query mantissa terms (1 or 2)
     nx_t: int,    # number of cell mantissa terms (1 or 2)
+    fold_depth: int,
 ):
     q_refs = refs[:nq_t]
     x_refs = refs[nq_t:nq_t + nx_t]
@@ -125,12 +127,13 @@ def _scan_kernel(
         _scan_body(
             r, cnt_ref, q_refs, x_refs, qadd_ref, sn_ref, cd_ref, ci_ref,
             epilogue=epilogue, kb=kb, nq_t=nq_t, nx_t=nx_t,
+            fold_depth=fold_depth,
         )
 
 
 def _scan_body(
     r, cnt_ref, q_refs, x_refs, qadd_ref, sn_ref, cd_ref, ci_ref,
-    *, epilogue, kb, nq_t, nx_t,
+    *, epilogue, kb, nq_t, nx_t, fold_depth,
 ):
     dn = (((1,), (1,)), ((), ()))
 
@@ -169,18 +172,35 @@ def _scan_body(
     lane = jax.lax.broadcasted_iota(jnp.int32, (maxq, seg), 1)
     dist = jnp.where(lane < cnt_ref[r], dist, _BIG)
 
-    # stage 1: fold seg lanes → 128 stride-class minima (full-lane VPU ops)
+    # stage 1: fold seg lanes → per-stride-class (best, runner-up) pairs
+    # (full-lane VPU ops). Keeping TWO survivors per residue class matters
+    # on clustered data, where a query's top-k concentrates in one cell:
+    # a single-survivor fold loses any top-k pair colliding mod 128.
     li = jax.lax.broadcasted_iota(jnp.int32, (maxq, _LANES), 1)
     vals = dist[:, :_LANES]
     idx = li
+    if fold_depth == 2:
+        vals2 = jnp.full((maxq, _LANES), _BIG, jnp.float32)
+        idx2 = jnp.zeros((maxq, _LANES), jnp.int32)
     for c in range(1, seg // _LANES):
         nv = dist[:, c * _LANES:(c + 1) * _LANES]
+        ni = c * _LANES + li
         upd = nv < vals
-        idx = jnp.where(upd, c * _LANES + li, idx)
+        if fold_depth == 2:
+            lose_v = jnp.where(upd, vals, nv)
+            lose_i = jnp.where(upd, idx, ni)
         vals = jnp.where(upd, nv, vals)
+        idx = jnp.where(upd, ni, idx)
+        if fold_depth == 2:
+            upd2 = lose_v < vals2
+            vals2 = jnp.where(upd2, lose_v, vals2)
+            idx2 = jnp.where(upd2, lose_i, idx2)
 
-    # stage 2: kb sequential min-extractions from the 128 survivors;
+    # stage 2: kb sequential min-extractions from the survivors;
     # per-column writes (static lane index) rather than a lane-vector stack
+    if fold_depth == 2:
+        vals = jnp.concatenate([vals, vals2], axis=-1)
+        idx = jnp.concatenate([idx, idx2], axis=-1)
     for t in range(kb):
         v = jnp.min(vals, axis=-1)                        # [maxq]
         hit = vals == v[:, None]
@@ -192,7 +212,7 @@ def _scan_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kb", "epilogue", "interpret"),
+    static_argnames=("kb", "epilogue", "interpret", "fold_depth"),
 )
 def _fused_cell_scan(
     qg,                   # tuple of [R, maxq, d] bf16 mantissa terms
@@ -204,6 +224,7 @@ def _fused_cell_scan(
     kb: int,
     epilogue: str,
     interpret: bool,
+    fold_depth: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     R, maxq, d = qg[0].shape
     seg = blocks[0].shape[1]
@@ -236,7 +257,7 @@ def _fused_cell_scan(
     )
     kern = functools.partial(
         _scan_kernel, epilogue=epilogue, kb=kb,
-        nq_t=len(qg), nx_t=len(blocks),
+        nq_t=len(qg), nx_t=len(blocks), fold_depth=fold_depth,
     )
     cd, ci = pl.pallas_call(
         kern,
@@ -252,7 +273,9 @@ def _fused_cell_scan(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "mode", "kb", "interpret"),
+    static_argnames=(
+        "k", "metric", "mode", "kb", "interpret", "q_split", "fold_depth",
+    ),
 )
 def fused_ivf_scan(
     queries: jax.Array,       # [nq, d] f32 effective queries
@@ -270,6 +293,8 @@ def fused_ivf_scan(
     scales: jax.Array | None, # [d] f32 decode scales (i8dec modes)
     kb: int,
     interpret: bool = False,
+    q_split: bool = True,
+    fold_depth: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused-kernel replacement for ``ivf_cluster_scan`` (approx selection).
 
@@ -341,8 +366,13 @@ def fused_ivf_scan(
     if len(blocks) == 2:
         # f32 cells travel as hi/lo bf16; split the queries to match
         # (3-pass ≈ Precision.HIGH — the fused tier is approximate anyway)
-        qhi = qk.astype(jnp.bfloat16)
-        qk_t = (qhi, (qk - qhi.astype(jnp.float32)).astype(jnp.bfloat16))
+        qk_t = mantissa_split(qk, 2)
+    elif q_split and mode in ("i8dec", "i8dec_residual"):
+        # int8 cells are exact in bf16 but the scaled queries are
+        # continuous: a single bf16 pass costs ~2⁻⁹ relative on the dots,
+        # which measurably drops tail-rank recall on clustered data. The
+        # hi/lo query split (2 passes vs 1) restores XLA-scan parity.
+        qk_t = mantissa_split(qk, 2)
     else:
         qk_t = (qk.astype(jnp.bfloat16),)
     qadd_rep = jnp.broadcast_to(
@@ -351,6 +381,7 @@ def fused_ivf_scan(
     cd, ci = _fused_cell_scan(
         qk_t, qadd_rep,
         cid, cnts_x[cid], blocks, sn_blocks, kb, epilogue, interpret,
+        fold_depth=fold_depth,
     )
     # lane → sorted-storage row (sentinel lane ``seg`` lands in the padded
     # trailing rows — storage carries ≥ seg_size pad, matching the XLA scan)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 __all__ = [
     "Dist",
     "parse_ann_dist",
+    "mantissa_split",
     "sq_norms",
     "norms",
     "normalise",
@@ -55,6 +56,39 @@ def parse_ann_dist(name: str) -> Dist:
     if lowered == "cosine":
         return Dist.COSINE
     return Dist.EUCLIDEAN
+
+
+def mantissa_split(x: jax.Array, parts: int) -> tuple[jax.Array, ...]:
+    """Split f32 into ``parts`` bf16 terms whose bf16-matmul passes sum to an
+    (≈)f32-precision product: ``x ≈ Σ terms`` with ``terms[0]`` holding the
+    top 8 mantissa bits, ``terms[1]`` the next 7, …
+
+    The head terms are built by INTEGER mantissa masking (bitcast → zero the
+    low 16 bits → bitcast), not ``astype(bfloat16)`` rounding. XLA:TPU
+    compiles with excess-precision allowances that may keep a value rounded
+    to bf16 at f32 precision, which silently folds the residual
+    ``x − hi`` to ~0 and degrades a multi-pass split to single-pass
+    accuracy (measured: identical error for 1/3/6-pass splits until the
+    mask was introduced). Integer ops cannot be elided, so the residual is
+    exact; the masked value has a zeroed low mantissa and converts to bf16
+    exactly.
+    """
+    terms = []
+    r = x.astype(jnp.float32)
+    for _ in range(parts - 1):
+        # round-to-nearest-bf16 via integer add-then-mask (+0x8000 carries
+        # into the exponent correctly at binade boundaries); truncation
+        # alone would bias every residual positive, which shows up as a
+        # systematic inflation of near-zero distances
+        hi = jax.lax.bitcast_convert_type(
+            (jax.lax.bitcast_convert_type(r, jnp.int32) + jnp.int32(0x8000))
+            & jnp.int32(-65536),
+            jnp.float32,
+        )
+        terms.append(hi.astype(jnp.bfloat16))
+        r = r - hi
+    terms.append(r.astype(jnp.bfloat16))
+    return tuple(terms)
 
 
 def sq_norms(x: jax.Array) -> jax.Array:

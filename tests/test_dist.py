@@ -60,3 +60,23 @@ def test_self_distance_zero(rng):
     d = np.asarray(pairwise_sq_euclidean(jnp.asarray(x), jnp.asarray(x)))
     np.testing.assert_allclose(np.diag(d), np.zeros(10), atol=1e-3)
     assert (d >= 0).all()
+
+
+def test_mantissa_split_reconstruction(rng):
+    from annsearch_tpu.utils.dist import mantissa_split
+
+    x = (rng.standard_normal((64, 32)).astype(np.float32) * 50).astype(
+        np.float32
+    )
+    for parts, tol in ((2, 2e-4), (3, 2e-6)):
+        terms = mantissa_split(jnp.asarray(x), parts)
+        assert len(terms) == parts
+        rec = sum(np.asarray(t).astype(np.float64) for t in terms)
+        err = np.abs(rec - x.astype(np.float64))
+        # relative reconstruction error bounded by the split depth
+        assert (err <= tol * np.abs(x) + 1e-6).all(), err.max()
+        # head term alone is only bf16-accurate — the residual terms must
+        # carry real signal (this is what XLA's excess-precision pass was
+        # silently zeroing before the masked split)
+        lo = np.abs(np.asarray(terms[1]).astype(np.float64))
+        assert lo.max() > 0
