@@ -92,11 +92,13 @@ def _fused_query_e2e(
         fold_depth=1 if os.environ.get("ANNSEARCH_IVF_FOLD1") else 2,
     )
     # pack (dists, positions) into ONE buffer — each host readback pays a
-    # full link round-trip, so two transfers ≈ 2× the latency of one
-    return jnp.concatenate(
-        [d, jax.lax.bitcast_convert_type(i.astype(jnp.int32), jnp.float32)],
-        axis=-1,
-    )
+    # full link round-trip, so two transfers ≈ 2× the latency of one.
+    # Positions are encoded as f32 VALUES (exact below 2²⁴), NOT bitcast:
+    # small int32s bitcast to f32 are denormal/NaN bit patterns, which get
+    # flushed/canonicalised somewhere between XLA and the host readback —
+    # measured as ids silently corrupting (recall 0.95 → 0.35) while the
+    # distance half of the buffer stayed correct.
+    return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
 
 class IvfBase(BaseIndex):
@@ -228,7 +230,8 @@ class IvfBase(BaseIndex):
         eff_mode = self.mode if mode is None else mode
         if approx and q_eff is None and fused_eligible(
             eff_mode, self.seg_size, int(self.storage.shape[1]), k
-        ):
+        ) and int(self.storage.shape[0]) < (1 << 24):
+            # (< 2²⁴ rows: storage positions ride back as exact f32 values)
             # fully device-resident, ONE dispatch: route (to segments) →
             # task-list inversion → fused kernel (ops/probe_device.py).
             # Per-dispatch latency dominates on tunnelled hosts, so the
@@ -263,7 +266,7 @@ class IvfBase(BaseIndex):
             )
             arr = np.asarray(packed)              # single transfer
             d = arr[:, :k]
-            i = np.ascontiguousarray(arr[:, k:]).view(np.int32)
+            i = arr[:, k:].astype(np.int32)
             return d, i
         probes = route_to_cells(q, self.centroids, nprobe, self.metric)
         from .kmeans import SegmentLayout  # local import to avoid cycle
