@@ -28,7 +28,19 @@ import numpy as np
 
 from ..utils.dist import Dist, normalise, parse_ann_dist, sq_norms
 
-__all__ = ["BaseIndex", "as_f32_matrix", "DTYPE_BYTES"]
+__all__ = [
+    "BaseIndex", "as_f32_matrix", "DTYPE_BYTES", "BRUTE_QUERY_FLOP_BUDGET",
+]
+
+#: Same economics inversion as the build-side brute path
+#: (models/graph.BRUTE_BUILD_FLOP_BUDGET): below this nq·n·d MAC count one
+#: exact MXU scan answers the batch faster than any sublinear structure
+#: can walk it (measured: 15k queries × 150k × 32d exact in ~0.38 s e2e
+#: vs 2.4–38 s for the native kMkNN/graph/LSH query paths). Indexes that
+#: keep full-precision rows route small-regime queries through it; pass
+#: ``exact_fallback=False`` (or set ANNSEARCH_NO_EXACT_FALLBACK=1) to
+#: force the native algorithm.
+BRUTE_QUERY_FLOP_BUDGET = 250_000 * 250_000 * 64
 
 DTYPE_BYTES = {
     jnp.dtype(jnp.float32): 4,
@@ -97,6 +109,46 @@ class BaseIndex:
         storage — e.g. IVF's cluster-contiguous layout — override this);
         row i corresponds to the id i returned by ``query``."""
         return np.asarray(self.vectors)
+
+    # -- small-regime exact fallback -------------------------------------
+
+    def _fallback_vectors(self):
+        """``(vecs [n, d] f32, sqnorms or None, ids [n] or None)`` for the
+        exact small-regime query path, or ``None`` if this index does not
+        keep full-precision rows (quantised/binary storage)."""
+        return None
+
+    def _exact_fallback_ok(self, nq: int) -> bool:
+        if os.environ.get("ANNSEARCH_NO_EXACT_FALLBACK"):
+            return False
+        if nq * self.n * self.dim > BRUTE_QUERY_FLOP_BUDGET:
+            return False
+        return self._fallback_vectors() is not None
+
+    def _fallback_from_vectors(self):
+        """Shared ``_fallback_vectors`` impl for indexes that keep the raw
+        f32 rows in ``self.vectors`` (possibly with trailing sentinel/pad
+        rows beyond ``self.n``)."""
+        sq = None
+        if self.metric == Dist.EUCLIDEAN and getattr(self, "sqnorms", None) is not None:
+            sq = self.sqnorms[: self.n]
+        return self.vectors[: self.n], sq, None
+
+    def _exact_query_small(self, qj: jax.Array, k: int):
+        """Exact top-k over the full-precision rows (recall 1.0 by
+        construction); returns numpy ``(ids, dists)`` like ``query``."""
+        from ..ops.topk import blocked_query_topk
+
+        vecs, sq, ids = self._fallback_vectors()
+        k = max(1, min(int(k), vecs.shape[0]))
+        d, i = blocked_query_topk(
+            qj, vecs, k, self.metric, x_sqnorm=sq,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        i = np.asarray(i)
+        if ids is not None:
+            i = np.asarray(ids)[i]
+        return i, np.asarray(d)
 
     # -- helpers ---------------------------------------------------------
 

@@ -48,6 +48,8 @@ BRUTE_BUILD_FLOP_BUDGET = 250_000 * 250_000 * 64
 class NNDescentIndex(BaseIndex):
     """kNN-graph + navigable-graph index."""
 
+    _fallback_vectors = BaseIndex._fallback_from_vectors
+
     _state_arrays = (
         "vectors", "sqnorms", "knn_ids", "knn_dists", "nav_graph",
         "router_ids",
@@ -179,12 +181,16 @@ class NNDescentIndex(BaseIndex):
         n_entries: int = 8,
         seed: int | None = None,
         query_block: int = 1024,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Beam-search query (reference cagra_search_batch_gpu defaults:
         BEAM_WIDTH 16·auto-scale, MAX_BEAM_ITERS≈3·bw, 8 random entries,
-        cagra_gpu_search.rs:21-124)."""
+        cagra_gpu_search.rs:21-124). Small regimes route through the exact
+        MXU scan (models/base.BRUTE_QUERY_FLOP_BUDGET economics inversion)."""
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
+        if exact_fallback and self._exact_fallback_ok(q.shape[0]):
+            return self._exact_query_small(q, k)
         beam = beam if beam is not None else max(32, 2 * k)
         beam = min(beam, self.n)
         iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))

@@ -96,6 +96,8 @@ def _build_knn_graph(
 class HnswIndex(BaseIndex):
     """Hierarchical navigable small-world graph."""
 
+    _fallback_vectors = BaseIndex._fallback_from_vectors
+
     _state_scalars = ("n", "dim", "m", "n_layers")
 
     def __init__(
@@ -174,9 +176,12 @@ class HnswIndex(BaseIndex):
         k: int,
         ef_search: int | None = None,
         query_block: int = 1024,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
+        if exact_fallback and self._exact_fallback_ok(q.shape[0]):
+            return self._exact_query_small(q, k)
         ef = max(ef_search if ef_search is not None else 100, k)
         nq = q.shape[0]
 

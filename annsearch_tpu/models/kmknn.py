@@ -94,6 +94,15 @@ def _phase2_need_packed(
 class KmknnIndex(BaseIndex):
     """Exact k-means-pruned search."""
 
+    def _fallback_vectors(self):
+        # storage is cluster-sorted with seg_size pad rows; map back via
+        # original_ids (the padded zero rows must NOT enter the scan)
+        return (
+            self.vectors[: self.n],
+            self.sqnorms[: self.n],
+            self.original_ids[: self.n],
+        )
+
     def __init__(
         self,
         mat: Any,
@@ -154,9 +163,14 @@ class KmknnIndex(BaseIndex):
         return d, i
 
     def query(
-        self, query_mat: Any, k: int, p0: int | None = None
+        self, query_mat: Any, k: int, p0: int | None = None,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
+        if exact_fallback and self._exact_fallback_ok(q.shape[0]):
+            # identical output to the two-phase triangle-bound search (both
+            # are exact); the MXU scan is the faster path below the budget
+            return self._exact_query_small(q, self._clamp_k(k))
         return self._query_prepped(q, k, p0)
 
     def _query_prepped(self, q, k, p0=None):

@@ -131,6 +131,8 @@ def _lsh_query_block(
 class LSHIndex(BaseIndex):
     """Multi-probe SimHash."""
 
+    _fallback_vectors = BaseIndex._fallback_from_vectors
+
     def __init__(
         self,
         mat: Any,
@@ -203,8 +205,11 @@ class LSHIndex(BaseIndex):
         n_probes: int = 4,
         max_bucket: int | None = None,
         query_block: int | None = None,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
+        if exact_fallback and self._exact_fallback_ok(q.shape[0]):
+            return self._exact_query_small(q, self._clamp_k(k))
         k = self._clamp_k(k)
         if max_bucket is None:
             max_bucket = 1 << (

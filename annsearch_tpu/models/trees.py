@@ -42,6 +42,8 @@ _BIG = jnp.float32(1e30)
 class _ForestIndex(BaseIndex):
     """Shared: forest build + leaf-union candidate rerank."""
 
+    _fallback_vectors = BaseIndex._fallback_from_vectors
+
     _mode = "annoy"
 
     def __init__(
@@ -139,11 +141,14 @@ class _ForestIndex(BaseIndex):
         k: int,
         n_probes: int = 2,
         query_block: int = 1024,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Candidate budget ≈ n_trees · n_probes · leaf (the reference's
         search_k knob, annoy.rs:532)."""
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
+        if exact_fallback and self._exact_fallback_ok(q.shape[0]):
+            return self._exact_query_small(q, k)
         nq = q.shape[0]
         qb_size = min(query_block, max(nq, 8))
         pad = (-nq) % qb_size
@@ -244,6 +249,8 @@ class KdTreeIndex(_ForestIndex):
 class BallTreeIndex(BaseIndex):
     """Single ball tree with beam descent (reference ball_tree.rs:195-1032)."""
 
+    _fallback_vectors = BaseIndex._fallback_from_vectors
+
     def __init__(
         self,
         mat: Any,
@@ -271,11 +278,14 @@ class BallTreeIndex(BaseIndex):
         k: int,
         budget: float | None = None,
         query_block: int = 256,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """``budget``: fraction of n to rerank exactly (reference default
         5%·n, ball_tree.rs:767)."""
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
+        if exact_fallback and self._exact_fallback_ok(q.shape[0]):
+            return self._exact_query_small(q, k)
         budget = 0.05 if budget is None else budget
         beam = max(1, int(math.ceil(budget * self.n / self.leaf)))
         nq = q.shape[0]

@@ -90,6 +90,8 @@ def robust_prune(
 class VamanaIndex(BaseIndex):
     """Fixed-degree α-pruned graph with medoid entry."""
 
+    _fallback_vectors = BaseIndex._fallback_from_vectors
+
     _state_arrays = ("vectors", "sqnorms", "graph", "medoid_arr")
     _state_scalars = ("n", "dim", "r_degree")
 
@@ -185,9 +187,12 @@ class VamanaIndex(BaseIndex):
         iters: int | None = None,
         expand: int = 4,
         query_block: int = 1024,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Single-layer beam search from the medoid (vamana.rs:781-865)."""
         q = self._prep_queries(query_mat)
+        if exact_fallback and self._exact_fallback_ok(q.shape[0]):
+            return self._exact_query_small(q, self._clamp_k(k))
         k = self._clamp_k(k)
         beam = min(beam if beam is not None else max(32, 2 * k), self.n)
         iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))

@@ -21,6 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Tests exercise the NATIVE query algorithms: without this, every
+# small-workload recall test would silently route through the small-regime
+# exact MXU fallback (models/base.BRUTE_QUERY_FLOP_BUDGET) and assert
+# nothing about the structure under test. test_exact_fallback.py covers
+# the fallback path explicitly.
+os.environ["ANNSEARCH_NO_EXACT_FALLBACK"] = "1"
+
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
