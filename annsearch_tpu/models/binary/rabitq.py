@@ -62,14 +62,20 @@ class RaBitQEncoder:
         r = x - owner_centroids
         v_dist = jnp.sqrt(jnp.sum(r * r, axis=-1))
         u = r / jnp.maximum(v_dist, 1e-12)[:, None]
-        ru = u @ self.rotation.T
+        # HIGHEST: sign bits + L1 correction come from this product; TPU
+        # DEFAULT (1 bf16 pass) flips near-zero signs and biases ‖R·u‖₁
+        ru = jnp.matmul(
+            u, self.rotation.T, precision=jax.lax.Precision.HIGHEST
+        )
         bits = pack_bits(ru >= 0)
         dot_corr = jnp.sum(jnp.abs(ru), axis=-1)
         return bits, v_dist, dot_corr
 
     def rotate_padded(self, v: jax.Array) -> jax.Array:
         """Rotate and zero-pad the lane dim to w·32 (scan operand layout)."""
-        r = v @ self.rotation.T
+        r = jnp.matmul(
+            v, self.rotation.T, precision=jax.lax.Precision.HIGHEST
+        )
         pad = self.n_words * 32 - self.dim
         if pad:
             r = jnp.concatenate(

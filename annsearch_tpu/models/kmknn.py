@@ -54,6 +54,10 @@ def _route_kmknn(q, centroids, p0):
         * jax.lax.dot_general(
             q, centroids, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST: these distances feed the triangle-inequality prune —
+            # a bf16-pass error here can wrongly exclude a cell holding a
+            # true neighbour, silently breaking kMkNN's exactness guarantee
+            precision=jax.lax.Precision.HIGHEST,
         ),
         0.0,
     )

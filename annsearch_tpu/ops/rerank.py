@@ -44,8 +44,13 @@ def rerank_exact(
     metric: Dist,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact distances to candidates, top-k ascending → (dists, ids)."""
+    # HIGHEST: "exact rerank" must actually be exact — TPU DEFAULT lowers
+    # f32 einsums to one bf16 pass, whose ~2⁻⁹-relative dot error scrambles
+    # fine orderings (measured: RaBitQ rf10 recall 0.9977 on CPU vs 0.7411
+    # on TPU with an identical candidate pipeline, and rf20 < rf10)
     dots = jnp.einsum(
-        "qd,qcd->qc", q, cand_vecs, preferred_element_type=jnp.float32
+        "qd,qcd->qc", q, cand_vecs, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if metric == Dist.COSINE:
         vn = jnp.sqrt(jnp.maximum(jnp.sum(cand_vecs * cand_vecs, -1), 1e-30))
