@@ -108,6 +108,46 @@ def main(argv=None):
                 f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
             )
         write()  # incremental — a timeout keeps everything finished so far
+
+    if not args.quick:
+        # native-path appendix: the structures whose queries the
+        # small-regime exact fallback supersedes at this workload size
+        # (models/base.BRUTE_QUERY_FLOP_BUDGET) — these rows force the
+        # native algorithm so structure quality stays visible
+        lines += [
+            "",
+            "At this workload size every index that keeps full-precision "
+            "rows answers queries through the small-regime exact MXU scan "
+            "(recall 1.0 by construction — see "
+            "`models/base.BRUTE_QUERY_FLOP_BUDGET`). The rows below force "
+            "the native query algorithms (`ANNSEARCH_NO_EXACT_FALLBACK=1`) "
+            "to show structure quality:",
+            "",
+            "| Method (native path) | Build (ms) | Query (ms) | Recall@k | Dist ratio | Size MB |",
+            "|---|---|---|---|---|---|",
+        ]
+        write()
+        os.environ["ANNSEARCH_NO_EXACT_FALLBACK"] = "1"
+        for kind, extra in [
+            ("kmknn", ["--nlist-sweep", "387"]),
+            ("annoy", []),
+            ("hnsw", []),
+            ("nndescent", []),
+            ("lsh", []),
+        ]:
+            print(f"=== native {kind} ===", flush=True)
+            try:
+                results = gridsearch_main(["--index", kind] + base + extra)
+            except Exception as e:
+                print(f"native {kind} FAILED: {e}", flush=True)
+                continue
+            for name, build_ms, query_ms, rec, mdr, size_mb in results:
+                lines.append(
+                    f"| {name} | {build_ms:,.0f} | {query_ms:,.0f} | "
+                    f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
+                )
+            write()
+        del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
     print("wrote docs/benchmarks_tpu.md", flush=True)
 
 
