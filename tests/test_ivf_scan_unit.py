@@ -125,3 +125,43 @@ def test_lsh_probe_patterns_reference_order():
     assert pats == ((0,), (1,), (2,), (3,), (0, 1), (0, 2), (0, 3), (1, 2))
     assert _probe_patterns(4, 1) == ()
     assert len(_probe_patterns(3, 100)) == 3 + 3  # all 1-flips + all pairs
+
+
+def test_scan_hamming_mode_matches_popcount_oracle():
+    rng = np.random.default_rng(5)
+    from annsearch_tpu.ops.binary import pack_bits
+
+    n, nbits, nlist, nq, k = 96, 64, 4, 7, 5
+    xb = rng.integers(0, 2, (n, nbits)).astype(bool)
+    qb = rng.integers(0, 2, (nq, nbits)).astype(bool)
+    a = rng.integers(0, nlist, n)
+    order = np.argsort(a, kind="stable")
+    counts = np.bincount(a, minlength=nlist).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    cap = int(counts.max())
+    xs = xb[order]
+    xs_packed = np.asarray(pack_bits(xs))
+    xs_packed = np.concatenate(
+        [xs_packed, np.zeros((cap, xs_packed.shape[1]), xs_packed.dtype)]
+    )
+    q_packed = np.asarray(pack_bits(qb))
+    probes = np.tile(np.arange(nlist), (nq, 1))
+    cluster_ids, lists, gmap = build_probe_lists(probes, nlist, nq)
+    w = xs_packed.shape[1]
+    bd, bi = ivf_cluster_scan(
+        jnp.asarray(q_packed), jnp.asarray(cluster_ids), jnp.asarray(lists),
+        jnp.asarray(gmap), jnp.asarray(xs_packed),
+        jnp.zeros((xs_packed.shape[0],), jnp.float32),
+        jnp.asarray(offsets), jnp.asarray(counts),
+        jnp.zeros((nlist, w * 32), jnp.float32),
+        k, Dist.EUCLIDEAN, cap, "hamming",
+    )
+    # numpy popcount oracle over all cells (full probe)
+    ham = (qb[:, None, :] != xs[None, :, :]).sum(-1)  # [nq, n]
+    oi = np.argsort(ham, axis=-1, kind="stable")[:, :k]
+    od = np.take_along_axis(ham, oi, axis=-1).astype(np.float32)
+    np.testing.assert_allclose(np.sort(np.asarray(bd)), np.sort(od), atol=0)
+    # ids may permute within equal distances; compare distance multisets per row
+    got_d = np.asarray(bd)
+    for qi in range(nq):
+        np.testing.assert_array_equal(np.sort(got_d[qi]), np.sort(od[qi]))

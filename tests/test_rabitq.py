@@ -93,3 +93,20 @@ def test_rabitq_memory_compression(rdata):
     index = ExhaustiveIndexRaBitQ(x, seed=0, store=False)
     # ~1 bit/dim + 8B metadata + rotation ≈ far below f32
     assert index.memory_usage_bytes() < x.size * 4 / 3
+
+
+def test_rerank_factor_monotone(rdata):
+    """More rerank candidates must never lower recall (caught a TPU
+    DEFAULT-precision bug where rf20 < rf10)."""
+    import annsearch_tpu as ann
+    from annsearch_tpu.utils.metrics import calculate_recall
+
+    x, q, ti = rdata
+    idx = ann.build_exhaustive_index_rabitq(x, seed=0)
+    recs = []
+    for rf in (2, 5, 10):
+        ai, _ = idx.query(q, 10, nprobe=idx.nlist, rerank="exact",
+                          rerank_factor=rf)
+        recs.append(calculate_recall(np.asarray(ti), np.asarray(ai), 10))
+    assert recs[0] <= recs[1] + 1e-9 and recs[1] <= recs[2] + 1e-9, recs
+    assert recs[-1] >= 0.95
