@@ -160,6 +160,112 @@ def _leaf_ball_stats(vectors, order, g: int, leaf: int, n: int):
     return center, jnp.sqrt(jnp.max(dd, axis=-1))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("g_max", "log2_npad", "mode", "n")
+)
+def _tree_level_uniform(
+    vectors, order, keys, lv, g_max: int, log2_npad: int, mode: str, n: int
+):
+    """Shape-uniform level step: every level of every tree runs this ONE
+    compiled program (``lv`` is traced; group structure is derived from
+    positions by shifts, per-group stats by segment ops padded to
+    ``g_max``). The per-level-shape variant (`_tree_level`) paid one XLA
+    compile per level — ~110 s cold forest builds on the 150k workload."""
+    n_pad = order.shape[0]
+    d = vectors.shape[1]
+    log2_gs = jnp.int32(log2_npad) - lv            # group size = 1 << log2_gs
+    gs = jnp.int32(1) << log2_gs
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    gid = jax.lax.shift_right_logical(pos, log2_gs)
+    starts = jnp.arange(g_max, dtype=jnp.int32) << log2_gs  # ≥ n_pad for unused
+
+    pts = vectors[jnp.minimum(order, n)]           # [n_pad, d]
+    valid = order < n
+    w = valid.astype(jnp.float32)
+
+    def seg_sum(v):
+        return jax.ops.segment_sum(v, gid, num_segments=g_max)
+
+    cnt = jnp.maximum(seg_sum(w), 1.0)             # [g_max]
+
+    def gmean(v):                                  # [n_pad, d] → [g_max, d]
+        return seg_sum(v * w[:, None]) / cnt[:, None]
+
+    if mode == "annoy":
+        # R candidate two-point hyperplanes per group, keep the max-variance
+        # one (see `_tree_level` for rationale vs annoy.rs:299-397 retries)
+        R = 4
+        ia = jax.random.randint(keys[0], (R, g_max), 0, gs)
+        ib = jax.random.randint(keys[1], (R, g_max), 0, gs)
+        pa = jnp.minimum(starts[None, :] + ia, n_pad - 1)
+        pb = jnp.minimum(starts[None, :] + ib, n_pad - 1)
+        a = vectors[jnp.minimum(order[pa], n)]     # [R, g_max, d]
+        b = vectors[jnp.minimum(order[pb], n)]
+        cand = a - b
+        nrm = jnp.linalg.norm(cand, axis=-1, keepdims=True)
+        rand = jax.random.normal(keys[2], (R, g_max, d))
+        cand = jnp.where(nrm > 1e-6, cand, rand)
+        cand = cand / jnp.maximum(
+            jnp.linalg.norm(cand, axis=-1, keepdims=True), 1e-12
+        )
+        sc = jnp.einsum("nd,rnd->rn", pts, cand[:, gid])   # [R, n_pad]
+        s1 = jax.vmap(lambda v: seg_sum(v * w))(sc)        # [R, g_max]
+        s2 = jax.vmap(lambda v: seg_sum(v * v * w))(sc)
+        var = s2 / cnt[None] - (s1 / cnt[None]) ** 2
+        best = jnp.argmax(var, axis=0)                     # [g_max]
+        normal = cand[best, jnp.arange(g_max)]
+    elif mode == "kd":
+        mean = gmean(pts)
+        var = gmean((pts - mean[gid]) ** 2)
+        _, top3 = jax.lax.top_k(var, min(3, d))
+        pick = jax.random.randint(keys[0], (g_max,), 0, top3.shape[1])
+        axis = top3[jnp.arange(g_max), pick]
+        normal = jax.nn.one_hot(axis, d, dtype=jnp.float32)
+    else:  # ball: approximate diameter axis
+        mean = gmean(pts)
+        d2c = jnp.where(valid, jnp.sum((pts - mean[gid]) ** 2, -1), -1.0)
+        m1 = jax.ops.segment_max(d2c, gid, num_segments=g_max)
+        hit1 = d2c == m1[gid]
+        f1 = jax.ops.segment_min(
+            jnp.where(hit1, pos, n_pad), gid, num_segments=g_max
+        )
+        p1 = vectors[jnp.minimum(order[jnp.minimum(f1, n_pad - 1)], n)]
+        d2f = jnp.where(valid, jnp.sum((pts - p1[gid]) ** 2, -1), -1.0)
+        m2 = jax.ops.segment_max(d2f, gid, num_segments=g_max)
+        hit2 = d2f == m2[gid]
+        f2 = jax.ops.segment_min(
+            jnp.where(hit2, pos, n_pad), gid, num_segments=g_max
+        )
+        p2 = vectors[jnp.minimum(order[jnp.minimum(f2, n_pad - 1)], n)]
+        normal = p1 - p2
+        nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        rand = jax.random.normal(keys[2], (g_max, d))
+        normal = jnp.where(nrm > 1e-6, normal, rand)
+
+    score = jnp.einsum("nd,nd->n", pts, normal[gid])
+    score = jnp.where(valid, score, _BIG)          # padding → right half
+
+    _, sorted_score, new_order = jax.lax.sort(
+        (gid, score, order), num_keys=2
+    )
+    half = gs >> 1
+    i1 = jnp.minimum(starts + half - 1, n_pad - 1)
+    i2 = jnp.minimum(starts + half, n_pad - 1)
+    thr = jnp.clip(
+        0.5 * (sorted_score[i1] + sorted_score[i2]), -_BIG, _BIG
+    )
+
+    if mode == "ball":
+        center = gmean(pts)
+        dd = jnp.where(valid, jnp.sum((pts - center[gid]) ** 2, -1), 0.0)
+        radius = jnp.sqrt(
+            jax.ops.segment_max(dd, gid, num_segments=g_max)
+        )
+    else:
+        center = radius = None
+    return new_order, normal, thr, center, radius
+
+
 def build_partition_tree(
     key: jax.Array,
     vectors: jax.Array,   # [n+1, d] sentinel row n
@@ -167,7 +273,8 @@ def build_partition_tree(
     leaf: int,
     mode: str,            # "annoy" | "kd" | "ball"
 ) -> PartitionTree:
-    """Build one tree (host loop over levels, one jitted program each)."""
+    """Build one tree (host loop over levels; all levels share one
+    compiled program when the leaf size is a power of two)."""
     n = vectors.shape[0] - 1
     n_pad = (2**levels) * leaf
     if n_pad < n:
@@ -182,13 +289,28 @@ def build_partition_tree(
     )
     normals, thresholds, centers, radii = [], [], [], []
 
+    uniform = (leaf & (leaf - 1)) == 0 and levels >= 1
+    g_max = 2 ** (levels - 1) if levels >= 1 else 1
+    log2_npad = int(np.log2(n_pad)) if uniform else 0
+
     for lv in range(levels):
         g = 2**lv
         gs = n_pad // g
         keys = jax.random.split(jax.random.fold_in(key, lv), 3)
-        order, normal, thr, center, radius = _tree_level(
-            vectors, order, keys, g, gs, mode, n
-        )
+        if uniform:
+            order, normal, thr, center, radius = _tree_level_uniform(
+                vectors, order, keys, jnp.int32(lv), g_max, log2_npad,
+                mode, n,
+            )
+            normal = normal[:g]
+            thr = thr[:g]
+            if mode == "ball":
+                center = center[:g]
+                radius = radius[:g]
+        else:
+            order, normal, thr, center, radius = _tree_level(
+                vectors, order, keys, g, gs, mode, n
+            )
         normals.append(normal)
         thresholds.append(thr)
         if mode == "ball":
