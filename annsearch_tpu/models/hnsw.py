@@ -151,7 +151,17 @@ class HnswIndex(BaseIndex):
             s = len(members)
             if s == 0:
                 break
-            gids = jnp.asarray(members)
+            # pad the member set to a power of two: layer sizes are
+            # data-dependent, so unpadded shapes force one XLA compile per
+            # layer per build. Pad slots repeat member 0 — their graph rows
+            # are unreachable (no real node links to a pad slot: the kNN
+            # graph is built on distances where pads duplicate member 0 and
+            # rank behind it only by index, and descent starts at slot 0).
+            s_pad = 1 << (max(s, 1) - 1).bit_length()
+            members_p = np.concatenate(
+                [members, np.full(s_pad - s, members[0], np.int32)]
+            )
+            gids = jnp.asarray(members_p)
             lv_vecs = jnp.concatenate(
                 [vecs[gids], jnp.zeros((1, self.dim), jnp.float32)]
             )
@@ -160,7 +170,7 @@ class HnswIndex(BaseIndex):
             key, kl = jax.random.split(key)
             lids, _ = _build_knn_graph(kl, lv_vecs, lv_sq, kk, self.metric, 1, 4)
             graph = jnp.concatenate(
-                [lids, jnp.full((1, kk), s, jnp.int32)]
+                [lids, jnp.full((1, kk), s_pad, jnp.int32)]
             )
             self.layers.append((gids, graph, lv_vecs, lv_sq))
 
