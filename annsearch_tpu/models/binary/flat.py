@@ -65,6 +65,13 @@ class ExhaustiveIndexBinary(BaseIndex):
             self.store = None
         self.vectors = None
 
+    def _fallback_vectors(self):
+        from .vec_store import DeviceVectorStore
+
+        if isinstance(self.store, DeviceVectorStore):
+            return self.store.vectors, None, None
+        return None
+
     # -- queries -----------------------------------------------------------
 
     def query(
@@ -74,11 +81,21 @@ class ExhaustiveIndexBinary(BaseIndex):
         rerank: str | None = None,   # None|"asymmetric"|"exact"
         rerank_factor: int = 20,
         query_block: int = 1024,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_q(query_mat)
         k = self._clamp_k(k)
         if rerank == "exact" and self.store is None:
             raise ValueError("exact rerank requires a vector store")
+        if (
+            rerank == "exact"
+            and exact_fallback
+            and self._exact_fallback_ok(q.shape[0])
+        ):
+            # the exact-rerank tier's contract is exact-metric distances —
+            # below the brute budget one MXU scan over the stored rows is
+            # both faster and a strict quality upper bound
+            return self._exact_query_small(q, k)
 
         if rerank is None:
             q_codes = self.binariser.encode(q)

@@ -67,6 +67,14 @@ class IvfIndexBinary(IvfBase):
         else:
             self.store = None
 
+    def _fallback_vectors(self):
+        from .vec_store import DeviceVectorStore
+
+        if isinstance(self.store, DeviceVectorStore):
+            # store holds cluster-sorted rows; map back via original_ids
+            return self.store.vectors, None, self.original_ids[: self.n]
+        return None
+
     def query(
         self,
         query_mat: Any,
@@ -74,6 +82,7 @@ class IvfIndexBinary(IvfBase):
         nprobe: int | None = None,
         rerank: str | None = None,
         rerank_factor: int = 20,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
@@ -81,6 +90,12 @@ class IvfIndexBinary(IvfBase):
         nprobe = max(1, min(nprobe, self.nlist))
         if rerank == "exact" and self.store is None:
             raise ValueError("exact rerank requires a vector store")
+        if (
+            rerank == "exact"
+            and exact_fallback
+            and self._exact_fallback_ok(q.shape[0])
+        ):
+            return self._exact_query_small(q, k)
         nq = q.shape[0]
 
         k_scan = k if rerank != "exact" else min(

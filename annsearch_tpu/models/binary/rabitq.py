@@ -144,6 +144,11 @@ class _RaBitQBase(IvfBase):
     def _aux(self):
         return self.aux_corr
 
+    def _fallback_vectors(self):
+        if isinstance(self.store, DeviceVectorStore):
+            return self.store.vectors, None, self.original_ids[: self.n]
+        return None
+
     def query(
         self,
         query_mat: Any,
@@ -151,6 +156,7 @@ class _RaBitQBase(IvfBase):
         nprobe: int | None = None,
         rerank: str | None = None,
         rerank_factor: int = 10,
+        exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
@@ -158,6 +164,12 @@ class _RaBitQBase(IvfBase):
         nprobe = max(1, min(nprobe, self.nlist))
         if rerank == "exact" and self.store is None:
             raise ValueError("exact rerank requires a vector store")
+        if (
+            rerank == "exact"
+            and exact_fallback
+            and self._exact_fallback_ok(q.shape[0])
+        ):
+            return self._exact_query_small(q, k)
         nq = q.shape[0]
 
         k_scan = k if rerank != "exact" else min(max(k, k * rerank_factor), self.n)
