@@ -81,6 +81,10 @@ class BaseIndex:
     #: attribute names persisted by save/load (subclasses extend)
     _state_arrays: tuple[str, ...] = ("vectors", "sqnorms")
     _state_scalars: tuple[str, ...] = ("n", "dim")
+    #: extra arrays persisted by save/load but NOT counted by
+    #: memory_usage_bytes (aliases of derived state, e.g. binariser
+    #: projections or rerank-store rows)
+    _persist_extra_arrays: tuple[str, ...] = ()
 
     def __init__(self, mat: Any, metric: str | Dist):
         arr = as_f32_matrix(mat)
@@ -184,7 +188,7 @@ class BaseIndex:
         arrays, meta = {}, {"cls": type(self).__name__, "metric": self.metric.value}
         for name in self._state_scalars:
             meta[name] = getattr(self, name)
-        for name in self._state_arrays:
+        for name in self._state_arrays + self._persist_extra_arrays:
             v = getattr(self, name, None)
             if v is not None:
                 # npz cannot hold bfloat16 — store as f32, subclasses recast
@@ -207,7 +211,7 @@ class BaseIndex:
             obj.metric = parse_ann_dist(meta["metric"])
             for name in cls._state_scalars:
                 setattr(obj, name, meta[name])
-            for name in cls._state_arrays:
+            for name in cls._state_arrays + cls._persist_extra_arrays:
                 setattr(
                     obj,
                     name,

@@ -37,7 +37,8 @@ class ExhaustiveIndexBinary(BaseIndex):
     """Flat Hamming-scan index over binarised vectors."""
 
     _state_arrays = ("codes",)
-    _state_scalars = ("n", "dim", "n_bits", "bin_mode")
+    _state_scalars = ("n", "dim", "n_bits", "bin_mode", "store_path")
+    _persist_extra_arrays = ("bin_proj", "bin_mean", "store_vectors")
 
     def __init__(
         self,
@@ -61,6 +62,27 @@ class ExhaustiveIndexBinary(BaseIndex):
             self.store = DeviceVectorStore(x)
         elif isinstance(store, str):
             self.store = MmapVectorStore.write(store, np.asarray(x))
+        else:
+            self.store = None
+        self.vectors = None
+        # persistence aliases (saved but not double-counted in memory)
+        self.bin_proj = self.binariser.projections
+        self.bin_mean = self.binariser.mean
+        self.store_vectors = (
+            self.store.vectors if isinstance(self.store, DeviceVectorStore) else None
+        )
+        self.store_path = store if isinstance(store, str) else ""
+
+    def _post_load(self) -> None:
+        self.n_bits = int(self.n_bits)
+        self.codes = self.codes.astype(jnp.uint32)
+        self.binariser = Binariser(
+            self.bin_proj, self.bin_mean, self.n_bits, self.bin_mode
+        )
+        if self.store_vectors is not None:
+            self.store = DeviceVectorStore(self.store_vectors)
+        elif self.store_path:
+            self.store = MmapVectorStore.open(self.store_path)
         else:
             self.store = None
         self.vectors = None

@@ -29,6 +29,9 @@ class IvfIndexBinary(IvfBase):
 
     mode = "hamming"
 
+    _state_scalars = IvfBase._state_scalars + ("n_bits", "bin_mode", "store_path")
+    _persist_extra_arrays = ("bin_proj", "bin_mean", "store_vectors")
+
     def __init__(
         self,
         mat: Any,
@@ -64,6 +67,27 @@ class IvfIndexBinary(IvfBase):
             self.store = MmapVectorStore.write(
                 self._store_arg, np.asarray(x_sorted)
             )
+        else:
+            self.store = None
+        # persistence aliases
+        self.bin_mode = self.binariser.mode
+        self.bin_proj = self.binariser.projections
+        self.bin_mean = self.binariser.mean
+        self.store_vectors = (
+            self.store.vectors if isinstance(self.store, DeviceVectorStore) else None
+        )
+        self.store_path = self._store_arg if isinstance(self._store_arg, str) else ""
+
+    def _post_load_hook(self):
+        super()._post_load_hook()
+        self.n_bits = int(self.n_bits)
+        self.binariser = Binariser(
+            self.bin_proj, self.bin_mean, self.n_bits, self.bin_mode
+        )
+        if self.store_vectors is not None:
+            self.store = DeviceVectorStore(self.store_vectors)
+        elif self.store_path:
+            self.store = MmapVectorStore.open(self.store_path)
         else:
             self.store = None
 

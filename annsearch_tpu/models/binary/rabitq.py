@@ -92,6 +92,8 @@ class _RaBitQBase(IvfBase):
 
     mode = "rabitq"
     _state_arrays = IvfBase._state_arrays + ("aux_corr", "rotation")
+    _state_scalars = IvfBase._state_scalars + ("store_path",)
+    _persist_extra_arrays = ("store_vectors",)
 
     def __init__(
         self,
@@ -134,6 +136,11 @@ class _RaBitQBase(IvfBase):
             )
         else:
             self.store = None
+        # persistence aliases
+        self.store_vectors = (
+            self.store.vectors if isinstance(self.store, DeviceVectorStore) else None
+        )
+        self.store_path = self._store_arg if isinstance(self._store_arg, str) else ""
 
     def _encode_queries(self, q):
         return self.encoder.rotate_padded(q)
@@ -221,7 +228,12 @@ class _RaBitQBase(IvfBase):
     def _post_load_hook(self):
         super()._post_load_hook()
         self.encoder = RaBitQEncoder(self.rotation, self.dim)
-        self.store = None
+        if self.store_vectors is not None:
+            self.store = DeviceVectorStore(self.store_vectors)
+        elif self.store_path:
+            self.store = MmapVectorStore.open(self.store_path)
+        else:
+            self.store = None
 
 
 def as_f32_shape(mat) -> int:

@@ -360,8 +360,9 @@ class IvfBase(BaseIndex):
         arrays = {"cluster_ptr": np.asarray(self._cluster_ptr)}
         meta = {"cls": type(self).__name__, "metric": self.metric.value}
         for name in self._state_scalars:
-            meta[name] = int(getattr(self, name))
-        for name in self._state_arrays:
+            v = getattr(self, name)
+            meta[name] = int(v) if isinstance(v, (int, np.integer)) else v
+        for name in self._state_arrays + self._persist_extra_arrays:
             v = getattr(self, name, None)
             if v is not None:
                 if jnp.dtype(v.dtype) == jnp.dtype(jnp.bfloat16):
@@ -386,7 +387,7 @@ class IvfBase(BaseIndex):
             obj.metric = parse_ann_dist(meta["metric"])
             for name in cls._state_scalars:
                 setattr(obj, name, meta[name])
-            for name in cls._state_arrays:
+            for name in cls._state_arrays + cls._persist_extra_arrays:
                 setattr(
                     obj, name,
                     jnp.asarray(z[name]) if name in z.files else None,
