@@ -41,8 +41,10 @@ from .base import BaseIndex, as_f32_matrix
 __all__ = ["NNDescentIndex"]
 
 #: below this n²·d FLOP count the exact MXU self-scan beats approximate
-#: rounds (measured: 150k×32d exact ≈ 2 s vs ~50 s of NN-descent rounds)
-BRUTE_BUILD_FLOP_BUDGET = 250_000 * 250_000 * 64
+#: rounds (measured: 1M×32d exact fused scan ≈ 5 s vs ~80 s of NN-descent
+#: rounds reaching only 0.72 recall; the packed-lane f32-precision Pallas
+#: scan moved the crossover far beyond the reference hardware's)
+BRUTE_BUILD_FLOP_BUDGET = 1_000_000 * 1_000_000 * 256
 
 
 class NNDescentIndex(BaseIndex):
@@ -148,6 +150,23 @@ class NNDescentIndex(BaseIndex):
         self.knn_ids = ids
         self.knn_dists = dists
 
+        # The CAGRA navigable graph + entry routers are only needed for
+        # `query`; `generate_knn(mode="graph")` users (the reference's
+        # headline "full kNN graph in seconds" path) never pay for pruning —
+        # built lazily on first query (the reference similarly separates
+        # graph generation from search-index construction).
+        self._reverse_extra = reverse_extra
+        self.nav_graph = None
+        self.router_ids = None
+        self._seed = seed
+
+    def _ensure_nav(self) -> None:
+        """Build the CAGRA-pruned navigable graph + router sample on first
+        use (reference cagra build, nndescent_gpu.rs:827-1056)."""
+        if self.nav_graph is not None:
+            return
+        n = self.n
+        key = jax.random.fold_in(jax.random.key(self._seed), 1)
         # entry-point routers: a sampled node set scanned exactly at query
         # time (replaces the reference's ForestRouter entry-point trees,
         # forest_gpu.rs:480-564 — one [bq, S] matmul instead of tree walks;
@@ -158,16 +177,16 @@ class NNDescentIndex(BaseIndex):
         self.router_ids = jax.random.permutation(krt, n)[:n_routers].astype(
             jnp.int32
         )
-
-        # CAGRA-style navigable graph
         key, kp = jax.random.split(key)
-        pruned = cagra_prune(vecs, sq, ids, dists, self.out_deg, self.metric)
-        nav = add_reverse_edges(kp, pruned, n, reverse_extra)
+        pruned = cagra_prune(
+            self.vectors, self.sqnorms, self.knn_ids, self.knn_dists,
+            self.out_deg, self.metric,
+        )
+        nav = add_reverse_edges(kp, pruned, n, self._reverse_extra)
         # sentinel row for beam gathers
         self.nav_graph = jnp.concatenate(
             [nav, jnp.full((1, nav.shape[1]), n, jnp.int32)]
         )
-        self._seed = seed
 
     # -- queries -----------------------------------------------------------
 
@@ -191,6 +210,7 @@ class NNDescentIndex(BaseIndex):
         k = self._clamp_k(k)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, k)
+        self._ensure_nav()
         beam = beam if beam is not None else max(32, 2 * k)
         beam = min(beam, self.n)
         iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))
@@ -228,11 +248,13 @@ class NNDescentIndex(BaseIndex):
 
         n = self.n
         kk = min(self.k_build + 1, n)
-        # HIGH (bf16x3) — measured: DEFAULT single-pass bf16 destroys
-        # neighbour order on low-intrinsic-dim data (recall 0.08 on the
-        # lowrank suite) while HIGH holds 0.986. On TPU the fused Pallas
-        # flat scan keeps the bins state in VMEM (the XLA carry spill to
-        # HBM was the floor of this build).
+        # HIGHEST (bf16x6 ≈ f32) — measured: DEFAULT single-pass bf16
+        # destroys neighbour order on low-intrinsic-dim data (recall 0.08 on
+        # the lowrank suite), and even HIGH (bf16x3) loses the ~1e-3
+        # neighbour gaps of 1M-point clusters (recall 0.72: the dropped
+        # lo·lo term is ~4e-3 of the squared norm). At d ≤ 64 the fused
+        # kernel packs the split cross-terms into the 128-lane contraction,
+        # so full precision costs 2 matmul passes, not 6.
         import os
 
         selector = (
@@ -244,7 +266,7 @@ class NNDescentIndex(BaseIndex):
         d, i = blocked_query_topk(
             vecs[:n], vecs[:n], kk, self.metric,
             x_sqnorm=sq[:n] if self.metric == Dist.EUCLIDEAN else None,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
             selector=selector,
         )
         # drop the self column (first hit is self at distance ~0; if ties
@@ -301,3 +323,4 @@ class NNDescentIndex(BaseIndex):
         self.k_build = int(self.k_build)
         self.out_deg = int(self.out_deg)
         self._seed = 42
+        self._reverse_extra = self.out_deg // 2

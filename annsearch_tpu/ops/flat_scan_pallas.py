@@ -10,18 +10,24 @@ min-update, cutting the per-element VPU work to ~4 ops:
 
   grid (query_tile i, db_tile j) — j innermost, so one query tile streams
   the whole database while its bins state lives in VMEM:
-    dots  = q_tile · db_tile^T         (MXU; 1 bf16 pass or 3-pass bf16x3)
+    dots  = Σ over (a,b) in ``terms`` of q_part[a] · x_part[b]^T   (MXU)
     score = sn_tile − 2·dots           (rank-equivalent: ‖q‖² added at the end)
     bins[lane] = min-update (depth 1 or 2 per residue class)
     at j == last: extract kb minima → dense [QT, kb] outputs
 
+Precision is a mantissa split (``utils/dist.mantissa_split``): ``passes=1``
+is plain bf16; ``passes=3`` sums the hi/lo cross terms (≈ f32 at 15 mantissa
+bits); ``passes=6`` a three-way split (≈ full f32). **Small dims ride one
+matmul**: when 2·d ≤ 128 lanes the split parts are packed side-by-side into
+the 128-lane contraction (q = [hi|lo|hi|0] against x = [hi|hi|lo|0] computes
+hi·hi + lo·hi + hi·lo in a single MXU pass), so d=32 at passes=3 costs one
+pass and one DB stream instead of three padded passes — the reference's SIMD
+kernels (src/simd/dist.rs) achieve small-d efficiency with narrow lane
+loads; on the MXU the analogue is filling the systolic contraction.
+
 Selection quality matches the XLA bins scan: a true top-k entry is lost only
 when > depth of the true top-k share one residue class
 (P ≈ C(k, depth+1)/bins^depth).
-
-Precision: ``passes=1`` is a plain bf16 matmul; ``passes=3`` is the bf16x3
-split (hi/lo) ≈ f32 — required on low-rank/correlated data where bf16
-rounding cancels the signal (see PROGRESS_NOTES).
 """
 
 from __future__ import annotations
@@ -43,15 +49,23 @@ __all__ = ["flat_topk_fused"]
 #: would be a captured constant, which pallas kernels reject.
 _BIG = 3.0e38
 
-_DEF_QT = 128
 # VMEM budget at depth 2: scratch QT·2B·8 bytes + dots QT·B·4 + double-
 # buffered db blocks; B=2048 keeps the worst case (d=128, passes=3) ≈ 9 MB
 _DEF_B = 2048
 
+#: cross terms of the mantissa split summed per part count — (a, b) means
+#: q_part[a] · x_part[b]; 2-way keeps hi·hi + hi·lo + lo·hi (drops lo·lo,
+#: ~2⁻³⁰ relative), 3-way the six largest of nine
+_CROSS = {
+    1: ((0, 0),),
+    2: ((0, 0), (0, 1), (1, 0)),
+    3: ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1)),
+}
+
 
 def _flat_kernel(
-    q_refs,       # tuple of [1, QT, d] bf16 blocks (hi[, lo])
-    x_refs,       # tuple of [1, B, d] bf16 blocks (hi[, lo])
+    q_refs,       # tuple of [1, QT, dp] bf16 blocks
+    x_refs,       # tuple of [1, B, dp] bf16 blocks
     sn_ref,       # [1, 8, B] f32, sublane-replicated (BIG on padding rows)
     qadd_ref,     # [1, 8, QT] f32, sublane-replicated
     d_out_ref,    # [1, QT, kb] f32
@@ -61,6 +75,7 @@ def _flat_kernel(
     *,
     kb: int,
     depth: int,
+    terms: tuple[tuple[int, int], ...],
 ):
     j = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -83,16 +98,9 @@ def _flat_kernel(
             a_ref[0], b_ref[0], dn, preferred_element_type=jnp.float32
         )
 
-    dots = mm(q_refs[0], x_refs[0])
-    if len(q_refs) == 2:  # bf16x3: hi·hi + hi·lo + lo·hi
-        dots = dots + mm(q_refs[0], x_refs[1])
-        dots = dots + mm(q_refs[1], x_refs[0])
-    elif len(q_refs) == 3:  # bf16x6 ≈ f32: three-way mantissa split
-        dots = dots + mm(q_refs[0], x_refs[1])
-        dots = dots + mm(q_refs[1], x_refs[0])
-        dots = dots + mm(q_refs[0], x_refs[2])
-        dots = dots + mm(q_refs[2], x_refs[0])
-        dots = dots + mm(q_refs[1], x_refs[1])
+    dots = mm(q_refs[terms[0][0]], x_refs[terms[0][1]])
+    for a, b in terms[1:]:
+        dots = dots + mm(q_refs[a], x_refs[b])
     score = sn_row - 2.0 * dots                       # [QT, B]
     col = j * B + jax.lax.broadcasted_iota(jnp.int32, (QT, B), 1)
 
@@ -125,6 +133,59 @@ def _flat_kernel(
             vals = jnp.where(hit & (idx == l_of_v[:, None]), _BIG, vals)
 
 
+def _pad_lanes(a: jax.Array, width: int) -> jax.Array:
+    pad = width - a.shape[-1]
+    if pad == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+    )
+
+
+def _prep_parts(
+    q_blocks: jax.Array, x_blocks: jax.Array, n_parts: int
+) -> tuple[tuple, tuple, tuple]:
+    """Mantissa-split + lane layout. Returns (q_in, x_in, terms) where
+    ``terms[(a, b)]`` are the matmul pairs the kernel sums.
+
+    When 2·d ≤ 128 the cross terms are packed into the 128-lane contraction
+    dim (slot capacity s = 128 // d, ceil(n_terms / s) packed passes);
+    otherwise parts are padded to a 128 multiple and each cross term is its
+    own matmul over shared part blocks."""
+    d = q_blocks.shape[-1]
+    cross = _CROSS[n_parts]
+    s = 128 // d if d <= 64 else 0
+    if n_parts >= 2 and s >= 2:
+        q_parts = mantissa_split(q_blocks, n_parts)
+        x_parts = mantissa_split(x_blocks, n_parts)
+        q_in, x_in = [], []
+        for p in range(0, len(cross), s):
+            chunk = cross[p:p + s]
+            q_in.append(_pad_lanes(
+                jnp.concatenate([q_parts[a] for a, _ in chunk], axis=-1), 128
+            ))
+            x_in.append(_pad_lanes(
+                jnp.concatenate([x_parts[b] for _, b in chunk], axis=-1), 128
+            ))
+        terms = tuple((i, i) for i in range(len(q_in)))
+        return tuple(q_in), tuple(x_in), terms
+    # pad the contraction dim to a lane multiple: Mosaic mis-handles
+    # partial-lane contractions (measured: recall 0.51 and 6× slowdown at
+    # d=32 on the 1M self-kNN); zero pads change neither dots nor norms
+    dp = -(-d // 128) * 128
+    q_blocks = _pad_lanes(q_blocks, dp)
+    x_blocks = _pad_lanes(x_blocks, dp)
+    if n_parts == 1:
+        return (
+            (q_blocks.astype(jnp.bfloat16),),
+            (x_blocks.astype(jnp.bfloat16),),
+            cross,
+        )
+    return mantissa_split(q_blocks, n_parts), mantissa_split(
+        x_blocks, n_parts
+    ), cross
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -141,7 +202,7 @@ def flat_topk_fused(
     n_valid: int | None = None,
     passes: int = 1,
     depth: int = 2,
-    block_q: int = _DEF_QT,
+    block_q: int | None = None,
     block_db: int = _DEF_B,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -155,8 +216,22 @@ def flat_topk_fused(
     if n_valid is None:
         n_valid = n
     kb = min(1 << (max(k, 8) - 1).bit_length(), 128)
+    n_parts = 3 if passes >= 6 else (2 if passes >= 3 else 1)
 
     B = min(block_db, max(128, 1 << (n - 1).bit_length()))
+    if block_q is None:
+        # DB HBM traffic ∝ number of query tiles — prefer the largest tile
+        # that keeps scratch + dots + streamed blocks within VMEM budget
+        dp_est = 128 if (n_parts >= 2 and 2 * d <= 128) else -(-d // 128) * 128
+        for qt_try in (512, 256, 128):
+            vmem = (
+                qt_try * depth * B * 8        # bins scratch (f32 + int32)
+                + qt_try * B * 4              # dots tile
+                + 4 * B * dp_est * 2 * n_parts  # double-buffered db blocks
+            )
+            if vmem <= 80 * 1024 * 1024:
+                break
+        block_q = qt_try
     QT = min(block_q, max(8, 1 << (nq - 1).bit_length()))
     pad_n = (-n) % B
     pad_q = (-nq) % QT
@@ -191,36 +266,29 @@ def flat_topk_fused(
     q_blocks = q.reshape(QI, QT, d)
     qadd_blocks = jnp.broadcast_to(qadd.reshape(QI, 1, QT), (QI, 8, QT))
 
-    if passes >= 6:      # 3-way mantissa split ≈ full f32
-        q_in = mantissa_split(q_blocks, 3)
-        x_in = mantissa_split(x_blocks, 3)
-    elif passes == 3:    # hi/lo split ≈ f32 with 15-bit mantissa
-        q_in = mantissa_split(q_blocks, 2)
-        x_in = mantissa_split(x_blocks, 2)
-    else:
-        q_in = (q_blocks.astype(jnp.bfloat16),)
-        x_in = (x_blocks.astype(jnp.bfloat16),)
+    q_in, x_in, terms = _prep_parts(q_blocks, x_blocks, n_parts)
+    dp = q_in[0].shape[-1]
 
     q_specs = [
-        pl.BlockSpec((1, QT, d), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, QT, dp), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in q_in
     ]
     x_specs = [
-        pl.BlockSpec((1, B, d), lambda i, j: (j, 0, 0),
+        pl.BlockSpec((1, B, dp), lambda i, j: (j, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in x_in
     ]
 
     kern = functools.partial(
-        lambda *refs, kb, depth, nq_in, nx_in: _flat_kernel(
+        lambda *refs, kb, depth, terms, nq_in, nx_in: _flat_kernel(
             refs[:nq_in], refs[nq_in:nq_in + nx_in],
             refs[nq_in + nx_in], refs[nq_in + nx_in + 1],
             refs[nq_in + nx_in + 2], refs[nq_in + nx_in + 3],
             refs[nq_in + nx_in + 4], refs[nq_in + nx_in + 5],
-            kb=kb, depth=depth,
+            kb=kb, depth=depth, terms=terms,
         ),
-        kb=kb, depth=depth, nq_in=len(q_in), nx_in=len(x_in),
+        kb=kb, depth=depth, terms=terms, nq_in=len(q_in), nx_in=len(x_in),
     )
     cd, ci = pl.pallas_call(
         kern,
@@ -245,6 +313,11 @@ def flat_topk_fused(
             pltpu.VMEM((QT, depth * B), jnp.float32),
             pltpu.VMEM((QT, depth * B), jnp.int32),
         ],
+        # the default scoped-vmem limit is 16 MiB; the QT=512 bins scratch
+        # alone is 16.8 MiB — raise the per-kernel limit (v5e VMEM is 128 MiB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*q_in, *x_in, sn_blocks, qadd_blocks)
 

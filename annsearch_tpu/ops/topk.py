@@ -263,19 +263,8 @@ def blocked_query_topk(
             passes = 3
         else:
             passes = 1
-        d = q.shape[1]
-        if d % 128:
-            # Mosaic mis-handles partial-lane contraction dims (measured:
-            # recall 0.51 and 6× slowdown at d=32 on the 1M self-kNN).
-            # Zero-padding the feature dim changes neither metric: pads
-            # contribute 0 to dots and to squared norms.
-            pad = (-d) % 128
-            q = jnp.concatenate(
-                [q, jnp.zeros(q.shape[:-1] + (pad,), q.dtype)], axis=-1
-            )
-            x = jnp.concatenate(
-                [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
-            )
+        # lane padding/packing of the contraction dim happens inside
+        # flat_topk_fused (small dims pack split parts into one matmul)
         return flat_topk_fused(
             q, x, k, metric, x_sqnorm=x_sqnorm, n_valid=n_valid,
             passes=passes, interpret=jax.default_backend() != "tpu",
