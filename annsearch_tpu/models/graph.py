@@ -20,6 +20,7 @@ Build pipeline (all batched rounds, ops/graph.py):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -45,6 +46,52 @@ __all__ = ["NNDescentIndex"]
 #: rounds reaching only 0.72 recall; the packed-lane f32-precision Pallas
 #: scan moved the crossover far beyond the reference hardware's)
 BRUTE_BUILD_FLOP_BUDGET = 1_000_000 * 1_000_000 * 256
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "beam", "iters", "expand", "n_entries", "qb", "metric"
+    ),
+)
+def _cagra_query(
+    q, vectors, sqnorms, nav_graph, router_ids, hl,
+    *, k, beam, iters, expand, n_entries, qb, metric,
+):
+    """Route → beam-search, ONE jitted dispatch (eager per-op routing +
+    padding cost ~0.5 s of host-link latency per call — the measured gap
+    between beam time and end-to-end time)."""
+    nq = q.shape[0]
+    # entry routing: exact scan of the router sample
+    rv = vectors[router_ids]
+    dots = jax.lax.dot_general(
+        q, rv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if metric == Dist.COSINE:
+        rd = 1.0 - dots
+    else:
+        rd = sqnorms[router_ids][None, :] - 2.0 * dots
+    _, pos = jax.lax.top_k(-rd, n_entries)
+    entries = router_ids[pos]
+
+    pad = (-nq) % qb
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+        entries = jnp.concatenate(
+            [entries, jnp.zeros((pad, n_entries), entries.dtype)]
+        )
+
+    def run(args):
+        qq, ee = args
+        return beam_search(
+            qq, vectors, sqnorms, nav_graph, ee, k, beam, iters, metric,
+            expand, vectors_hl=hl if hl else None,
+        )
+
+    d, i = jax.lax.map(
+        run, (q.reshape(-1, qb, q.shape[1]), entries.reshape(-1, qb, n_entries))
+    )
+    return d.reshape(-1, k)[:nq], i.reshape(-1, k)[:nq]
 
 
 class NNDescentIndex(BaseIndex):
@@ -163,6 +210,10 @@ class NNDescentIndex(BaseIndex):
     def _ensure_nav(self) -> None:
         """Build the CAGRA-pruned navigable graph + router sample on first
         use (reference cagra build, nndescent_gpu.rs:827-1056)."""
+        if not hasattr(self, "_nav_hl"):
+            from ..ops.graph import nav_hl_split
+
+            self._nav_hl = nav_hl_split(self.vectors)
         if self.nav_graph is not None:
             return
         n = self.n
@@ -213,34 +264,19 @@ class NNDescentIndex(BaseIndex):
         self._ensure_nav()
         beam = beam if beam is not None else max(32, 2 * k)
         beam = min(beam, self.n)
-        iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))
+        # measured on 150k×32d: 8–12 iterations saturate recall with routed
+        # entries (0.982 at 8, 0.990 at 16); the old 3·beam/(2·expand)
+        # formula over-iterated 2×
+        iters = iters if iters is not None else max(8, beam // 4)
         n_entries = min(n_entries, beam, self.n)
-
-        nq = q.shape[0]
-        entries = self._route_entries(q, n_entries)
-
-        qb = min(query_block, max(nq, 8))
-        pad = (-nq) % qb
-        if pad:
-            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
-            entries = jnp.concatenate(
-                [entries, jnp.zeros((pad, n_entries), entries.dtype)]
-            )
-
-        def run(args):
-            qq, ee = args
-            return beam_search(
-                qq, self.vectors, self.sqnorms, self.nav_graph, ee,
-                k, beam, iters, self.metric, expand,
-            )
-
-        d, i = jax.lax.map(
-            run,
-            (q.reshape(-1, qb, self.dim), entries.reshape(-1, qb, n_entries)),
+        qb = min(query_block, max(q.shape[0], 8))
+        d, i = _cagra_query(
+            q, self.vectors, self.sqnorms, self.nav_graph, self.router_ids,
+            self._nav_hl if self._nav_hl is not None else (),
+            k=k, beam=beam, iters=iters, expand=expand,
+            n_entries=n_entries, qb=qb, metric=self.metric,
         )
-        d = np.asarray(d.reshape(-1, k)[:nq])
-        i = np.asarray(i.reshape(-1, k)[:nq])
-        return np.clip(i, 0, self.n - 1), d
+        return np.clip(np.asarray(i), 0, self.n - 1), np.asarray(d)
 
     def _brute_knn_graph(self, vecs, sq):
         """Exact kNN graph via the blocked MXU scan (self excluded)."""

@@ -34,6 +34,37 @@ __all__ = ["VamanaIndex", "robust_prune"]
 _INF = jnp.float32(jnp.inf)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "beam", "iters", "expand", "qb", "metric")
+)
+def _vamana_query(
+    q, vectors, sqnorms, graph, medoid_arr, hl,
+    *, k, beam, iters, expand, qb, metric,
+):
+    """Medoid-entry beam search, ONE jitted dispatch (eager pad/broadcast
+    ops cost ~0.3 s of host-link latency per call)."""
+    nq = q.shape[0]
+    entries = jnp.broadcast_to(medoid_arr[None, :], (nq, 1)).astype(jnp.int32)
+    pad = (-nq) % qb
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+        entries = jnp.concatenate(
+            [entries, jnp.zeros((pad, 1), entries.dtype)]
+        )
+
+    def run(args):
+        qq, ee = args
+        return beam_search(
+            qq, vectors, sqnorms, graph, ee, k, beam, iters, metric, expand,
+            vectors_hl=hl if hl else None,
+        )
+
+    d, i = jax.lax.map(
+        run, (q.reshape(-1, qb, q.shape[1]), entries.reshape(-1, qb, 1))
+    )
+    return d.reshape(-1, k)[:nq], i.reshape(-1, k)[:nq]
+
+
 @functools.partial(jax.jit, static_argnames=("out_deg", "metric", "tile"))
 def robust_prune(
     vectors: jax.Array,      # [n+1, d]
@@ -195,34 +226,23 @@ class VamanaIndex(BaseIndex):
             return self._exact_query_small(q, self._clamp_k(k))
         k = self._clamp_k(k)
         beam = min(beam if beam is not None else max(32, 2 * k), self.n)
+        # single-entry medoid descent needs a longer walk than routed-entry
+        # CAGRA; 3·beam/(2·expand) matches the reference's budget
         iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))
 
-        nq = q.shape[0]
-        entries = jnp.broadcast_to(
-            self.medoid_arr[None, :], (nq, 1)
-        ).astype(jnp.int32)
+        if not hasattr(self, "_nav_hl"):
+            from ..ops.graph import nav_hl_split
 
-        qb = min(query_block, max(nq, 8))
-        pad = (-nq) % qb
-        if pad:
-            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
-            entries = jnp.concatenate(
-                [entries, jnp.zeros((pad, 1), entries.dtype)]
-            )
+            self._nav_hl = nav_hl_split(self.vectors)
 
-        def run(args):
-            qq, ee = args
-            return beam_search(
-                qq, self.vectors, self.sqnorms, self.graph, ee,
-                k, beam, iters, self.metric, expand,
-            )
-
-        d, i = jax.lax.map(
-            run, (q.reshape(-1, qb, self.dim), entries.reshape(-1, qb, 1))
+        qb = min(query_block, max(q.shape[0], 8))
+        d, i = _vamana_query(
+            q, self.vectors, self.sqnorms, self.graph, self.medoid_arr,
+            self._nav_hl if self._nav_hl is not None else (),
+            k=k, beam=beam, iters=iters, expand=expand, qb=qb,
+            metric=self.metric,
         )
-        d = np.asarray(d.reshape(-1, k)[:nq])
-        i = np.asarray(i.reshape(-1, k)[:nq])
-        return np.clip(i, 0, self.n - 1), d
+        return np.clip(np.asarray(i), 0, self.n - 1), np.asarray(d)
 
     def generate_knn(self, k: int, **kw):
         return self.query(np.asarray(self.vectors[: self.n]), k, **kw)

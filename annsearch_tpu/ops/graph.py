@@ -47,7 +47,20 @@ __all__ = [
     "cagra_prune",
     "add_reverse_edges",
     "beam_search",
+    "nav_hl_split",
 ]
+
+
+def nav_hl_split(vectors: jax.Array):
+    """bf16 hi/lo split of a vector table for beam-search candidate scoring
+    (see ``beam_search`` ``vectors_hl``). Returns None off-TPU — XLA:CPU
+    cannot run batched bf16 dots, and the gather-bandwidth win is a TPU
+    property."""
+    if jax.default_backend() != "tpu":
+        return None
+    from ..utils.dist import mantissa_split
+
+    return mantissa_split(vectors, 2)
 
 _INF = jnp.float32(jnp.inf)
 _BIG = jnp.float32(1e30)
@@ -436,10 +449,18 @@ def beam_search(
     iters: int,
     metric: Dist,
     expand: int = 2,
+    vectors_hl: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fixed-iteration batched greedy beam search (reference
     cagra_beam_search, cagra_gpu_search.rs:382-817 — per-query candidate
     queue + visited hash becomes a [bq, beam] sorted beam + expanded bits).
+
+    ``vectors_hl`` — optional (hi, lo) bf16 mantissa-split copies of
+    ``vectors``. Candidate-row gathers are the measured floor of an
+    iteration (~70%) and run 3× faster from bf16 tables than f32 (HBM
+    bandwidth-bound); two bf16 gathers + three mixed matmul terms
+    (qh·xh + qh·xl + ql·xh, query split computed once, no gather) recover
+    f32-grade scores at ~2/3 the gather cost.
 
     Returns (dists [bq, k], ids [bq, k]) ascending; unreached slots have
     id = n and dist = inf.
@@ -448,16 +469,30 @@ def beam_search(
     n = vectors.shape[0] - 1
     deg = graph.shape[1]
     q_sq = sq_norms(q)
+    if vectors_hl is not None:
+        from ..utils.dist import mantissa_split
+
+        q_hi, q_lo = mantissa_split(q, 2)
+        x_hi, x_lo = vectors_hl
 
     def cand_dists(cand):
         safe = jnp.minimum(cand, n)
-        cv = vectors[safe]
-        dots = jnp.einsum(
-            "qd,qcd->qc",
-            q.astype(jnp.bfloat16),
-            cv.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        if vectors_hl is not None:
+            ch = x_hi[safe]
+            cl = x_lo[safe]
+            e = functools.partial(
+                jnp.einsum, "qd,qcd->qc",
+                preferred_element_type=jnp.float32,
+            )
+            dots = e(q_hi, ch) + e(q_hi, cl) + e(q_lo, ch)
+        else:
+            cv = vectors[safe]
+            dots = jnp.einsum(
+                "qd,qcd->qc",
+                q.astype(jnp.bfloat16),
+                cv.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
         if metric == Dist.COSINE:
             d = 1.0 - dots
         else:
