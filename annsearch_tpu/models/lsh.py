@@ -1,4 +1,4 @@
-"""LSH index: SimHash tables with multi-probe and sorted-bucket lookup.
+"""LSH index: multi-probe SimHash tables scanned as segmented cells.
 
 TPU-native rebuild of the reference ``LSHIndex`` (``src/cpu/lsh.rs``):
 ``num_tables`` tables of ``bits_per_hash`` orthogonalised Gaussian
@@ -8,36 +8,44 @@ most-uncertain bits ranked by |projection| (lsh.rs:288-298); empty-bucket
 queries fall back to random candidates (lsh.rs:302-307, reference warns when
 >1% of queries fall back).
 
-Hash-map buckets don't exist on TPU; each table keeps its codes **sorted**
-and a query finds its bucket range with two batched ``searchsorted`` calls.
-A bucket larger than the fixed ``max_bucket`` window is *stride-sampled*
-(every ⌈len/cap⌉-th member) instead of truncated — uniform coverage of hot
-buckets at bounded cost, the TPU analogue of the reference's scan-the-whole-
-bucket behaviour. Candidates from all (table × probe) windows are unioned
-and exactly reranked.
+Hash-map buckets don't exist on TPU — and per-query bucket *gathers* are
+HBM-bandwidth catastrophic (measured 40 s for 15k queries at 150k×32d).
+Instead each table's rows are stored **hash-sorted**, which makes every
+bucket a contiguous range, i.e. the exact shape of the IVF segmented
+cluster-major scan: the T tables concatenate into one storage of
+``T·2^bits`` cells and a probe set becomes an IVF task list. Queries ride
+the same conflict-free ``ops/ivf_scan.ivf_cluster_scan`` engine as the IVF
+family — contiguous MXU streaming, no gathers, full buckets scanned
+(matching the reference's scan-the-whole-bucket behaviour). The price is a
+``num_tables``-fold copy of the vectors (the reference stores ids only and
+random-accesses the originals — cheap on CPU caches, not on HBM).
 
 Probe sequences match the reference's ``generate_probes_ranked``
 (lsh.rs:704-757): bits ranked by ascending |projection|, all Hamming
 distance-1 flips first, then distance-2 pairs — the flip *patterns* over
 rank positions are static, so the per-query work is one |proj| argsort plus
-gathers.
+gathers. Candidates reached through multiple tables are deduplicated on
+device before the final top-k.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
 from ..ops.rerank import rerank_exact
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
+from .kmeans import SegmentLayout, expand_probes_to_segments, segment_layout
 
 __all__ = ["LSHIndex"]
+
+_INF = jnp.float32(jnp.inf)
 
 
 def _probe_patterns(bits: int, n_probes: int) -> tuple[tuple[int, ...], ...]:
@@ -58,37 +66,21 @@ def _probe_patterns(bits: int, n_probes: int) -> tuple[tuple[int, ...], ...]:
     return tuple(pats)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bits", "n_probes", "cap", "k", "metric", "n"),
-)
-def _lsh_query_block(
-    q: jax.Array,             # [bq, dim] raw queries (normalised if cosine)
+@functools.partial(jax.jit, static_argnames=("bits", "n_probes"))
+def _probe_cells(
+    q: jax.Array,             # [bq, dim] normalised queries
     projections: jax.Array,   # [T, dim, bits]
-    sorted_hashes: jax.Array, # [T, n]
-    sorted_ids: jax.Array,    # [T, n]
-    vectors: jax.Array,       # [n+1, dim] (sentinel row n)
     bits: int,
     n_probes: int,
-    cap: int,
-    k: int,
-    metric: Dist,
-    n: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """One jitted program per query block: hash → ranked multi-probe bucket
-    ranges → stride-sampled candidate union → exact rerank.
-
-    Returns (dists [bq,k], ids [bq,k], had_candidates [bq] bool)."""
-    bq = q.shape[0]
+) -> jax.Array:
+    """[bq, T·P] global cell ids: per table, the base hash plus the ranked
+    multi-bit flip probes, offset into that table's cell range."""
     num_tables = projections.shape[0]
-    qn = q if metric == Dist.COSINE else normalise(q)
     powers = (2 ** jnp.arange(bits, dtype=jnp.int32))[None, :]
-    lane = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
     pats = _probe_patterns(bits, n_probes)
-
-    all_ids = []
+    out = []
     for t in range(num_tables):
-        proj = qn @ projections[t]                     # [bq, bits]
+        proj = q @ projections[t]                      # [bq, bits]
         base_h = jnp.sum((proj > 0).astype(jnp.int32) * powers, axis=-1)
         flip_order = jnp.argsort(jnp.abs(proj), axis=-1)  # asc — rank → bit
         probes = [base_h]
@@ -97,39 +89,35 @@ def _lsh_query_block(
             for r in pat:
                 h = h ^ (1 << flip_order[:, r]).astype(jnp.int32)
             probes.append(h)
-        ph = jnp.stack(probes, axis=1)                 # [bq, P]
-        pos = jnp.searchsorted(
-            sorted_hashes[t], ph.reshape(-1), side="left"
-        ).reshape(bq, -1).astype(jnp.int32)
-        end = jnp.searchsorted(
-            sorted_hashes[t], ph.reshape(-1), side="right"
-        ).reshape(bq, -1).astype(jnp.int32)
-        blen = end - pos                               # [bq, P]
-        # stride-sample buckets wider than the window (distinct positions:
-        # consecutive lanes advance by ≥1 when blen > cap)
-        off = jnp.where(
-            blen[:, :, None] <= cap,
-            lane,
-            (lane * blen[:, :, None]) // cap,
-        )
-        idx = jnp.minimum(pos[:, :, None] + off, n - 1)
-        hit = lane < jnp.minimum(blen, cap)[:, :, None]
-        ids = jnp.where(hit, jnp.take(sorted_ids[t], idx), n)
-        all_ids.append(ids.reshape(bq, -1))
-    cand = jnp.concatenate(all_ids, axis=-1)           # [bq, T·P·cap]
+        out.append(jnp.stack(probes, axis=1) + t * (1 << bits))
+    return jnp.concatenate(out, axis=1)
 
-    had = jnp.any(cand < n, axis=-1)
-    vecs = vectors[jnp.minimum(cand, n)]
-    valid = cand < n
-    d, i = rerank_exact(
-        qn if metric == Dist.COSINE else q,
-        vecs, jnp.minimum(cand, n - 1), valid, k, metric,
-    )
-    return d, i, had
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _dedup_topk(d: jax.Array, ids: jax.Array, k: int):
+    """Drop cross-table duplicates (same original id reached through
+    several tables at identical distance), keep the k smallest."""
+    C = ids.shape[-1]
+    if C <= 128:
+        earlier = jnp.tril(jnp.ones((C, C), bool), -1)
+        dup = jnp.any(
+            (ids[..., None, :] == ids[..., :, None]) & earlier, axis=-1
+        )
+    else:
+        order = jnp.argsort(ids, axis=-1)
+        s_ids = jnp.take_along_axis(ids, order, axis=-1)
+        dup_s = jnp.concatenate(
+            [jnp.zeros(s_ids.shape[:-1] + (1,), bool),
+             s_ids[..., 1:] == s_ids[..., :-1]], axis=-1,
+        )
+        dup = jnp.take_along_axis(dup_s, jnp.argsort(order, axis=-1), axis=-1)
+    d = jnp.where(dup, _INF, d)
+    nd, pos = jax.lax.top_k(-d, k)
+    return -nd, jnp.take_along_axis(ids, pos, axis=-1)
 
 
 class LSHIndex(BaseIndex):
-    """Multi-probe SimHash."""
+    """Multi-probe SimHash over segmented hash-sorted tables."""
 
     _fallback_vectors = BaseIndex._fallback_from_vectors
 
@@ -145,57 +133,62 @@ class LSHIndex(BaseIndex):
         if bits_per_hash > 30:
             raise ValueError("bits_per_hash must be ≤ 30 (int32 hash space)")
         super().__init__(mat, metric)
-        vecs = jnp.concatenate(
-            [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
-        )
-        self.vectors = vecs
-        self.sqnorms = sq_norms(vecs)
+        n = self.n
         self.num_tables = num_tables
         self.bits = bits_per_hash
 
         # hashes computed on L2-normalised copies for euclidean
         # (lsh.rs:148-168); cosine vectors are already normalised
         hash_input = (
-            vecs[: self.n]
+            self.vectors
             if self.metric == Dist.COSINE
-            else normalise(vecs[: self.n])
+            else normalise(self.vectors)
         )
 
-        key = jax.random.key(seed)
+        # hyperplanes orthogonalised on HOST: [d, b] QR is host-scale work,
+        # and jnp.linalg.qr has stalled the tunnelled TPU worker outright
+        rng = np.random.default_rng(seed)
         projs = []
-        for t in range(num_tables):
-            kt = jax.random.fold_in(key, t)
-            g = jax.random.normal(kt, (self.dim, bits_per_hash), jnp.float32)
-            q, _ = jnp.linalg.qr(g)  # orthogonalised hyperplanes
-            projs.append(q[:, :bits_per_hash])
-        self.projections = jnp.stack(projs)           # [T, d, b]
+        for _ in range(num_tables):
+            g = rng.standard_normal((self.dim, bits_per_hash))
+            qm, _ = np.linalg.qr(g)
+            projs.append(qm[:, :bits_per_hash].astype(np.float32))
+        self.projections = jnp.asarray(np.stack(projs))  # [T, d, b]
 
+        # one global cell space: table t's bucket h is cell t·2^b + h; the
+        # concatenated assignment (element t·n + r → row r's cell in table
+        # t) feeds the same segment layout the IVF family uses
         powers = (2 ** jnp.arange(bits_per_hash, dtype=jnp.int32))[None, :]
-        sorted_h, sorted_i = [], []
-        member_sizes = []
+        per_table = []
         for t in range(num_tables):
-            bits = (hash_input @ self.projections[t]) > 0
-            h = jnp.sum(bits.astype(jnp.int32) * powers, axis=-1)
-            order = jnp.argsort(h)
-            sorted_h.append(h[order])
-            sorted_i.append(order.astype(jnp.int32))
-            _, counts = np.unique(np.asarray(h), return_counts=True)
-            # bucket size as seen by a random member (hot buckets dominate
-            # the work a query actually needs)
-            member_sizes.append(np.repeat(counts, counts))
-        self.sorted_hashes = jnp.stack(sorted_h)      # [T, n]
-        self.sorted_ids = jnp.stack(sorted_i)         # [T, n]
-        # occupancy-aware window default: cover the median member's bucket
-        # fully (hotter buckets are stride-sampled)
-        ms = np.concatenate(member_sizes)
-        self._bucket_q50 = int(np.quantile(ms, 0.5)) if len(ms) else 1
+            hbits = (hash_input @ self.projections[t]) > 0
+            per_table.append(
+                jnp.sum(hbits.astype(jnp.int32) * powers, axis=-1)
+                + t * (1 << bits_per_hash)
+            )
+        all_assign = np.asarray(jnp.concatenate(per_table))       # [T·n]
+        layout = segment_layout(all_assign, num_tables * (1 << bits_per_hash))
+        self._layout = layout
+        self.seg_size = int(layout.seg_size)
+        self.seg_offsets = jnp.asarray(layout.seg_offsets)
+        self.seg_counts = jnp.asarray(layout.seg_counts)
+
+        order = layout.order                          # index into [T·n]
+        self.original_ids = jnp.asarray((order % n).astype(np.int32))
+        rows = self.vectors[self.original_ids]
+        pad = self.seg_size
+        self.storage = jnp.concatenate(
+            [rows, jnp.zeros((pad, self.dim), jnp.float32)]
+        )
+        self.store_sqnorms = sq_norms(self.storage)
         self._seed = seed
         self.last_fallback_rate = 0.0
         if verbose:
+            c = layout.counts[layout.counts > 0]
             print(
                 f"LSH built: T={num_tables} bits={bits_per_hash} "
-                f"member-bucket q50={self._bucket_q50} "
-                f"q95={int(np.quantile(ms, 0.95))} max={int(ms.max())}"
+                f"nseg={layout.nseg} seg_size={self.seg_size} "
+                f"bucket med/max={int(np.median(c))}/{int(c.max())}"
             )
 
     def query(
@@ -203,60 +196,67 @@ class LSHIndex(BaseIndex):
         query_mat: Any,
         k: int,
         n_probes: int = 4,
-        max_bucket: int | None = None,
-        query_block: int | None = None,
+        max_bucket: int | None = None,   # unused — full buckets are scanned
+        query_block: int | None = None,  # unused — the scan is global
         exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, self._clamp_k(k))
         k = self._clamp_k(k)
-        if max_bucket is None:
-            max_bucket = 1 << (
-                max(self._bucket_q50, 2 * k, 32) - 1
-            ).bit_length()
-        max_bucket = min(max_bucket, self.n)
-        if query_block is None:
-            # bound the gathered candidate tile (~256 MB f32)
-            width = self.num_tables * n_probes * max_bucket * self.dim
-            query_block = min(1024, max(16, (64 << 20) // max(width, 1)))
         nq = q.shape[0]
-        out_i, out_d = [], []
-        fb_rows: list[int] = []
-        for s in range(0, nq, query_block):
-            qb = q[s : s + query_block]
-            pad = query_block - qb.shape[0]
-            if pad:
-                qb = jnp.concatenate(
-                    [qb, jnp.zeros((pad, self.dim), jnp.float32)]
-                )
-            d, i, had = _lsh_query_block(
-                qb, self.projections, self.sorted_hashes, self.sorted_ids,
-                self.vectors, self.bits, n_probes, max_bucket, k,
-                self.metric, self.n,
-            )
-            take = qb.shape[0] - pad
-            out_i.append(np.asarray(i)[:take])
-            out_d.append(np.asarray(d)[:take])
-            misses = np.nonzero(~np.asarray(had)[:take])[0]
-            fb_rows.extend((s + misses).tolist())
-        ids = np.concatenate(out_i)
-        dists = np.concatenate(out_d)
+        qn = q if self.metric == Dist.COSINE else normalise(q)
+        cells = np.asarray(
+            _probe_cells(qn, self.projections, self.bits, n_probes)
+        )
+
+        # expand cells → segment task pairs → cluster-major scan (the same
+        # engine as the IVF family; buckets are contiguous segments)
+        qs, segs = expand_probes_to_segments(cells, self._layout)
+        nseg = int(self.seg_offsets.shape[0])
+        cluster_ids, lists, gmap = build_probe_lists_from_pairs(
+            qs, segs, nseg, nq
+        )
+        # k·T scan slots: a true neighbour appears once per table it hashes
+        # near in, and multi-probe makes that ALL T tables for the nearest
+        # ones — under-provisioning lets duplicates crowd out distinct ids
+        # before the dedup (measured: recall *dropped* with more probes)
+        k2 = min(k * self.num_tables, 192)
+        d, pos = ivf_cluster_scan(
+            q, jnp.asarray(cluster_ids), jnp.asarray(lists),
+            jnp.asarray(gmap), self.storage, self.store_sqnorms,
+            self.seg_offsets, self.seg_counts,
+            jnp.zeros((nseg, self.dim), jnp.float32), k2, self.metric,
+            self.seg_size, "f32",
+            # per-cell top-k only needs the caller's k: a row appears at
+            # most once per cell, duplicates are cross-table — and the dense
+            # per-step outputs scale with k_cell (k2-wide cells OOMed HBM on
+            # skewed bucket distributions)
+            k_cell=k,
+        )
+        ids_dup = jnp.take(
+            self.original_ids, jnp.clip(pos, 0, self.original_ids.shape[0] - 1)
+        )
+        ids_dup = jnp.where(jnp.isinf(d), self.n, ids_dup)
+        d, ids = _dedup_topk(d, ids_dup, k)
+        ids = np.asarray(jnp.clip(ids, 0, self.n - 1))
+        dists = np.asarray(d)
 
         # empty-bucket fallback: exact rerank over random candidates
         # (lsh.rs:302-307; reference warns when >1% of queries fall back)
-        self.last_fallback_rate = len(fb_rows) / max(nq, 1)
-        if fb_rows:
-            rows = np.asarray(fb_rows)
+        miss = ~np.isfinite(dists[:, 0])
+        self.last_fallback_rate = float(miss.mean()) if nq else 0.0
+        if miss.any():
+            rows = np.nonzero(miss)[0]
             rnd = jax.random.randint(
                 jax.random.key(self._seed + 1), (len(rows), 1000), 0, self.n
             )
             vecs = self.vectors[rnd]
-            d, i = rerank_exact(
+            fd, fi = rerank_exact(
                 q[rows], vecs, rnd, jnp.ones(rnd.shape, bool), k, self.metric
             )
-            ids[rows] = np.asarray(i)
-            dists[rows] = np.asarray(d)
+            ids[rows] = np.asarray(fi)
+            dists[rows] = np.asarray(fd)
         if self.last_fallback_rate > 0.01:
             print(
                 f"LSH warning: {self.last_fallback_rate:.1%} of queries hit "
@@ -281,8 +281,10 @@ class LSHIndex(BaseIndex):
     def memory_usage_bytes(self) -> int:
         return (
             int(self.vectors.size + self.sqnorms.size) * 4
+            + int(self.storage.size + self.store_sqnorms.size) * 4
             + int(self.projections.size) * 4
-            + int(self.sorted_hashes.size + self.sorted_ids.size) * 4
+            + int(self.original_ids.size) * 4
+            + int(self.seg_offsets.size + self.seg_counts.size) * 4
         )
 
     # -- persistence --------------------------------------------------------
@@ -292,18 +294,20 @@ class LSHIndex(BaseIndex):
             path,
             vectors=np.asarray(self.vectors),
             projections=np.asarray(self.projections),
-            sorted_hashes=np.asarray(self.sorted_hashes),
-            sorted_ids=np.asarray(self.sorted_ids),
+            storage=np.asarray(self.storage),
+            original_ids=np.asarray(self.original_ids),
+            seg_offsets=np.asarray(self.seg_offsets),
+            seg_counts=np.asarray(self.seg_counts),
+            cluster_ptr=np.asarray(self._layout.cluster_ptr),
+            seg_cluster=np.asarray(self._layout.seg_cluster),
             meta=np.array(
                 [self.n, self.dim, self.num_tables, self.bits, self._seed,
-                 1 if self.metric == Dist.COSINE else 0, self._bucket_q50]
+                 1 if self.metric == Dist.COSINE else 0, self.seg_size]
             ),
         )
 
     @classmethod
     def load(cls, path: str) -> "LSHIndex":
-        import jax.numpy as _jnp
-
         with np.load(path if path.endswith(".npz") else path + ".npz") as z:
             meta = z["meta"]
             obj = cls.__new__(cls)
@@ -312,11 +316,18 @@ class LSHIndex(BaseIndex):
                 int(meta[4]),
             )
             obj.metric = Dist.COSINE if meta[5] == 1 else Dist.EUCLIDEAN
-            obj.vectors = _jnp.asarray(z["vectors"])
+            obj.seg_size = int(meta[6])
+            obj.vectors = jnp.asarray(z["vectors"])
             obj.sqnorms = sq_norms(obj.vectors)
-            obj.projections = _jnp.asarray(z["projections"])
-            obj.sorted_hashes = _jnp.asarray(z["sorted_hashes"])
-            obj.sorted_ids = _jnp.asarray(z["sorted_ids"])
-            obj._bucket_q50 = int(meta[6]) if len(meta) > 6 else 32
+            obj.projections = jnp.asarray(z["projections"])
+            obj.storage = jnp.asarray(z["storage"])
+            obj.store_sqnorms = sq_norms(obj.storage)
+            obj.original_ids = jnp.asarray(z["original_ids"])
+            obj.seg_offsets = jnp.asarray(z["seg_offsets"])
+            obj.seg_counts = jnp.asarray(z["seg_counts"])
+            obj._layout = SegmentLayout(
+                None, z["seg_offsets"], z["seg_counts"], z["seg_cluster"],
+                z["cluster_ptr"], obj.seg_size, None,
+            )
             obj.last_fallback_rate = 0.0
         return obj

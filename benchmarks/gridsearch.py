@@ -95,8 +95,9 @@ SWEEPS = {
     "lsh": lambda a: [
         (f"lsh t{t} b{b} p{p}", {"num_tables": t, "bits_per_hash": b, "n_probes": p})
         # reference-parity configs (benchmarks_standard.md LSH rows): few
-        # bits at 150k — nb8 ≈ 256 buckets; probes recover the rest
-        for t, b, p in ((2, 8, 4), (4, 8, 4), (4, 10, 6))
+        # bits at 150k — nb8 ≈ 256 buckets; probes recover the rest (deeper
+        # hashes fragment hot buckets into many segments and scan slower)
+        for t, b, p in ((2, 8, 4), (4, 8, 4), (8, 8, 4))
     ],
     "hnsw": lambda a: [
         (f"hnsw m{m} ef{ef}", {"m": m, "ef_search": ef})
