@@ -98,7 +98,7 @@ def headline_ivfpq():
 
     index.query(q, K, nprobe=nprobe, approx=True)  # warm full batch
     times = []
-    for _ in range(2):  # tunnel timing variance is ±30% — take the best
+    for _ in range(3):  # tunnel timing variance is ±30% — take the best
         t0 = time.time()
         index.query(q, K, nprobe=nprobe, approx=True)
         times.append(time.time() - t0)
