@@ -24,7 +24,7 @@ from ...ops.binary import (
     chunked_topk_asymmetric,
     chunked_topk_hamming,
 )
-from ...ops.rerank import rerank_exact
+from ...ops.rerank import rerank_exact, rerank_from_store
 from ...utils.dist import Dist, normalise
 from ..base import BaseIndex, as_f32_matrix
 from .binariser import Binariser
@@ -151,7 +151,7 @@ class ExhaustiveIndexBinary(BaseIndex):
 
         # exact: hamming-propose kc, gather, exact rerank
         q_codes = self.binariser.encode(q)
-        _, cand = self._blocked(
+        d_sc, cand = self._blocked_dev(
             q_codes,
             query_block,
             lambda b: chunked_topk_hamming(
@@ -159,7 +159,15 @@ class ExhaustiveIndexBinary(BaseIndex):
             ),
             kc,
         )
-        return self._exact_rerank(q, cand, k)
+        if isinstance(self.store, DeviceVectorStore):
+            # candidates never leave the device: gather + exact rescore in
+            # one compiled program, readback is [nq, k] only
+            d, i = rerank_from_store(
+                q, d_sc, cand.astype(jnp.int32), self.store.vectors,
+                k, self.metric,
+            )
+            return np.asarray(i), np.asarray(d)
+        return self._exact_rerank(q, np.asarray(cand), k)
 
     def _exact_rerank(self, q, cand, k, block=1024):
         ids_out, d_out = [], []
@@ -195,7 +203,8 @@ class ExhaustiveIndexBinary(BaseIndex):
         qj = jnp.asarray(q)
         return normalise(qj) if self.metric == Dist.COSINE else qj
 
-    def _blocked(self, q, query_block, kernel, k):
+    def _blocked_dev(self, q, query_block, kernel, k):
+        """Blocked kernel map; results stay on device."""
         nq = q.shape[0]
         qb = min(query_block, max(nq, 8))
         pad = (-nq) % qb
@@ -203,10 +212,11 @@ class ExhaustiveIndexBinary(BaseIndex):
             q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
         blocks = q.reshape(-1, qb, q.shape[1])
         d, i = jax.lax.map(kernel, blocks)
-        return (
-            np.asarray(d.reshape(-1, k)[:nq]),
-            np.asarray(i.reshape(-1, k)[:nq]),
-        )
+        return d.reshape(-1, k)[:nq], i.reshape(-1, k)[:nq]
+
+    def _blocked(self, q, query_block, kernel, k):
+        d, i = self._blocked_dev(q, query_block, kernel, k)
+        return np.asarray(d), np.asarray(i)
 
     def memory_usage_bytes(self) -> int:
         total = int(self.codes.size) * 4 + self.binariser.memory_usage_bytes()

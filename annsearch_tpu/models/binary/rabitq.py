@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.binary import pack_bits
-from ...ops.rerank import rerank_exact
+from ...ops.rerank import rerank_exact, rerank_from_store
 from ..ivf_base import IvfBase
 from .vec_store import DeviceVectorStore, MmapVectorStore
 
@@ -181,25 +181,37 @@ class _RaBitQBase(IvfBase):
 
         k_scan = k if rerank != "exact" else min(max(k, k * rerank_factor), self.n)
         d, i = self._scan(q, k_scan, nprobe)
-        d = np.asarray(d)
-        i = np.asarray(i)
 
         if rerank == "exact":
-            valid = np.isfinite(d)
-            i = np.clip(i, 0, self.n - 1)
-            block = 1024
-            ids_out, d_out = [], []
-            for s in range(0, nq, block):
-                cb = jnp.asarray(i[s : s + block])
-                vecs = self.store.gather(i[s : s + block])
-                dd, ii = rerank_exact(
-                    q[s : s + block], vecs, cb,
-                    jnp.asarray(valid[s : s + block]), k, self.metric,
+            if isinstance(self.store, DeviceVectorStore):
+                # scan outputs stay on device; gather + exact rescore run in
+                # one compiled program and only [nq, k] crosses the link
+                d, i = rerank_from_store(
+                    q, jnp.asarray(d), jnp.asarray(i).astype(jnp.int32),
+                    self.store.vectors, k, self.metric,
                 )
-                ids_out.append(np.asarray(ii))
-                d_out.append(np.asarray(dd))
-            i = np.concatenate(ids_out)
-            d = np.concatenate(d_out)
+                d = np.asarray(d)
+                i = np.asarray(i)
+            else:
+                d = np.asarray(d)
+                i = np.clip(np.asarray(i), 0, self.n - 1)
+                valid = np.isfinite(d)
+                block = 1024
+                ids_out, d_out = [], []
+                for s in range(0, nq, block):
+                    cb = jnp.asarray(i[s : s + block])
+                    vecs = self.store.gather(i[s : s + block])
+                    dd, ii = rerank_exact(
+                        q[s : s + block], vecs, cb,
+                        jnp.asarray(valid[s : s + block]), k, self.metric,
+                    )
+                    ids_out.append(np.asarray(ii))
+                    d_out.append(np.asarray(dd))
+                i = np.concatenate(ids_out)
+                d = np.concatenate(d_out)
+        else:
+            d = np.asarray(d)
+            i = np.asarray(i)
 
         ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
         return ids, d

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..utils.dist import Dist, sq_norms
 
-__all__ = ["rerank_exact"]
+__all__ = ["rerank_exact", "rerank_from_store"]
 
 _INF = jnp.float32(jnp.inf)
 
@@ -64,3 +64,51 @@ def rerank_exact(
     d = _dedup_by_id(cand_ids, d)
     nd, pos = jax.lax.top_k(-d, min(k, d.shape[1]))
     return -nd, jnp.take_along_axis(cand_ids, pos, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "qb"))
+def rerank_from_store(
+    q: jax.Array,        # [nq, d] (normalised if cosine)
+    cand_d: jax.Array,   # [nq, kc] scan distances (inf = invalid slot)
+    cand_i: jax.Array,   # [nq, kc] int32 row positions into ``store``
+    store: jax.Array,    # [n(+pad), d] f32 device-resident vectors
+    k: int,
+    metric: Dist,
+    qb: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Device-resident exact rerank: gather candidate rows from ``store``
+    and re-score, blocked over queries inside ONE compiled program.
+
+    The host-orchestrated equivalent (read back [nq, kc] candidates, then
+    re-dispatch gather+rerank per block) pays a multi-MB link round-trip
+    plus ~2 dispatches per block; through a tunnelled host that dominated
+    the whole query (reference rerank tier: exhaustive_binary.rs:374-424
+    runs in-process and never pays this). Returns (dists [nq,k], ids [nq,k]).
+    """
+    nq, kc = cand_i.shape
+    qb = min(qb, max(nq, 8))
+    pad = (-nq) % qb
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+        cand_d = jnp.concatenate(
+            [cand_d, jnp.full((pad, kc), _INF, cand_d.dtype)]
+        )
+        cand_i = jnp.concatenate(
+            [cand_i, jnp.zeros((pad, kc), cand_i.dtype)]
+        )
+
+    def blk(args):
+        qq, dd, ii = args
+        iic = jnp.clip(ii, 0, store.shape[0] - 1)
+        vecs = store[iic]  # [qb, kc, d] stays in HBM — never crosses the link
+        return rerank_exact(qq, vecs, iic, jnp.isfinite(dd), k, metric)
+
+    d, i = jax.lax.map(
+        blk,
+        (
+            q.reshape(-1, qb, q.shape[1]),
+            cand_d.reshape(-1, qb, kc),
+            cand_i.reshape(-1, qb, kc),
+        ),
+    )
+    return d.reshape(-1, k)[:nq], i.reshape(-1, k)[:nq]

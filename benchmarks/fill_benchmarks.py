@@ -46,10 +46,24 @@ CONFIGS = [
                 "--nprobe-sweep", "19"]),
     ("ivf-opq", ["--nlist-sweep", "387", "--m-sweep", "8",
                  "--nprobe-sweep", "19"]),
-    ("binary", []),
-    ("rabitq", []),
-    ("ivf-binary", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19", "38"]),
-    ("ivf-rabitq", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19", "38"]),
+]
+
+# The reference never benchmarks the binary family on the 32d default
+# workload — its binary suite runs 50k×256d+ (fill_benchmarks.sh:192-216:
+# correlated / lowrank / quantisation generators). Mirror the 256d rows.
+BINARY_BASE = [
+    "--n-samples", "50000", "--dim", "256", "--k", "15",
+]
+BINARY_CONFIGS = [
+    # (index kind, data generator, extra argv)
+    ("binary", "correlated", []),
+    ("rabitq", "correlated", []),
+    ("ivf-binary", "correlated",
+     ["--nlist-sweep", "158", "223", "--nprobe-sweep", "8", "12", "25"]),
+    ("ivf-rabitq", "correlated",
+     ["--nlist-sweep", "158", "223", "--nprobe-sweep", "8", "12", "25"]),
+    ("binary", "quantisation", ["--n-clusters", "50"]),
+    ("rabitq", "quantisation", ["--n-clusters", "50"]),
 ]
 
 QUICK = [
@@ -132,6 +146,7 @@ def main(argv=None):
             ("kmknn", ["--nlist-sweep", "387"]),
             ("annoy", []),
             ("hnsw", []),
+            ("vamana", []),
             ("nndescent", []),
             ("lsh", []),
         ]:
@@ -144,6 +159,38 @@ def main(argv=None):
             for name, build_ms, query_ms, rec, mdr, size_mb in results:
                 lines.append(
                     f"| {name} | {build_ms:,.0f} | {query_ms:,.0f} | "
+                    f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
+                )
+            write()
+        del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
+
+        # binary suite on the reference's binary workload (50k×256d —
+        # fill_benchmarks.sh:192-216; binarising 32d data is meaningless
+        # and the reference never does it). Native paths forced for the
+        # same reason as above.
+        lines += [
+            "",
+            "## Binary quantisation suite (50k×256d, k=15 — the reference's "
+            "`benchmarks_binary.md` workload)",
+            "",
+            "| Method | Data | Build (ms) | Query (ms) | Recall@k | "
+            "Dist ratio | Size MB |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        write()
+        os.environ["ANNSEARCH_NO_EXACT_FALLBACK"] = "1"
+        for kind, data, extra in BINARY_CONFIGS:
+            print(f"=== binary-suite {kind} ({data}) ===", flush=True)
+            try:
+                results = gridsearch_main(
+                    ["--index", kind, "--data", data] + BINARY_BASE + extra
+                )
+            except Exception as e:
+                print(f"binary-suite {kind} FAILED: {e}", flush=True)
+                continue
+            for name, build_ms, query_ms, rec, mdr, size_mb in results:
+                lines.append(
+                    f"| {name} | {data} | {build_ms:,.0f} | {query_ms:,.0f} | "
                     f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
                 )
             write()

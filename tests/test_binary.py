@@ -150,3 +150,66 @@ def test_binary_memory_compression(bdata):
     # 256 bits = 32 bytes/vector vs 256 bytes f32
     f32_bytes = x.size * 4
     assert index.memory_usage_bytes() < f32_bytes / 4
+
+
+# -- fused device rerank -----------------------------------------------------
+
+
+def test_rerank_from_store_matches_blockwise(rng):
+    """Device-resident rerank (one compiled program) must equal the
+    host-orchestrated per-block rerank path bit-for-bit."""
+    from annsearch_tpu.ops.rerank import rerank_exact, rerank_from_store
+    from annsearch_tpu.utils.dist import Dist
+
+    n, d, nq, kc, k = 300, 16, 37, 25, 7
+    store = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    cand_i = jnp.asarray(rng.integers(0, n, (nq, kc)).astype(np.int32))
+    cand_d = jnp.asarray(rng.random((nq, kc)).astype(np.float32))
+    # poke some invalid slots
+    cand_d = cand_d.at[::5, -3:].set(np.inf)
+
+    d_f, i_f = rerank_from_store(q, cand_d, cand_i, store, k, Dist.EUCLIDEAN, qb=16)
+    vecs = store[cand_i]
+    d_r, i_r = rerank_exact(q, vecs, cand_i, jnp.isfinite(cand_d), k, Dist.EUCLIDEAN)
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_r))
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_r), rtol=1e-6)
+
+
+def test_rerank_from_store_nq_smaller_than_block(rng):
+    from annsearch_tpu.ops.rerank import rerank_from_store
+    from annsearch_tpu.utils.dist import Dist
+
+    store = jnp.asarray(rng.standard_normal((50, 8)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+    cand_i = jnp.asarray(rng.integers(0, 50, (3, 10)).astype(np.int32))
+    cand_d = jnp.zeros((3, 10), np.float32)
+    d, i = rerank_from_store(q, cand_d, cand_i, store, 5, Dist.EUCLIDEAN)
+    assert d.shape == (3, 5) and i.shape == (3, 5)
+    assert bool(jnp.all(jnp.isfinite(d)))
+
+
+def test_exact_rerank_device_vs_mmap_store_equal(rng, tmp_path):
+    """The DeviceVectorStore fused tier and the MmapVectorStore host tier
+    are two implementations of the same contract — identical results."""
+    x, _ = generate_clustered_data(3000, 24, 8, seed=5)
+    q = subsample_with_noise(x, 200, seed=5)
+    dev = ExhaustiveIndexBinary(x, n_bits=128, seed=0, store=True)
+    mm = ExhaustiveIndexBinary(x, n_bits=128, seed=0, store=str(tmp_path / "vs"))
+    i_d, d_d = dev.query(q, 10, rerank="exact", rerank_factor=15, exact_fallback=False)
+    i_m, d_m = mm.query(q, 10, rerank="exact", rerank_factor=15, exact_fallback=False)
+    np.testing.assert_array_equal(i_d, i_m)
+    np.testing.assert_allclose(d_d, d_m, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_binary_exact_rerank_fused_recall(rng):
+    x, _ = generate_clustered_data(4000, 32, 10, seed=3)
+    q = subsample_with_noise(x, 300, seed=3)
+    exact = ExhaustiveIndex(x)
+    ti, _ = exact.query(q, 10)
+    idx = IvfIndexBinary(x, nlist=30, n_bits=256, seed=0)
+    i, d = idx.query(q, 10, nprobe=15, rerank="exact", rerank_factor=20,
+                     exact_fallback=False)
+    assert calculate_recall(ti, i, 10) > 0.9
+    # distances ascending
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
