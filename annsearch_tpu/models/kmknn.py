@@ -32,6 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
+from ..ops.probe_device import (
+    build_probe_lists_device,
+    device_probe_shapes,
+    expand_probes_device,
+)
 from ..ops.topk import merge_topk, topk_smallest
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
@@ -62,6 +67,44 @@ def _route_kmknn(q, centroids, p0):
         0.0,
     )
     return cd2, topk_smallest(cd2, p0)[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p0", "s_max", "nseg", "maxq", "R", "k", "cap")
+)
+def _kmknn_phase1(
+    q, centroids, cluster_ptr, vectors, sqnorms, seg_offsets, seg_counts,
+    seg_centroids, radii, cell_counts, *, p0, s_max, nseg, maxq, R, k, cap,
+):
+    """Route → device task lists → exact scan → triangle-bound selection,
+    ONE compiled program (the eager version paid 3 dispatch round-trips and
+    a [nq, nlist] f32 readback per query batch). Returns
+    ``(d1, i1, packed_need)`` with d1/i1 left on device for phase 2."""
+    cd2, probes = _route_kmknn(q, centroids, p0)
+    seg_probes = expand_probes_device(probes, cluster_ptr, s_max, nseg)
+    cids, lists, gmap = build_probe_lists_device(seg_probes, nseg, maxq, R)
+    d1, i1 = ivf_cluster_scan(
+        q, cids, lists, gmap, vectors, sqnorms, seg_offsets, seg_counts,
+        seg_centroids, k, Dist.EUCLIDEAN, cap, "f32",
+    )
+    kth = d1[:, k - 1]
+    packed = _phase2_need_packed(cd2, kth, radii, cell_counts, probes)
+    return d1, i1, packed
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def _kmknn_phase2(
+    q, cids2, lists2, gmap2, vectors, sqnorms, seg_offsets, seg_counts,
+    seg_centroids, d1, i1, *, k, cap,
+):
+    """Scan the triangle-bound survivors and merge with phase 1 — one
+    program, one small [nq, 2k] packed readback (ids as exact f32 values)."""
+    d2, i2 = ivf_cluster_scan(
+        q, cids2, lists2, gmap2, vectors, sqnorms, seg_offsets, seg_counts,
+        seg_centroids, k, Dist.EUCLIDEAN, cap, "f32",
+    )
+    d, i = merge_topk(d1, i1, d2, i2, k)
+    return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
 
 @jax.jit
@@ -152,6 +195,9 @@ class KmknnIndex(BaseIndex):
             [x_sorted, jnp.zeros((pad, self.dim), jnp.float32)]
         )
         self.sqnorms = sq_norms(self.vectors)
+        ptr = np.asarray(layout.cluster_ptr, np.int32)
+        self._cluster_ptr_j = jnp.asarray(ptr)
+        self._s_max = int((ptr[1:] - ptr[:-1]).max()) if len(ptr) > 1 else 1
 
     def _scan_pairs(self, q, qs, cs_seg, k):
         nq = q.shape[0]
@@ -183,19 +229,18 @@ class KmknnIndex(BaseIndex):
         p0 = p0 if p0 is not None else max(1, int(math.isqrt(self.nlist)))
         p0 = min(p0, self.nlist)
 
-        # phase 1: nearest p0 cells (one jitted program — eager per-op
-        # dispatch is expensive on slow host links)
-        cd2, probes = _route_kmknn(q, self.centroids, p0)
-        qs1, segs1 = expand_probes_to_segments(np.asarray(probes), self._layout)
-        d1, i1 = self._scan_pairs(q, qs1, segs1, k)
-        kth = d1[:, k - 1]
-
-        # phase 2: every remaining cell the triangle bound cannot exclude —
-        # selected on device, read back as a packed bitmask
-        packed = np.asarray(
-            _phase2_need_packed(cd2, kth, self.radii, self.cell_counts, probes)
+        # phase 1: nearest p0 cells + triangle-bound cell selection, all in
+        # one compiled program; only the packed bitmask crosses the link
+        nseg = int(self.seg_offsets.shape[0])
+        maxq, R = device_probe_shapes(nq, p0, nseg, self._s_max)
+        d1, i1, packed = _kmknn_phase1(
+            q, self.centroids, self._cluster_ptr_j, self.vectors,
+            self.sqnorms, self.seg_offsets, self.seg_counts,
+            self.seg_centroids, self.radii, self.cell_counts,
+            p0=p0, s_max=self._s_max, nseg=nseg, maxq=maxq, R=R, k=k,
+            cap=self.seg_size,
         )
-        need = np.unpackbits(packed, axis=1, bitorder="little")[
+        need = np.unpackbits(np.asarray(packed), axis=1, bitorder="little")[
             :, : self.nlist
         ].astype(bool)
         qrows, crows = np.nonzero(need)
@@ -205,11 +250,23 @@ class KmknnIndex(BaseIndex):
             )
             # expand built per-row; remap its query ids back to qrows
             qs2 = qrows[qs2]
-            d2, i2 = self._scan_pairs(q, qs2, segs2, k)
-            d1, i1 = merge_topk(d1, i1, d2, i2, k)
-
-        d = np.asarray(d1)
-        i = np.asarray(i1)
+            cids2, lists2, gmap2 = build_probe_lists_from_pairs(
+                qs2, segs2, nseg, nq
+            )
+            if self.n < (1 << 24):  # ids ride back as exact f32 values
+                arr = np.asarray(_kmknn_phase2(
+                    q, jnp.asarray(cids2), jnp.asarray(lists2),
+                    jnp.asarray(gmap2), self.vectors, self.sqnorms,
+                    self.seg_offsets, self.seg_counts, self.seg_centroids,
+                    d1, i1, k=k, cap=self.seg_size,
+                ))
+                d, i = arr[:, :k], arr[:, k:].astype(np.int32)
+            else:
+                d2, i2 = self._scan_pairs(q, qs2, segs2, k)
+                d1, i1 = merge_topk(d1, i1, d2, i2, k)
+                d, i = np.asarray(d1), np.asarray(i1)
+        else:
+            d, i = np.asarray(d1), np.asarray(i1)
         if self.metric == Dist.COSINE:
             d = d * 0.5  # unit-sphere d²/2 = 1 − cos (kmknn.rs:326-329)
         ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
@@ -282,4 +339,7 @@ class KmknnIndex(BaseIndex):
                 None, z["seg_offsets"], z["seg_counts"], z["seg_cluster"],
                 z["cluster_ptr"], obj.seg_size, z["cell_counts"],
             )
+            ptr = np.asarray(z["cluster_ptr"], np.int32)
+            obj._cluster_ptr_j = jnp.asarray(ptr)
+            obj._s_max = int((ptr[1:] - ptr[:-1]).max()) if len(ptr) > 1 else 1
         return obj

@@ -165,3 +165,126 @@ def test_scan_hamming_mode_matches_popcount_oracle():
     got_d = np.asarray(bd)
     for qi in range(nq):
         np.testing.assert_array_equal(np.sort(got_d[qi]), np.sort(od[qi]))
+
+
+def test_scan_binary_asym_mode_matches_oracle():
+    rng = np.random.default_rng(7)
+    from annsearch_tpu.ops.binary import pack_bits
+
+    n, nbits, nlist, nq, k = 64, 64, 3, 6, 4
+    xb = rng.integers(0, 2, (n, nbits)).astype(bool)
+    qf = rng.standard_normal((nq, nbits)).astype(np.float32)
+    a = rng.integers(0, nlist, n)
+    cap = int(np.bincount(a, minlength=nlist).max())
+    order = np.argsort(a, kind="stable")
+    counts = np.bincount(a, minlength=nlist).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    xs = np.asarray(pack_bits(xb[order]))
+    xs = np.concatenate([xs, np.zeros((cap, xs.shape[1]), xs.dtype)])
+    probes = np.tile(np.arange(nlist), (nq, 1))
+
+    cluster_ids, lists, gmap = build_probe_lists(probes, nlist, nq)
+    sn = np.zeros(xs.shape[0], np.float32)
+    centroids = np.zeros((nlist, nbits), np.float32)
+    bd, bi = ivf_cluster_scan(
+        jnp.asarray(qf), jnp.asarray(cluster_ids), jnp.asarray(lists),
+        jnp.asarray(gmap), jnp.asarray(xs), jnp.asarray(sn),
+        jnp.asarray(offsets), jnp.asarray(counts), jnp.asarray(centroids),
+        k, Dist.EUCLIDEAN, cap, "binary_asym",
+    )
+    # oracle: d = -<q, ±1 bits>, bf16 queries (kernel casts the float
+    # projections to bf16 for the MXU dot) — replicate the rounding
+    pm = np.where(xb[order], 1.0, -1.0).astype(np.float32)
+    qf16 = qf.astype(jnp.bfloat16).astype(np.float32)
+    od = -(qf16 @ pm.T)
+    top = np.sort(od, axis=1)[:, :k]
+    np.testing.assert_allclose(np.asarray(bd), top, rtol=2e-2, atol=2e-2)
+
+
+def test_scan_rabitq_mode_matches_estimator_oracle():
+    rng = np.random.default_rng(8)
+    from annsearch_tpu.ops.binary import pack_bits
+
+    n, d, nlist, nq, k = 60, 32, 3, 5, 4
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    a = rng.integers(0, nlist, n)
+    centroids = np.stack(
+        [x[a == c].mean(0) if (a == c).any() else np.zeros(d, np.float32)
+         for c in range(nlist)]
+    ).astype(np.float32)
+    rot = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+
+    order = np.argsort(a, kind="stable")
+    counts = np.bincount(a, minlength=nlist).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    cap = int(counts.max())
+
+    r = x[order] - centroids[a[order]]
+    v_dist = np.sqrt((r**2).sum(-1))
+    u = r / np.maximum(v_dist, 1e-12)[:, None]
+    ru = u @ rot.T
+    codes = np.asarray(pack_bits(ru >= 0))
+    dot_corr = np.abs(ru).sum(-1).astype(np.float32)
+
+    xs = np.concatenate([codes, np.zeros((cap, codes.shape[1]), codes.dtype)])
+    sn = np.concatenate([v_dist, np.zeros(cap)]).astype(np.float32)
+    aux = np.concatenate([dot_corr, np.zeros(cap)]).astype(np.float32)
+
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    q_rot = (q @ rot.T).astype(np.float32)
+    cent_rot = (centroids @ rot.T).astype(np.float32)
+    probes = np.tile(np.arange(nlist), (nq, 1))
+    cluster_ids, lists, gmap = build_probe_lists(probes, nlist, nq)
+
+    bd, bi = ivf_cluster_scan(
+        jnp.asarray(q_rot), jnp.asarray(cluster_ids), jnp.asarray(lists),
+        jnp.asarray(gmap), jnp.asarray(xs), jnp.asarray(sn),
+        jnp.asarray(offsets), jnp.asarray(counts), jnp.asarray(cent_rot),
+        k, Dist.EUCLIDEAN, cap, "rabitq", aux=jnp.asarray(aux),
+    )
+    # numpy estimator oracle (reference dist_binary.rs:466-588 semantics)
+    pm = np.where(ru >= 0, 1.0, -1.0).astype(np.float32)
+    od = np.zeros((nq, n), np.float32)
+    for qi in range(nq):
+        for c in range(nlist):
+            s, cnt = offsets[c], counts[c]
+            qr = q_rot[qi] - cent_rot[c]
+            qd = np.sqrt((qr**2).sum())
+            qu = qr / max(qd, 1e-12)
+            for j in range(s, s + cnt):
+                inner = float(qu.astype(jnp.bfloat16).astype(np.float32) @ pm[j])
+                cj = dot_corr[j]
+                est = np.clip(inner / max(cj, 1e-12), -1, 1) if cj > 1e-6 else 0.0
+                d2 = sn[j] ** 2 + qd**2 - 2 * sn[j] * qd * est
+                od[qi, j] = np.sqrt(max(d2, 0.0))
+    top = np.sort(od, axis=1)[:, :k]
+    np.testing.assert_allclose(np.asarray(bd), top, rtol=3e-2, atol=3e-2)
+
+
+def test_scan_empty_cells_and_k_above_members():
+    """Probing only empty/short cells: missing slots are +inf, ids in-range."""
+    rng = np.random.default_rng(9)
+    n, d, nlist, nq, k = 10, 8, 5, 4, 6
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    a = np.zeros(n, np.int64)  # everything in cell 0; cells 1-4 empty
+    a[:3] = 1
+    cap = int(np.bincount(a, minlength=nlist).max())
+    xs, offsets, counts, _ = _layout(x, a, nlist, cap)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    probes = np.tile(np.array([1, 2, 3]), (nq, 1))  # 3 members total < k
+
+    flat_q = np.repeat(np.arange(nq, dtype=np.int32), 3)
+    cluster_ids, lists, gmap = build_probe_lists_from_pairs(
+        flat_q, probes.reshape(-1), nlist, nq
+    )
+    sn = (xs**2).sum(-1).astype(np.float32)
+    centroids = np.zeros((nlist, d), np.float32)
+    bd, bi = ivf_cluster_scan(
+        jnp.asarray(q), jnp.asarray(cluster_ids), jnp.asarray(lists),
+        jnp.asarray(gmap), jnp.asarray(xs), jnp.asarray(sn),
+        jnp.asarray(offsets), jnp.asarray(counts), jnp.asarray(centroids),
+        k, Dist.EUCLIDEAN, cap, "f32",
+    )
+    bd = np.asarray(bd)
+    assert np.isfinite(bd[:, :3]).all()
+    assert np.isinf(bd[:, 3:]).all()
