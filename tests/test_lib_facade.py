@@ -165,3 +165,42 @@ def test_facade_dim_mismatch_raises(fx):
     index = ann.build_exhaustive_index(x)
     with pytest.raises(ValueError):
         ann.query_exhaustive_index(np.zeros((3, D + 1), np.float32), index, 3)
+
+
+def test_validate_index_api(fx):
+    """The shipped self-validation (reference KnnValidation,
+    utils/mod.rs:62-196): recall of the index's own query vs brute force."""
+    from annsearch_tpu.utils.validation import validate_index
+
+    x, _ = fx
+    rec = validate_index(ann.build_exhaustive_index(x), k=5, n_samples=200)
+    assert rec > 0.999
+    rec_ivf = validate_index(
+        ann.build_ivf_index(x, nlist=16), k=5, n_samples=200
+    )
+    assert rec_ivf > 0.5
+
+
+@pytest.mark.parametrize("builder,kw", [
+    (ann.build_ivf_index, {"nlist": 16, "seed": 9}),
+    (ann.build_annoy_index, {"n_trees": 4, "seed": 9}),
+    (lambda x, **k: ann.build_lsh_index(x, num_tables=3, bits_per_hash=6, **k),
+     {"seed": 9}),
+    (lambda x, **k: ann.build_ivf_pq_index(x, m=8, nlist=16, **k), {"seed": 9}),
+], ids=["ivf", "annoy", "lsh", "ivf-pq"])
+def test_seed_reproducibility(builder, kw, fx):
+    """Same seed → identical query results (reference pattern, e.g.
+    annoy.rs seed tests)."""
+    x, q = fx
+    a = builder(x, **kw)
+    b = builder(x, **kw)
+    qa = q[:20]
+    ia, da = (
+        a.query(qa, 5) if not hasattr(a, "default_nprobe")
+        else a.query(qa, 5)
+    )
+    ib, db = (
+        b.query(qa, 5) if not hasattr(b, "default_nprobe")
+        else b.query(qa, 5)
+    )
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
