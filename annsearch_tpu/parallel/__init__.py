@@ -5,22 +5,28 @@ from .ivf_sharded import (
     ShardedIvfPqIndex,
     train_centroids_sharded,
 )
-from .mesh import DB_AXIS, make_mesh
+from .mesh import BATCH_AXIS, DB_AXIS, make_mesh, make_mesh2d
 from .sharded import (
     BatchShardedExhaustive,
+    GridShardedExhaustive,
     ShardedExhaustive,
     batch_sharded_topk,
+    grid_sharded_topk,
     sharded_topk,
 )
 
 __all__ = [
+    "BATCH_AXIS",
     "DB_AXIS",
     "make_mesh",
+    "make_mesh2d",
     "ShardedExhaustive",
     "BatchShardedExhaustive",
+    "GridShardedExhaustive",
     "ShardedIvfIndex",
     "ShardedIvfPqIndex",
     "sharded_topk",
     "batch_sharded_topk",
+    "grid_sharded_topk",
     "train_centroids_sharded",
 ]

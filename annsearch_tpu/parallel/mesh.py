@@ -13,10 +13,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_rows", "replicate", "DB_AXIS"]
+__all__ = [
+    "make_mesh", "make_mesh2d", "shard_rows", "replicate",
+    "DB_AXIS", "BATCH_AXIS",
+]
 
 #: mesh axis name the database rows are sharded over
 DB_AXIS = "db"
+#: mesh axis name query batches are sharded over (2-D meshes)
+BATCH_AXIS = "batch"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = DB_AXIS) -> Mesh:
@@ -25,6 +30,20 @@ def make_mesh(n_devices: int | None = None, axis: str = DB_AXIS) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def make_mesh2d(n_batch: int, n_db: int) -> Mesh:
+    """2-D ``(batch, db)`` mesh: query batches shard over ``batch`` (pure
+    data parallelism, no collective), database rows over ``db`` (the top-k
+    merge all_gather rides only this axis — lay it along ICI)."""
+    devices = jax.devices()[: n_batch * n_db]
+    if len(devices) < n_batch * n_db:
+        raise ValueError(
+            f"need {n_batch * n_db} devices, have {len(devices)}"
+        )
+    return Mesh(
+        np.array(devices).reshape(n_batch, n_db), (BATCH_AXIS, DB_AXIS)
+    )
 
 
 def shard_rows(x: jax.Array, mesh: Mesh, axis: str = DB_AXIS) -> jax.Array:

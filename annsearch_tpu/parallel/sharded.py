@@ -24,13 +24,15 @@ except ImportError:  # pragma: no cover
 
 from ..ops.topk import chunked_topk, topk_smallest
 from ..utils.dist import Dist
-from .mesh import DB_AXIS, make_mesh
+from .mesh import BATCH_AXIS, DB_AXIS, make_mesh, make_mesh2d
 
 __all__ = [
     "ShardedExhaustive",
     "BatchShardedExhaustive",
+    "GridShardedExhaustive",
     "sharded_topk",
     "batch_sharded_topk",
+    "grid_sharded_topk",
 ]
 
 
@@ -106,6 +108,92 @@ def batch_sharded_topk(
         )
 
     return run(q_sharded, x)
+
+
+def grid_sharded_topk(
+    q_sharded: jax.Array,
+    x_sharded: jax.Array,
+    k: int,
+    metric: Dist,
+    n_valid: int,
+    mesh,
+    db_chunk: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k on a 2-D ``(batch, db)`` mesh: each device scores its own
+    (query block × database shard) tile; the per-shard candidates merge
+    with one ``all_gather`` along the ``db`` axis only — the ``batch``
+    axis stays collective-free. This is the dp×tp composition: scale
+    query throughput along ``batch`` and database size along ``db``."""
+
+    shard_rows_n = x_sharded.shape[0] // mesh.shape[DB_AXIS]
+
+    @functools.partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(DB_AXIS)),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        check_vma=False,
+    )
+    def run(q_blk, x_shard):
+        my = jax.lax.axis_index(DB_AXIS)
+        base = my * shard_rows_n
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows_n)
+        d, i = chunked_topk(
+            q_blk, x_shard, k, metric, n_valid=local_valid, db_chunk=db_chunk
+        )
+        i = i + base
+        dg = jax.lax.all_gather(d, DB_AXIS, axis=1, tiled=True)
+        ig = jax.lax.all_gather(i, DB_AXIS, axis=1, tiled=True)
+        md, pos = topk_smallest(dg, k)
+        return md, jnp.take_along_axis(ig, pos, axis=-1)
+
+    return run(q_sharded, x_sharded)
+
+
+class GridShardedExhaustive:
+    """Multi-chip exhaustive index on a 2-D ``(batch, db)`` mesh: database
+    rows sharded along ``db``, query batches along ``batch``. The top-k
+    merge collective rides only the ``db`` axis."""
+
+    def __init__(self, mat, metric: str = "euclidean", mesh=None,
+                 n_batch: int | None = None, n_db: int | None = None):
+        from ..models.base import as_f32_matrix
+        from ..utils.dist import normalise, parse_ann_dist
+
+        if mesh is None:
+            ndev = len(jax.devices())
+            if n_batch is None or n_db is None:
+                n_db = n_db or max(1, int(np.sqrt(ndev)))
+                n_batch = ndev // n_db
+            mesh = make_mesh2d(n_batch, n_db)
+        self.mesh = mesh
+        arr = as_f32_matrix(mat)
+        self.metric = parse_ann_dist(metric)
+        self.n, self.dim = arr.shape
+        arr = _pad_to_multiple(arr, mesh.shape[DB_AXIS])
+        x = jnp.asarray(arr)
+        if self.metric == Dist.COSINE:
+            x = normalise(x).at[self.n :].set(0.0)
+        self.vectors = jax.device_put(
+            x, NamedSharding(self.mesh, P(DB_AXIS))
+        )
+
+    def query(self, query_mat, k: int, db_chunk: int = 16384):
+        from ..models.base import as_f32_matrix
+        from ..utils.dist import normalise
+
+        q = as_f32_matrix(query_mat)
+        nq = q.shape[0]
+        q = _pad_to_multiple(q, self.mesh.shape[BATCH_AXIS])
+        qj = jnp.asarray(q)
+        if self.metric == Dist.COSINE:
+            qj = normalise(qj).at[nq:].set(0.0)
+        qj = jax.device_put(qj, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        k = max(1, min(k, self.n))
+        d, i = grid_sharded_topk(
+            qj, self.vectors, k, self.metric, self.n, self.mesh, db_chunk
+        )
+        return np.asarray(i)[:nq], np.asarray(d)[:nq]
 
 
 class BatchShardedExhaustive:

@@ -65,3 +65,35 @@ def test_sharded_cosine(rng):
     full = 1.0 - qn @ xn.T
     expect = np.sort(full, axis=1)[:, :5]
     np.testing.assert_allclose(dist, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_grid_sharded_matches_brute(rng):
+    """2-D (batch, db) mesh: 4-way batch dp × 2-way db sharding."""
+    from annsearch_tpu.parallel.mesh import make_mesh2d
+    from annsearch_tpu.parallel.sharded import GridShardedExhaustive
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+
+    x = rng.standard_normal((1003, 16)).astype(np.float32)
+    q = rng.standard_normal((37, 16)).astype(np.float32)  # pads to 40
+    mesh = make_mesh2d(4, 2)
+    grid = GridShardedExhaustive(x, "euclidean", mesh=mesh)
+    gi, gd = grid.query(q, 7)
+    exact = ExhaustiveIndex(x)
+    ei, ed = exact.query(q, 7)
+    np.testing.assert_array_equal(gi, ei)
+    np.testing.assert_allclose(gd, ed, rtol=1e-4, atol=1e-4)
+
+
+def test_grid_sharded_cosine(rng):
+    from annsearch_tpu.parallel.mesh import make_mesh2d
+    from annsearch_tpu.parallel.sharded import GridShardedExhaustive
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+
+    x = rng.standard_normal((640, 12)).astype(np.float32)
+    q = rng.standard_normal((24, 12)).astype(np.float32)
+    grid = GridShardedExhaustive(x, "cosine", mesh=make_mesh2d(2, 4))
+    gi, gd = grid.query(q, 5)
+    exact = ExhaustiveIndex(x, "cosine")
+    ei, ed = exact.query(q, 5)
+    np.testing.assert_array_equal(gi, ei)
+    np.testing.assert_allclose(gd, ed, rtol=1e-3, atol=1e-4)
