@@ -59,9 +59,9 @@ BINARY_CONFIGS = [
     ("binary", "correlated", []),
     ("rabitq", "correlated", []),
     ("ivf-binary", "correlated",
-     ["--nlist-sweep", "158", "223", "--nprobe-sweep", "8", "12", "25"]),
+     ["--nlist-sweep", "158", "223", "--nprobe-sweep", "12", "25"]),
     ("ivf-rabitq", "correlated",
-     ["--nlist-sweep", "158", "223", "--nprobe-sweep", "8", "12", "25"]),
+     ["--nlist-sweep", "158", "223", "--nprobe-sweep", "12", "25"]),
     ("binary", "quantisation", ["--n-clusters", "50"]),
     ("rabitq", "quantisation", ["--n-clusters", "50"]),
 ]

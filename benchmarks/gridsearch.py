@@ -153,7 +153,7 @@ SWEEPS = {
         )
         for nl in a.nlist_sweep[:2]
         for b in (128, 256)
-        for np_ in a.nprobe_sweep[1:3]
+        for np_ in a.nprobe_sweep
         for rr in (None, "exact")
     ],
     "ivf-rabitq": lambda a: [
@@ -163,7 +163,7 @@ SWEEPS = {
              "rerank": "exact" if rf else None, "rerank_factor": max(rf, 1)},
         )
         for nl in a.nlist_sweep[:2]
-        for np_ in a.nprobe_sweep[1:]
+        for np_ in a.nprobe_sweep
         for rf in (0, 10, 20)
     ],
 }

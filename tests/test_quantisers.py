@@ -92,3 +92,56 @@ def test_opq_not_worse_than_pq():
     e_pq = np.linalg.norm(np.asarray(pq.decode(pq.encode(xj))) - x)
     e_opq = np.linalg.norm(np.asarray(opq.decode(opq.encode(xj))) - x)
     assert e_opq < e_pq * 1.1
+
+
+def test_sq8_round_half_away_hand_fixture():
+    """Reference encode semantics (quantisers.rs:152-163): round half AWAY
+    from zero, then clamp."""
+    from annsearch_tpu.models.quantised.quantisers import ScalarQuantiser
+
+    sq = ScalarQuantiser(jnp.ones((4,), jnp.float32))
+    x = jnp.asarray([[0.5, -0.5, 1.4, -127.5],
+                     [2.5, -2.5, 200.0, -200.0]], jnp.float32)
+    codes = np.asarray(sq.encode(x))
+    np.testing.assert_array_equal(codes[0], [1, -1, 1, -128])
+    np.testing.assert_array_equal(codes[1], [3, -3, 127, -128])
+
+
+def test_pq_encode_picks_nearest_codeword(rng):
+    """Every emitted code must be the argmin codeword of its subspace."""
+    from annsearch_tpu.models.quantised.quantisers import ProductQuantiser
+
+    x = jnp.asarray(rng.standard_normal((400, 32)).astype(np.float32))
+    pq = ProductQuantiser.train(x, m=4, seed=0)
+    codes = np.asarray(pq.encode(x[:50]))
+    cb = np.asarray(pq.codebooks)  # [m, 256, ds]
+    xs = np.asarray(x[:50]).reshape(50, 4, 8)
+    for s in range(4):
+        d = ((xs[:, s, None, :] - cb[s][None]) ** 2).sum(-1)  # [50, 256]
+        np.testing.assert_array_equal(codes[:, s], d.argmin(1))
+
+
+def test_bf16_relative_error_bound(rng):
+    from annsearch_tpu.models.quantised.quantisers import bf16_decode, bf16_encode
+
+    x = jnp.asarray((rng.standard_normal((200, 16)) * 100).astype(np.float32))
+    err = np.abs(np.asarray(bf16_decode(bf16_encode(x))) - np.asarray(x))
+    rel = err / np.maximum(np.abs(np.asarray(x)), 1e-12)
+    assert rel.max() < 2 ** -8  # bf16 has 8 mantissa bits incl. implicit
+
+
+def test_opq_encode_decode_roundtrip_consistent(rng):
+    """decode(encode(x)) must live in the ORIGINAL space (rotation undone):
+    reconstruction correlates with x, and error matches the PQ error on the
+    rotated data."""
+    from annsearch_tpu.models.quantised.quantisers import (
+        OptimisedProductQuantiser,
+    )
+
+    x = jnp.asarray(rng.standard_normal((500, 32)).astype(np.float32))
+    opq = OptimisedProductQuantiser.train(x, m=8, seed=0)
+    rec = np.asarray(opq.decode(opq.encode(x[:100])))
+    xx = np.asarray(x[:100])
+    base = (xx ** 2).sum()
+    err = ((rec - xx) ** 2).sum()
+    assert err < 0.8 * base  # reconstruction genuinely tracks the input
