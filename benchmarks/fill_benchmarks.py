@@ -66,6 +66,16 @@ BINARY_CONFIGS = [
     ("rabitq", "quantisation", ["--n-clusters", "50"]),
 ]
 
+# The reference's scale rows (fill_benchmarks.sh:156-165 — IVF + GPU
+# exhaustive on 250k/500k×64d lowrank; BASELINE.md: IVF CPU nl500 np22
+# query 639 ms @ 1.0, GPU exhaustive 2,701 ms at 500k).
+SCALE_CONFIGS = [
+    ("exhaustive", "250000", []),
+    ("ivf", "250000", ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+    ("exhaustive", "500000", []),
+    ("ivf", "500000", ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+]
+
 QUICK = [
     ("exhaustive", []),
     ("ivf", ["--nlist-sweep", "387", "--nprobe-sweep", "19"]),
@@ -195,6 +205,35 @@ def main(argv=None):
                 )
             write()
         del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
+
+        # scale rows: the reference GPU doc's 250k/500k×64d lowrank suite
+        lines += [
+            "",
+            "## Scale suite (lowrank 64d, k=15 — the reference's "
+            "`benchmarks_gpu.md` 250k/500k workloads)",
+            "",
+            "| Method | n | Build (ms) | Query (ms) | Recall@k | "
+            "Dist ratio | Size MB |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        write()
+        for kind, n, extra in SCALE_CONFIGS:
+            print(f"=== scale {kind} ({n}) ===", flush=True)
+            try:
+                results = gridsearch_main(
+                    ["--index", kind, "--data", "lowrank",
+                     "--n-samples", n, "--dim", "64", "--k", "15",
+                     "--intrinsic-dim", "16"] + extra
+                )
+            except Exception as e:
+                print(f"scale {kind} FAILED: {e}", flush=True)
+                continue
+            for name, build_ms, query_ms, rec, mdr, size_mb in results:
+                lines.append(
+                    f"| {name} | {n} | {build_ms:,.0f} | {query_ms:,.0f} | "
+                    f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
+                )
+            write()
     print("wrote docs/benchmarks_tpu.md", flush=True)
 
 
