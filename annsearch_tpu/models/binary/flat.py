@@ -23,9 +23,11 @@ import numpy as np
 from ...ops.binary import (
     chunked_topk_asymmetric,
     chunked_topk_hamming,
+    unpack_pm1,
 )
 from ...ops.rerank import rerank_exact, rerank_from_store
-from ...utils.dist import Dist, normalise
+from ...ops.topk import chunked_topk
+from ...utils.dist import Dist, normalise, sq_norms
 from ..base import BaseIndex, as_f32_matrix
 from .binariser import Binariser
 from .vec_store import DeviceVectorStore, MmapVectorStore
@@ -37,7 +39,8 @@ class ExhaustiveIndexBinary(BaseIndex):
     """Flat Hamming-scan index over binarised vectors."""
 
     _state_arrays = ("codes",)
-    _state_scalars = ("n", "dim", "n_bits", "bin_mode", "store_path")
+    _state_scalars = ("n", "dim", "n_bits", "bin_mode", "store_path",
+                      "fast_scan")
     _persist_extra_arrays = ("bin_proj", "bin_mean", "store_vectors")
 
     def __init__(
@@ -48,9 +51,15 @@ class ExhaustiveIndexBinary(BaseIndex):
         binarisation: str = "simhash",
         seed: int = 42,
         store: str | bool = True,
+        fast_scan: bool = True,
     ):
         """``store``: True → keep f32 vectors in HBM for exact rerank;
-        a path string → write an on-disk mmap store; False → no rerank."""
+        a path string → write an on-disk mmap store; False → no rerank.
+        ``fast_scan``: cache the codes unpacked to ±1 once so Hamming /
+        asymmetric scans are plain distance matmuls (the per-tile unpack
+        is the scan's VPU bottleneck; ±1 operands are exact in one bf16
+        MXU pass). Costs 4 B/bit extra HBM; auto-off above 2 GB."""
+        self.fast_scan = bool(fast_scan)
         super().__init__(mat, metric)
         x = self.vectors  # normalised if cosine
         self.binariser = Binariser.train(x, n_bits, binarisation, seed)
@@ -75,6 +84,7 @@ class ExhaustiveIndexBinary(BaseIndex):
 
     def _post_load(self) -> None:
         self.n_bits = int(self.n_bits)
+        self.fast_scan = bool(getattr(self, "fast_scan", True))
         self.codes = self.codes.astype(jnp.uint32)
         self.binariser = Binariser(
             self.bin_proj, self.bin_mean, self.n_bits, self.bin_mode
@@ -119,7 +129,11 @@ class ExhaustiveIndexBinary(BaseIndex):
             # both faster and a strict quality upper bound
             return self._exact_query_small(q, k)
 
+        fast = self._fast_scan_ok()
         if rerank is None:
+            if fast:
+                d, i = self._hamming_fast(q, k, query_block)
+                return np.asarray(i), np.asarray(d)
             q_codes = self.binariser.encode(q)
             d, i = self._blocked(
                 q_codes,
@@ -134,6 +148,22 @@ class ExhaustiveIndexBinary(BaseIndex):
         kc = min(max(k, k * rerank_factor), self.n)
         if rerank == "asymmetric":
             q_proj = self.binariser.project(q)
+            if fast:
+                # rank by l2 over ±1 codes ≡ rank by −dot (‖x±‖² = nbits and
+                # ‖q‖² are per-row constants); recover −dot exactly after
+                pm = self._codes_pm()  # materialise OUTSIDE the traced map
+                d, i = self._blocked_dev(
+                    q_proj,
+                    query_block,
+                    lambda b: chunked_topk(
+                        b, pm, k, Dist.EUCLIDEAN,
+                        precision=jax.lax.Precision.DEFAULT,
+                    ),
+                    k,
+                )
+                qsq = np.asarray(sq_norms(q_proj))[:, None]
+                d_asym = (np.asarray(d) - qsq - float(self.n_bits)) * 0.5
+                return np.asarray(i), d_asym
             pad = (-q_proj.shape[1]) % 32
             if pad:
                 q_proj = jnp.concatenate(
@@ -150,15 +180,18 @@ class ExhaustiveIndexBinary(BaseIndex):
             return i, d
 
         # exact: hamming-propose kc, gather, exact rerank
-        q_codes = self.binariser.encode(q)
-        d_sc, cand = self._blocked_dev(
-            q_codes,
-            query_block,
-            lambda b: chunked_topk_hamming(
-                b, self.codes, kc, self.n_bits, self.n
-            ),
-            kc,
-        )
+        if fast:
+            d_sc, cand = self._hamming_fast(q, kc, query_block)
+        else:
+            q_codes = self.binariser.encode(q)
+            d_sc, cand = self._blocked_dev(
+                q_codes,
+                query_block,
+                lambda b: chunked_topk_hamming(
+                    b, self.codes, kc, self.n_bits, self.n
+                ),
+                kc,
+            )
         if isinstance(self.store, DeviceVectorStore):
             # candidates never leave the device: gather + exact rescore in
             # one compiled program, readback is [nq, k] only
@@ -195,6 +228,40 @@ class ExhaustiveIndexBinary(BaseIndex):
         return i, d
 
     # -- plumbing ----------------------------------------------------------
+
+    def _fast_scan_ok(self) -> bool:
+        import os
+
+        if os.environ.get("ANNSEARCH_NO_FAST_HAMMING"):
+            return False
+        return bool(self.fast_scan) and self.n * self.n_bits * 4 <= (2 << 30)
+
+    def _codes_pm(self) -> jax.Array:
+        """Codes unpacked to ±1 f32 (cached once; exact in one bf16 pass)."""
+        cached = getattr(self, "_codes_pm_cache", None)
+        if cached is None:
+            cached = unpack_pm1(self.codes, self.n_bits).astype(jnp.float32)
+            self._codes_pm_cache = cached
+        return cached
+
+    def _hamming_fast(self, q, k, query_block):
+        """Hamming top-k over the cached ±1 codes: l2(q±, x±) = 4·hamming
+        exactly (both norms are nbits), one bf16 matmul pass per tile —
+        no per-tile unpack in the hot loop."""
+        q_pm = unpack_pm1(
+            self.binariser.encode(q), self.n_bits
+        ).astype(jnp.float32)
+        pm = self._codes_pm()  # materialise OUTSIDE the traced map
+        d, i = self._blocked_dev(
+            q_pm,
+            query_block,
+            lambda b: chunked_topk(
+                b, pm, k, Dist.EUCLIDEAN,
+                precision=jax.lax.Precision.DEFAULT,
+            ),
+            k,
+        )
+        return d * 0.25, i
 
     def _prep_q(self, query_mat):
         q = as_f32_matrix(query_mat)

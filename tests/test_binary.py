@@ -213,3 +213,22 @@ def test_ivf_binary_exact_rerank_fused_recall(rng):
     assert calculate_recall(ti, i, 10) > 0.9
     # distances ascending
     assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
+def test_fast_hamming_scan_matches_packed_kernel(rng):
+    """fast_scan=True (cached ±1 codes, one bf16 matmul pass) must agree
+    with the packed per-tile-unpack kernel: hamming exactly, asymmetric to
+    the shared bf16 quantisation grade."""
+    x, _ = generate_clustered_data(3000, 32, 8, seed=6)
+    q = subsample_with_noise(x, 150, seed=6)
+    fast = ExhaustiveIndexBinary(x, n_bits=128, seed=0, fast_scan=True)
+    slow = ExhaustiveIndexBinary(x, n_bits=128, seed=0, fast_scan=False)
+    i_f, d_f = fast.query(q, 10)
+    i_s, d_s = slow.query(q, 10)
+    np.testing.assert_array_equal(i_f, i_s)
+    np.testing.assert_array_equal(d_f, d_s)  # integers, exact both ways
+    i_f, d_f = fast.query(q, 10, rerank="exact", rerank_factor=15,
+                          exact_fallback=False)
+    i_s, d_s = slow.query(q, 10, rerank="exact", rerank_factor=15,
+                          exact_fallback=False)
+    np.testing.assert_array_equal(i_f, i_s)
