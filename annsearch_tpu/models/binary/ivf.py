@@ -10,18 +10,51 @@ exact reranker.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.binary import unpack_pm1
+from ...ops.ivf_scan_pallas import fused_ivf_scan, fused_eligible, repack_blocks
+from ...ops.probe_device import build_probe_lists_device, device_probe_shapes
 from ...ops.rerank import rerank_exact, rerank_from_store
-from ..ivf_base import IvfBase
+from ...utils.dist import Dist
+from ..ivf_base import IvfBase, route_to_cells
 from .binariser import Binariser
 from .vec_store import DeviceVectorStore, MmapVectorStore
 
 __all__ = ["IvfIndexBinary"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe_seg", "nseg", "maxq", "R", "k", "route_metric", "kb",
+        "interpret",
+    ),
+)
+def _fused_hamming_e2e(
+    q, q_pm, route_cents, blocks, sn_blocks, seg_offsets, seg_counts,
+    seg_cents, *, nprobe_seg, nseg, maxq, R, k, route_metric, kb, interpret,
+):
+    """Route (index metric) → invert → fused bf16 scan over ±1 cell blocks.
+
+    ±1 operands are exact in one bf16 pass and ``l2 = 2·nbits − 2·dot =
+    4·hamming`` exactly, so the hamming tier rides the same fused kernel as
+    the dense modes — no per-tile unpack, one dispatch. Returns device
+    ``(l2 dists [nq,k], sorted-storage positions [nq,k])``."""
+    probes = route_to_cells(q, route_cents, nprobe_seg, route_metric)
+    cluster_ids, lists, gmap = build_probe_lists_device(
+        probes.astype(jnp.int32), nseg, maxq, R
+    )
+    return fused_ivf_scan(
+        q_pm, cluster_ids, lists, gmap, blocks, sn_blocks,
+        seg_offsets, seg_counts, seg_cents, k, Dist.EUCLIDEAN, "bf16",
+        None, kb, interpret=interpret,
+    )
 
 
 class IvfIndexBinary(IvfBase):
@@ -29,7 +62,9 @@ class IvfIndexBinary(IvfBase):
 
     mode = "hamming"
 
-    _state_scalars = IvfBase._state_scalars + ("n_bits", "bin_mode", "store_path")
+    _state_scalars = IvfBase._state_scalars + (
+        "n_bits", "bin_mode", "store_path", "fast_scan"
+    )
     _persist_extra_arrays = ("bin_proj", "bin_mean", "store_vectors")
 
     def __init__(
@@ -42,11 +77,13 @@ class IvfIndexBinary(IvfBase):
         max_iters: int = 30,
         seed: int = 42,
         store: str | bool = True,
+        fast_scan: bool = True,
         verbose: bool = False,
     ):
         self._n_bits_arg = n_bits
         self._binarisation = binarisation
         self._store_arg = store
+        self.fast_scan = bool(fast_scan)
         super().__init__(
             mat, metric, nlist=nlist, max_iters=max_iters, seed=seed,
             verbose=verbose,
@@ -81,6 +118,7 @@ class IvfIndexBinary(IvfBase):
     def _post_load_hook(self):
         super()._post_load_hook()
         self.n_bits = int(self.n_bits)
+        self.fast_scan = bool(getattr(self, "fast_scan", True))
         self.binariser = Binariser(
             self.bin_proj, self.bin_mean, self.n_bits, self.bin_mode
         )
@@ -137,7 +175,12 @@ class IvfIndexBinary(IvfBase):
             q_eff = self.binariser.encode(q)
             mode = "hamming"
 
-        d, i = self._scan(q, k_scan, nprobe, mode=mode, q_eff=q_eff)
+        if mode == "hamming" and self._fused_hamming_ok(k_scan):
+            d, i = self._fused_hamming(q, k_scan, nprobe)
+            if rerank is None:
+                d = d * 0.25  # l2 over ±1 = 4·hamming exactly
+        else:
+            d, i = self._scan(q, k_scan, nprobe, mode=mode, q_eff=q_eff)
 
         if rerank == "exact":
             if isinstance(self.store, DeviceVectorStore):
@@ -173,6 +216,55 @@ class IvfIndexBinary(IvfBase):
 
         ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
         return ids, d
+
+    def _fused_hamming_ok(self, k_scan: int) -> bool:
+        import os
+
+        if os.environ.get("ANNSEARCH_NO_FAST_HAMMING"):
+            return False
+        return (
+            self.fast_scan
+            and int(self.storage.shape[0]) < (1 << 24)
+            and self.n * self.n_bits * 2 <= (2 << 30)
+            and fused_eligible(
+                "bf16", self.seg_size, self.n_bits, min(k_scan, 128)
+            )
+        )
+
+    def _pm_blocks(self):
+        """Cell blocks unpacked to ±1 bf16 (cached; ‖row‖² = n_bits)."""
+        cached = getattr(self, "_pm_blocks_cache", None)
+        if cached is None:
+            pm = unpack_pm1(self.storage, self.n_bits)
+            sn = jnp.full((pm.shape[0],), float(self.n_bits), jnp.float32)
+            cached = repack_blocks(pm, sn, self.seg_offsets, self.seg_size)
+            self._pm_blocks_cache = cached
+        return cached
+
+    def _fused_hamming(self, q, k_scan, nprobe):
+        """Single-dispatch hamming query over ±1 cell blocks. Returns
+        (l2 dists [nq,k] = 4·hamming, sorted-storage positions)."""
+        nq = q.shape[0]
+        nseg = int(self.seg_offsets.shape[0])
+        nprobe_seg = min(
+            nseg, max(nprobe, -(-nprobe * nseg) // max(self.nlist, 1))
+        )
+        maxq, R = device_probe_shapes(nq, nprobe_seg, nseg, 1)
+        blocks, sn_blocks = self._pm_blocks()
+        kb = min(128, max(8, 1 << (min(k_scan, 128) - 1).bit_length()))
+        q_pm = unpack_pm1(
+            self.binariser.encode(q), self.n_bits
+        ).astype(jnp.float32)
+        # centroids are unused by the bf16 l2 epilogue but must match the
+        # scoring width (±1 lanes), so pass zeros in that space
+        zero_cents = jnp.zeros((nseg, q_pm.shape[1]), jnp.float32)
+        return _fused_hamming_e2e(
+            q, q_pm, self.seg_centroids, blocks, sn_blocks,
+            self.seg_offsets, self.seg_counts, zero_cents,
+            nprobe_seg=nprobe_seg, nseg=nseg, maxq=maxq, R=R, k=k_scan,
+            route_metric=self.metric, kb=kb,
+            interpret=jax.default_backend() != "tpu",
+        )
 
     def generate_knn(self, k: int, nprobe: int | None = None, **kw):
         if isinstance(self.store, DeviceVectorStore):

@@ -232,3 +232,23 @@ def test_fast_hamming_scan_matches_packed_kernel(rng):
     i_s, d_s = slow.query(q, 10, rerank="exact", rerank_factor=15,
                           exact_fallback=False)
     np.testing.assert_array_equal(i_f, i_s)
+
+
+def test_ivf_binary_fused_hamming_matches_xla_scan(rng):
+    """fast_scan IVF hamming (fused kernel over ±1 blocks, single dispatch)
+    must reproduce the XLA packed-scan tier: same ids, same hamming values."""
+    x, _ = generate_clustered_data(4000, 32, 8, seed=9)
+    q = subsample_with_noise(x, 200, seed=9)
+    fast = IvfIndexBinary(x, nlist=25, n_bits=256, seed=0, fast_scan=True)
+    slow = IvfIndexBinary(x, nlist=25, n_bits=256, seed=0, fast_scan=False)
+    if not fast._fused_hamming_ok(10):
+        pytest.skip("layout not fused-eligible on this build")
+    i_f, d_f = fast.query(q, 10, nprobe=25, exact_fallback=False)
+    i_s, d_s = slow.query(q, 10, nprobe=25, exact_fallback=False)
+    np.testing.assert_array_equal(i_f, i_s)
+    np.testing.assert_allclose(d_f, d_s, atol=1e-4)  # exact integers
+    i_f, _ = fast.query(q, 10, nprobe=25, rerank="exact", rerank_factor=12,
+                        exact_fallback=False)
+    i_s, _ = slow.query(q, 10, nprobe=25, rerank="exact", rerank_factor=12,
+                        exact_fallback=False)
+    np.testing.assert_array_equal(i_f, i_s)
