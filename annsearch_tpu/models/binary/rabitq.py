@@ -32,9 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.binary import pack_bits
+import functools
+
+from ...ops.binary import pack_bits, unpack_pm1
+from ...ops.ivf_scan_pallas import fused_eligible, fused_ivf_scan, repack_blocks
+from ...ops.probe_device import build_probe_lists_device, device_probe_shapes
 from ...ops.rerank import rerank_exact, rerank_from_store
-from ..ivf_base import IvfBase
+from ...utils.dist import Dist
+from ..ivf_base import IvfBase, route_to_cells
 from .vec_store import DeviceVectorStore, MmapVectorStore
 
 __all__ = ["RaBitQEncoder", "ExhaustiveIndexRaBitQ", "IvfIndexRaBitQ"]
@@ -87,12 +92,42 @@ class RaBitQEncoder:
         return int(self.rotation.size) * 4
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe_seg", "nseg", "maxq", "R", "k", "route_metric", "kb",
+        "interpret",
+    ),
+)
+def _fused_rabitq_e2e(
+    q, q_rot, route_cents, blocks, sn_blocks, seg_offsets, seg_counts,
+    seg_cents_rot, ones_scales, *, nprobe_seg, nseg, maxq, R, k,
+    route_metric, kb, interpret,
+):
+    """Route (index metric) → invert → fused estimator scan, one dispatch.
+
+    The RaBitQ estimator rides the stock ``i8dec_residual`` epilogue with
+    the per-row multiplier folded into storage: rows ``x′ = ±1·(sn/corr)``
+    give ``d̂² = ‖qr‖² + sn² − 2·⟨qr, x′⟩`` = the reference estimator
+    (dist_binary.rs:564-587) squared, minus the rarely-active ±1 clip.
+    Returns device ``(d̂² [nq,k], sorted-storage positions [nq,k])``."""
+    probes = route_to_cells(q, route_cents, nprobe_seg, route_metric)
+    cluster_ids, lists, gmap = build_probe_lists_device(
+        probes.astype(jnp.int32), nseg, maxq, R
+    )
+    return fused_ivf_scan(
+        q_rot, cluster_ids, lists, gmap, blocks, sn_blocks,
+        seg_offsets, seg_counts, seg_cents_rot, k, Dist.EUCLIDEAN,
+        "i8dec_residual", ones_scales, kb, interpret=interpret,
+    )
+
+
 class _RaBitQBase(IvfBase):
     """Shared build/query for the two RaBitQ indexes."""
 
     mode = "rabitq"
     _state_arrays = IvfBase._state_arrays + ("aux_corr", "rotation")
-    _state_scalars = IvfBase._state_scalars + ("store_path",)
+    _state_scalars = IvfBase._state_scalars + ("store_path", "fast_scan")
     _persist_extra_arrays = ("store_vectors",)
 
     def __init__(
@@ -103,12 +138,14 @@ class _RaBitQBase(IvfBase):
         max_iters: int = 30,
         seed: int = 42,
         store: str | bool = True,
+        fast_scan: bool = True,
         verbose: bool = False,
     ):
         n = as_f32_shape(mat)
         if nlist is None:
             nlist = self._default_nlist(n)
         self._store_arg = store
+        self.fast_scan = bool(fast_scan)
         super().__init__(
             mat, metric, nlist=nlist, max_iters=max_iters, seed=seed,
             verbose=verbose,
@@ -180,7 +217,16 @@ class _RaBitQBase(IvfBase):
         nq = q.shape[0]
 
         k_scan = k if rerank != "exact" else min(max(k, k * rerank_factor), self.n)
-        d, i = self._scan(q, k_scan, nprobe)
+        if self._fused_est_ok(k_scan):
+            d, i = self._fused_estimator(q, k_scan, nprobe)
+            if rerank != "exact":
+                # the fused scan folds sn/corr into storage, which drops the
+                # estimator's ±1 clip (overshoot hits near-duplicates);
+                # re-estimate the returned slots with the exact clipped
+                # formula — [nq, k] work, stays on device
+                d, i = self._rescore_estimator(q, jnp.asarray(i), jnp.asarray(d))
+        else:
+            d, i = self._scan(q, k_scan, nprobe)
 
         if rerank == "exact":
             if isinstance(self.store, DeviceVectorStore):
@@ -216,6 +262,106 @@ class _RaBitQBase(IvfBase):
         ids = np.asarray(self.original_ids)[np.clip(i, 0, self.n - 1)]
         return ids, d
 
+    def _fused_est_ok(self, k_scan: int) -> bool:
+        import os
+
+        if os.environ.get("ANNSEARCH_NO_FAST_HAMMING"):
+            return False
+        nbits = self.encoder.n_words * 32
+        return (
+            self.fast_scan
+            and int(self.storage.shape[0]) < (1 << 24)
+            and self.n * nbits * 2 <= (2 << 30)
+            and fused_eligible(
+                "i8dec_residual", self.seg_size, nbits, min(k_scan, 128)
+            )
+        )
+
+    def _est_blocks(self):
+        """±1 rows scaled by sn/corr (bf16, cached) + sn² blocks — the
+        storage form that makes the estimator a stock residual-l2 scan."""
+        cached = getattr(self, "_est_blocks_cache", None)
+        if cached is None:
+            nbits = self.encoder.n_words * 32
+            pm = unpack_pm1(self.storage, self.dim).astype(jnp.float32)
+            if nbits > self.dim:  # zero the rotation's lane padding
+                pm = jnp.concatenate(
+                    [pm, jnp.zeros((pm.shape[0], nbits - self.dim))], axis=1
+                )
+            mult = jnp.where(
+                self.aux_corr > 1e-6,
+                self.store_sqnorms / jnp.maximum(self.aux_corr, 1e-12),
+                0.0,
+            )
+            x_scaled = (pm * mult[:, None]).astype(jnp.bfloat16)
+            cached = repack_blocks(
+                x_scaled, self.store_sqnorms**2, self.seg_offsets,
+                self.seg_size,
+            )
+            self._est_blocks_cache = cached
+        return cached
+
+    def _fused_estimator(self, q, k_scan, nprobe):
+        nq = q.shape[0]
+        nseg = int(self.seg_offsets.shape[0])
+        nprobe_seg = min(
+            nseg, max(nprobe, -(-nprobe * nseg) // max(self.nlist, 1))
+        )
+        maxq, R = device_probe_shapes(nq, nprobe_seg, nseg, 1)
+        blocks, sn_blocks = self._est_blocks()
+        kb = min(128, max(8, 1 << (min(k_scan, 128) - 1).bit_length()))
+        nbits = self.encoder.n_words * 32
+        return _fused_rabitq_e2e(
+            q, self._encode_queries(q), self.seg_centroids, blocks,
+            sn_blocks, self.seg_offsets, self.seg_counts,
+            self._scan_seg_centroids(),
+            jnp.ones((nbits,), jnp.float32),
+            nprobe_seg=nprobe_seg, nseg=nseg, maxq=maxq, R=R, k=k_scan,
+            route_metric=self.metric, kb=kb,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    def _owner_j(self):
+        cached = getattr(self, "_owner_j_cache", None)
+        if cached is None:
+            owners = np.zeros(self.storage.shape[0], np.int32)
+            owners[: self.n] = np.asarray(self._owner_clusters())
+            cached = jnp.asarray(owners)
+            self._owner_j_cache = cached
+        return cached
+
+    def _rescore_estimator(self, q, pos, d_in):
+        """Exact clipped estimator (dist_binary.rs:564-587) for the given
+        [nq, k] storage positions; invalid slots (inf in ``d_in``) stay inf."""
+        owners = self._owner_j()
+        q_rot = self._encode_queries(q)                       # [nq, nbits]
+        cent_rot = self.encoder.rotate_padded(self.centroids)  # [nlist, nbits]
+        posc = jnp.clip(pos, 0, self.storage.shape[0] - 1)
+        codes = self.storage[posc]                            # [nq, k, w]
+        nbits = codes.shape[-1] * 32
+        pm = unpack_pm1(
+            codes.reshape(-1, codes.shape[-1]), nbits
+        ).astype(jnp.float32).reshape(posc.shape + (nbits,))[..., : self.dim]
+        sn = self.store_sqnorms[posc]                         # [nq, k]
+        corr = self.aux_corr[posc]
+        qr = q_rot[:, None, : self.dim] - cent_rot[owners[posc]][..., : self.dim]
+        qd = jnp.sqrt(jnp.sum(qr * qr, axis=-1))
+        qu = qr / jnp.maximum(qd, 1e-12)[..., None]
+        inner = jnp.sum(qu.astype(jnp.bfloat16).astype(jnp.float32) * pm, -1)
+        est = jnp.where(
+            corr > 1e-6,
+            jnp.clip(inner / jnp.maximum(corr, 1e-12), -1.0, 1.0),
+            0.0,
+        )
+        d2 = sn**2 + qd**2 - 2.0 * sn * qd * est
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        d = jnp.where(jnp.isfinite(d_in), d, jnp.inf)
+        order = jnp.argsort(d, axis=-1)
+        return (
+            jnp.take_along_axis(d, order, axis=-1),
+            jnp.take_along_axis(posc, order, axis=-1),
+        )
+
     def generate_knn(self, k: int, nprobe: int | None = None, **kw):
         if isinstance(self.store, DeviceVectorStore):
             return self.query(self.vectors_original_order(), k, nprobe=nprobe, **kw)
@@ -239,6 +385,7 @@ class _RaBitQBase(IvfBase):
 
     def _post_load_hook(self):
         super()._post_load_hook()
+        self.fast_scan = bool(getattr(self, "fast_scan", True))
         self.encoder = RaBitQEncoder(self.rotation, self.dim)
         if self.store_vectors is not None:
             self.store = DeviceVectorStore(self.store_vectors)

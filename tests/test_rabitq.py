@@ -110,3 +110,38 @@ def test_rerank_factor_monotone(rdata):
         recs.append(calculate_recall(np.asarray(ti), np.asarray(ai), 10))
     assert recs[0] <= recs[1] + 1e-9 and recs[1] <= recs[2] + 1e-9, recs
     assert recs[-1] >= 0.95
+
+
+def test_fused_estimator_matches_xla_scan():
+    """fast_scan RaBitQ (fused i8dec_residual with sn/corr folded into ±1
+    rows + exact clipped rescore of the returned slots) must track the XLA
+    estimator scan: same recall, near-identical values on matched slots."""
+    import numpy as np
+    from annsearch_tpu.models.binary.rabitq import ExhaustiveIndexRaBitQ
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+    from annsearch_tpu.utils.data import generate_clustered_data, subsample_with_noise
+    from annsearch_tpu.utils.metrics import calculate_recall
+
+    x, _ = generate_clustered_data(4000, 128, 10, seed=12)
+    q = subsample_with_noise(x, 200, seed=12)
+    ti, _ = ExhaustiveIndex(x).query(q, 10)
+    fast = ExhaustiveIndexRaBitQ(x, seed=0, fast_scan=True)
+    slow = ExhaustiveIndexRaBitQ(x, seed=0, fast_scan=False)
+    if not fast._fused_est_ok(10):
+        import pytest
+        pytest.skip("layout not fused-eligible")
+    i_f, d_f = fast.query(q, 10, nprobe=15)
+    i_s, d_s = slow.query(q, 10, nprobe=15)
+    r_f = calculate_recall(ti, i_f, 10)
+    r_s = calculate_recall(ti, i_s, 10)
+    assert abs(r_f - r_s) < 0.02, (r_f, r_s)
+    m = (i_f == i_s) & np.isfinite(d_s) & (d_s > 1e-3)
+    assert m.mean() > 0.9
+    rel = np.abs(d_f[m] - d_s[m]) / d_s[m]
+    assert np.percentile(rel, 99) < 0.05
+    # exact tier identical
+    i_f, _ = fast.query(q, 10, nprobe=15, rerank="exact", rerank_factor=10,
+                        exact_fallback=False)
+    i_s, _ = slow.query(q, 10, nprobe=15, rerank="exact", rerank_factor=10,
+                        exact_fallback=False)
+    assert (i_f == i_s).mean() > 0.999
