@@ -219,6 +219,18 @@ class ExhaustiveIndexBinary(BaseIndex):
             return self.query(np.asarray(self.store.vectors), k, **kw)
         # codes-only self-query: hamming between stored codes
         k = self._clamp_k(k)
+        if self._fast_scan_ok():
+            pm = self._codes_pm()
+            d, i = self._blocked_dev(
+                pm,
+                1024,
+                lambda b: chunked_topk(
+                    b, pm, k, Dist.EUCLIDEAN,
+                    precision=jax.lax.Precision.DEFAULT,
+                ),
+                k,
+            )
+            return np.asarray(i), np.asarray(d) * 0.25
         d, i = self._blocked(
             self.codes,
             1024,
