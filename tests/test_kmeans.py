@@ -87,3 +87,49 @@ def test_build_cells_empty_cluster():
     a = np.array([0, 0, 2])
     members, counts, order = build_cells(a, 4)
     np.testing.assert_array_equal(counts, [2, 0, 1, 0])
+
+
+def test_segment_layout_invariants(rng):
+    """Segments tile each cluster's sorted range exactly: counts sum to the
+    cell sizes, offsets are contiguous per cluster, every segment ≤ cap,
+    cluster_ptr CSR is consistent, skewed cells split."""
+    from annsearch_tpu.models.kmeans import segment_layout
+
+    nlist = 7
+    # heavy skew: one giant cell, one empty
+    a = np.concatenate([
+        np.zeros(900, np.int64),
+        rng.integers(2, nlist, 300),
+    ])
+    rng.shuffle(a)
+    lay = segment_layout(a, nlist, seg_size=128)
+    counts = np.bincount(a, minlength=nlist)
+    assert lay.seg_size == 128
+    assert (lay.seg_counts >= 1).all() and (lay.seg_counts <= 128).all()
+    for c in range(nlist):
+        segs = range(lay.cluster_ptr[c], lay.cluster_ptr[c + 1])
+        assert sum(int(lay.seg_counts[s]) for s in segs) == counts[c]
+        for j, s in enumerate(segs):
+            assert lay.seg_cluster[s] == c
+            assert lay.seg_offsets[s] == int(
+                np.concatenate([[0], np.cumsum(counts)])[c]
+            ) + j * 128
+    # giant cell split into ceil(900/128) = 8 segments; empty cell has none
+    assert lay.cluster_ptr[1] - lay.cluster_ptr[0] == 8
+    assert lay.cluster_ptr[2] - lay.cluster_ptr[1] == 0
+    # sorted order groups clusters
+    assert (np.diff(a[lay.order]) >= 0).all()
+
+
+def test_expand_probes_to_segments_covers_split_cells(rng):
+    from annsearch_tpu.models.kmeans import (
+        expand_probes_to_segments,
+        segment_layout,
+    )
+
+    a = np.concatenate([np.zeros(300, np.int64), np.ones(40, np.int64)])
+    lay = segment_layout(a, 2, seg_size=128)
+    qs, segs = expand_probes_to_segments(np.array([[0], [1], [0]]), lay)
+    # query 0 and 2 probe cluster 0 → 3 segments each; query 1 → 1 segment
+    assert sorted(qs[segs < 3].tolist()).count(0) == 3
+    assert (qs == 1).sum() == 1
