@@ -16,6 +16,10 @@ Layout:
 from .lib import *  # noqa: F401,F403
 from .lib import __all__ as _lib_all
 from .utils import Dist, parse_ann_dist  # noqa: F401
+from .utils.metrics import calculate_recall  # noqa: F401
+from .utils.validation import validate_index  # noqa: F401
 
 __version__ = "0.1.0"
-__all__ = list(_lib_all) + ["Dist", "parse_ann_dist"]
+__all__ = list(_lib_all) + [
+    "Dist", "parse_ann_dist", "validate_index", "calculate_recall",
+]
