@@ -1,6 +1,7 @@
 """Index implementations."""
 
 from .exhaustive import ExhaustiveIndex
+from .streaming import StreamingExhaustiveIndex
 from .ivf import IvfIndex
 from .quantised import (
     ExhaustiveIndexBf16,
@@ -27,6 +28,7 @@ from .trees import AnnoyIndex, BallTreeIndex, KdTreeIndex
 
 __all__ = [
     "ExhaustiveIndex",
+    "StreamingExhaustiveIndex",
     "IvfIndex",
     "ExhaustiveIndexBf16",
     "ExhaustiveSq8Index",
