@@ -531,8 +531,18 @@ def build_exhaustive_index_gpu(mat: Any, dist_metric: str = "euclidean"):
     return build_exhaustive_index(mat, dist_metric)
 
 
-query_exhaustive_index_gpu = query_exhaustive_index
-query_exhaustive_index_gpu_self = query_exhaustive_self
+def query_exhaustive_index_gpu(
+    query_mat, index, k, return_dist=False, verbose=False,
+):
+    """The reference's GPU tiled scan (dist_gpu.rs:550-685) → the
+    running-bins tile selector (selection-free scan; recall 1.0 measured)."""
+    idx, dist = index.query(query_mat, k, selector="bins")
+    return _maybe_dist(idx, dist, return_dist)
+
+
+def query_exhaustive_index_gpu_self(index, k, return_dist=False, verbose=False):
+    idx, dist = index.generate_knn(k, selector="bins")
+    return _maybe_dist(idx, dist, return_dist)
 
 
 def build_ivf_index_gpu(
@@ -542,8 +552,22 @@ def build_ivf_index_gpu(
     return build_ivf_index(mat, nlist, max_iters, dist_metric, seed, verbose)
 
 
-query_ivf_index_gpu = query_ivf_index
-query_ivf_index_gpu_self = query_ivf_self
+def query_ivf_index_gpu(
+    query_mat, index, k, nprobe=None, return_dist=False, verbose=False,
+):
+    """The reference's IVF GPU mega-kernel (ivf_gpu.rs:600-654) → the
+    single-dispatch fused Pallas scan (route → device task lists → fused
+    cell scan; falls back to the exact XLA scan where ineligible)."""
+    idx, dist = index.query(query_mat, k, nprobe=nprobe, approx=True)
+    return _maybe_dist(idx, dist, return_dist)
+
+
+def query_ivf_index_gpu_self(
+    index, k, nprobe=None, return_dist=False, verbose=False,
+):
+    q = index.vectors_original_order()
+    idx, dist = index.query(q, k, nprobe=nprobe, approx=True)
+    return _maybe_dist(idx, dist, return_dist)
 
 
 # ----------------------------------------------------------------------------

@@ -66,6 +66,7 @@ class ExhaustiveIndex(BaseIndex):
         k: int,
         query_block: int = DEFAULT_QUERY_BLOCK,
         db_chunk: int = DEFAULT_DB_CHUNK,
+        selector: str = "exact",
     ) -> tuple[np.ndarray, np.ndarray]:
         k = self._clamp_k(k)
         d, i = blocked_query_topk(
@@ -77,6 +78,7 @@ class ExhaustiveIndex(BaseIndex):
             query_block=query_block,
             db_chunk=db_chunk,
             precision=self.precision,
+            selector=selector,
         )
         return np.asarray(i), np.asarray(d)
 

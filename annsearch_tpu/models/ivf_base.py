@@ -62,13 +62,13 @@ def route_to_cells(
     jax.jit,
     static_argnames=(
         "nprobe_seg", "nseg", "maxq", "R", "k", "metric", "mode", "kb",
-        "interpret",
+        "interpret", "layout",
     ),
 )
 def _fused_query_e2e(
     q, q_enc, route_cents, blocks, sn_blocks, seg_offsets, seg_counts,
     seg_cents, scales, *, nprobe_seg, nseg, maxq, R, k, metric, mode, kb,
-    interpret,
+    interpret, layout="plain",
 ):
     """Route → invert → fused scan as one compiled program.
 
@@ -90,6 +90,7 @@ def _fused_query_e2e(
         interpret=interpret,
         q_split=not os.environ.get("ANNSEARCH_IVF_NOQSPLIT"),
         fold_depth=1 if os.environ.get("ANNSEARCH_IVF_FOLD1") else 2,
+        layout=layout,
     )
     # pack (dists, positions) into ONE buffer — each host readback pays a
     # full link round-trip, so two transfers ≈ 2× the latency of one.
@@ -175,6 +176,15 @@ class IvfBase(BaseIndex):
     def _aux(self):
         return None
 
+    def _fused_layout(self) -> str:
+        """``packed2`` when f32 cells fit the lane-tiled hi/lo layout."""
+        if (
+            jnp.dtype(self.storage.dtype) == jnp.dtype(jnp.float32)
+            and 2 * int(self.storage.shape[1]) <= 128
+        ):
+            return "packed2"
+        return "plain"
+
     def _fused_blocks(self):
         """Block-aligned storage tiles for the fused Pallas scan (repacked
         once per index, on device)."""
@@ -182,7 +192,7 @@ class IvfBase(BaseIndex):
         if cached is None:
             cached = repack_blocks(
                 self.storage, self.store_sqnorms, self.seg_offsets,
-                self.seg_size,
+                self.seg_size, lane_pack=self._fused_layout() == "packed2",
             )
             self._fused_blocks_cache = cached
         return cached
@@ -263,6 +273,7 @@ class IvfBase(BaseIndex):
                 mode=eff_mode,
                 kb=kb,
                 interpret=jax.default_backend() != "tpu",
+                layout=self._fused_layout(),
             )
             arr = np.asarray(packed)              # single transfer
             d = arr[:, :k]

@@ -55,22 +55,38 @@ def fused_eligible(mode: str, seg_size: int, dim_w: int, k: int) -> bool:
 
     if os.environ.get("ANNSEARCH_NO_PALLAS"):
         return False
+    # f32 cells with 2·d ≤ 128 ride the lane-packed hi/lo layout (all four
+    # mantissa cross terms share one 128-lane contraction — the flat
+    # kernel's _prep_parts trick); other dense modes need lane-multiple dims
+    dim_ok = dim_w % _LANES == 0 or (mode == "f32" and 2 * dim_w <= _LANES)
     return (
         mode in ("f32", "bf16", "i8dec", "i8dec_residual", "sq8")
         and seg_size % _LANES == 0
         and seg_size >= _LANES
-        and dim_w % _LANES == 0
+        and dim_ok
         and k <= _LANES
+    )
+
+
+def _pad_lanes(a: jax.Array, width: int) -> jax.Array:
+    pad = width - a.shape[-1]
+    if pad == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
     )
 
 
 def repack_blocks(
     storage: jax.Array, sqnorms: jax.Array, seg_offsets: jax.Array,
-    seg_size: int,
+    seg_size: int, lane_pack: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Gather the segmented storage into block-aligned [nseg+1, seg, w] tiles
     (+1 = zero sentinel block for padded scan rows). On-device; cached by the
-    index."""
+    index. ``lane_pack`` (f32, 2·d ≤ 128 only): store cells as the
+    lane-tiled hi/lo layout ``[x₀|x₁|x₀|x₁|…]`` so the query side can pack
+    all four mantissa cross terms into the 128-lane contraction —
+    matching ``fused_ivf_scan(layout="packed2")``."""
     idx = seg_offsets.astype(jnp.int32)[:, None] + jnp.arange(
         seg_size, dtype=jnp.int32
     )
@@ -78,7 +94,13 @@ def repack_blocks(
         [storage[idx], jnp.zeros((1, seg_size) + storage.shape[1:],
                                  storage.dtype)]
     )
-    if g.dtype == jnp.float32:
+    if g.dtype == jnp.float32 and lane_pack and 2 * g.shape[-1] <= _LANES:
+        parts = mantissa_split(g, 2)
+        unit = jnp.concatenate(parts, axis=-1)          # [.., 2d]
+        rep = _LANES // unit.shape[-1]
+        tiled = jnp.concatenate([unit] * rep, axis=-1)
+        cells = (_pad_lanes(tiled, _LANES).astype(jnp.bfloat16),)
+    elif g.dtype == jnp.float32:
         # hi/lo bf16 mantissa split (the kernel's 3-pass f32-grade matmul);
         # masked split — a plain astype round-trip is elided by XLA's
         # excess-precision pass, zeroing the lo term (utils/dist.py)
@@ -275,6 +297,7 @@ def _fused_cell_scan(
     jax.jit,
     static_argnames=(
         "k", "metric", "mode", "kb", "interpret", "q_split", "fold_depth",
+        "layout",
     ),
 )
 def fused_ivf_scan(
@@ -295,8 +318,14 @@ def fused_ivf_scan(
     interpret: bool = False,
     q_split: bool = True,
     fold_depth: int = 2,
+    layout: str = "plain",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused-kernel replacement for ``ivf_cluster_scan`` (approx selection).
+
+    ``layout="packed2"`` (f32 mode, 2·d ≤ 128, cells repacked with
+    ``repack_blocks(lane_pack=True)``): the hi/lo mantissa terms of queries
+    and cells share one 128-lane contraction — all four cross terms in one
+    or two matmul passes instead of three lane-padded ones.
 
     Returns ``(best_d, best_i)`` of shape ``[nq, k]`` ascending, with
     ``best_i`` positions in the sorted storage.
@@ -363,7 +392,26 @@ def fused_ivf_scan(
             qadd = sq_norms(qg.reshape(-1, d)).reshape(R, maxq)
             epilogue = "l2"
 
-    if len(blocks) == 2:
+    if layout == "packed2":
+        # lane-tiled cells [x₀|x₁|x₀|x₁|…]: query blocks pair as
+        # [q₀|q₀|q₁|q₁|0…] so the contraction sums q₀x₀+q₀x₁+q₁x₀+q₁x₁ —
+        # all four mantissa cross terms, one pass when 4·d ≤ 128, two
+        # passes ([q₀|q₀], [q₁|q₁]) at d ≤ 64
+        qp = mantissa_split(qk, 2)
+        dq = qk.shape[-1]
+        rep = _LANES // (2 * dq)
+        if rep >= 2:
+            zs = [jnp.zeros_like(qp[0])] * (2 * (rep - 2))
+            qk_t = (_pad_lanes(
+                jnp.concatenate([qp[0], qp[0], qp[1], qp[1]] + zs, axis=-1),
+                _LANES,
+            ),)
+        else:
+            qk_t = (
+                _pad_lanes(jnp.concatenate([qp[0], qp[0]], -1), _LANES),
+                _pad_lanes(jnp.concatenate([qp[1], qp[1]], -1), _LANES),
+            )
+    elif len(blocks) == 2:
         # f32 cells travel as hi/lo bf16; split the queries to match
         # (3-pass ≈ Precision.HIGH — the fused tier is approximate anyway)
         qk_t = mantissa_split(qk, 2)

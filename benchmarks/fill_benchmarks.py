@@ -28,7 +28,11 @@ from benchmarks.gridsearch import main as gridsearch_main
 CONFIGS = [
     # (index kind, extra argv)
     ("exhaustive", []),
+    ("exhaustive-gpu", []),
     ("ivf", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19"]),
+    # GPU-path analogue (fused single-dispatch scan) — compare with the
+    # reference's IVF-GPU rows (benchmarks_gpu.md:53: nl273 np16 332 ms)
+    ("ivf-gpu", ["--nlist-sweep", "273", "--nprobe-sweep", "16", "32"]),
     ("kmknn", ["--nlist-sweep", "387"]),
     ("annoy", []),
     ("kdtree", []),

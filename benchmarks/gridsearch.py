@@ -75,8 +75,14 @@ def _header(config: str):
 
 SWEEPS = {
     "exhaustive": lambda a: [("exhaustive", {})],
+    "exhaustive-gpu": lambda a: [("exhaustive-gpu", {})],
     "ivf": lambda a: [
         (f"ivf nl{nl} np{np_}", {"nlist": nl, "nprobe": np_})
+        for nl in a.nlist_sweep
+        for np_ in a.nprobe_sweep
+    ],
+    "ivf-gpu": lambda a: [
+        (f"ivf-gpu nl{nl} np{np_}", {"nlist": nl, "nprobe": np_})
         for nl in a.nlist_sweep
         for np_ in a.nprobe_sweep
     ],
@@ -189,6 +195,16 @@ def make_runner(kind: str, args, x):
             return (
                 lambda: ann.build_ivf_index(x, nlist=cfg.get("nlist"), dist_metric=dist, seed=seed),
                 lambda ix, qq: ann.query_ivf_index(qq, ix, k, nprobe=cfg.get("nprobe"), return_dist=True),
+            )
+        if kind == "exhaustive-gpu":
+            return (
+                lambda: ann.build_exhaustive_index_gpu(x, dist),
+                lambda ix, qq: ann.query_exhaustive_index_gpu(qq, ix, k, return_dist=True),
+            )
+        if kind == "ivf-gpu":
+            return (
+                lambda: ann.build_ivf_index_gpu(x, nlist=cfg.get("nlist"), dist_metric=dist, seed=seed),
+                lambda ix, qq: ann.query_ivf_index_gpu(qq, ix, k, nprobe=cfg.get("nprobe"), return_dist=True),
             )
         if kind == "kmknn":
             return (
