@@ -109,3 +109,24 @@ def test_fused_gate_rejects_unaligned():
     assert not fused_eligible(idx.mode, idx.seg_size, 32, 10)
     ids, d = idx.query(x[:10], 5, nprobe=4, approx=True)
     assert ids.shape == (10, 5)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+@pytest.mark.parametrize("dim", [32, 64])
+def test_fused_packed_small_dim_matches_xla(dim, metric):
+    """The lane-packed hi/lo layout (2·d ≤ 128) must match the exact XLA
+    scan at f32 grade — all four mantissa cross terms ride the packed
+    contraction."""
+    x, _ = generate_clustered_data(1500, dim, 6, seed=21)
+    q = subsample_with_noise(x, 40, seed=21)
+    idx = IvfIndex(x, metric, nlist=10, seed=0)
+    assert idx._fused_layout() == "packed2"
+    assert fused_eligible("f32", idx.seg_size, dim, 10)
+    idf, df = idx.query(q, 10, nprobe=10, approx=True)
+    ide, de = idx.query(q, 10, nprobe=10, approx=False)
+    # full probe → both exact over the same candidate set
+    agree = np.asarray([len(set(a) & set(b)) / 10 for a, b in zip(idf, ide)])
+    assert agree.mean() >= 0.97, agree.mean()
+    np.testing.assert_allclose(
+        np.sort(df, 1), np.sort(de, 1), rtol=5e-3, atol=5e-3
+    )
