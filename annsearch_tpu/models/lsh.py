@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
+from ..ops.ivf_scan_pallas import fused_eligible, fused_ivf_scan, repack_blocks
 from ..ops.rerank import rerank_exact
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
@@ -222,18 +223,40 @@ class LSHIndex(BaseIndex):
         # ones — under-provisioning lets duplicates crowd out distinct ids
         # before the dedup (measured: recall *dropped* with more probes)
         k2 = min(k * self.num_tables, 192)
-        d, pos = ivf_cluster_scan(
-            q, jnp.asarray(cluster_ids), jnp.asarray(lists),
-            jnp.asarray(gmap), self.storage, self.store_sqnorms,
-            self.seg_offsets, self.seg_counts,
-            jnp.zeros((nseg, self.dim), jnp.float32), k2, self.metric,
-            self.seg_size, "f32",
-            # per-cell top-k only needs the caller's k: a row appears at
-            # most once per cell, duplicates are cross-table — and the dense
-            # per-step outputs scale with k_cell (k2-wide cells OOMed HBM on
-            # skewed bucket distributions)
-            k_cell=k,
+        import os
+
+        use_fused = (
+            not os.environ.get("ANNSEARCH_NO_PALLAS")
+            and int(self.storage.shape[0]) < (1 << 24)
+            and fused_eligible("f32", self.seg_size, self.dim, min(k, 128))
         )
+        if use_fused:
+            # buckets are segments — the fused cell-scan kernel applies
+            # unchanged (per-task kb candidates ≥ k, cross-task top-k2)
+            blocks, sn_blocks = self._fused_blocks()
+            kb = min(128, max(8, 1 << (max(k, 8) - 1).bit_length()))
+            d, pos = fused_ivf_scan(
+                q, jnp.asarray(cluster_ids), jnp.asarray(lists),
+                jnp.asarray(gmap), blocks, sn_blocks,
+                self.seg_offsets, self.seg_counts,
+                jnp.zeros((nseg, self.dim), jnp.float32), k2, self.metric,
+                "f32", None, kb,
+                interpret=jax.default_backend() != "tpu",
+                layout="packed2" if 2 * self.dim <= 128 else "plain",
+            )
+        else:
+            d, pos = ivf_cluster_scan(
+                q, jnp.asarray(cluster_ids), jnp.asarray(lists),
+                jnp.asarray(gmap), self.storage, self.store_sqnorms,
+                self.seg_offsets, self.seg_counts,
+                jnp.zeros((nseg, self.dim), jnp.float32), k2, self.metric,
+                self.seg_size, "f32",
+                # per-cell top-k only needs the caller's k: a row appears at
+                # most once per cell, duplicates are cross-table — and the
+                # dense per-step outputs scale with k_cell (k2-wide cells
+                # OOMed HBM on skewed bucket distributions)
+                k_cell=k,
+            )
         ids_dup = jnp.take(
             self.original_ids, jnp.clip(pos, 0, self.original_ids.shape[0] - 1)
         )
@@ -264,6 +287,16 @@ class LSHIndex(BaseIndex):
                 "more probes"
             )
         return ids, dists
+
+    def _fused_blocks(self):
+        cached = getattr(self, "_fused_blocks_cache", None)
+        if cached is None:
+            cached = repack_blocks(
+                self.storage, self.store_sqnorms, self.seg_offsets,
+                self.seg_size, lane_pack=2 * self.dim <= 128,
+            )
+            self._fused_blocks_cache = cached
+        return cached
 
     def generate_knn(self, k: int, **kw):
         return self.query(np.asarray(self.vectors[: self.n]), k, **kw)

@@ -164,3 +164,35 @@ def test_annoy_multiprobe_improves_recall(tdata):
     r4 = calculate_recall(ti, index.query(q, 10, n_probes=4)[0], 10)
     assert r4 >= r1 - 0.01
     assert r4 > 0.85
+
+
+def test_lsh_fused_scan_matches_xla():
+    """Bucket scans on the fused kernel (buckets ARE segments) must track
+    the XLA engine."""
+    import os
+
+    from annsearch_tpu.models.lsh import LSHIndex
+
+    x, q, ti, _ = _bigger_lsh_fixture()
+    idx = LSHIndex(x, num_tables=4, bits_per_hash=6, seed=0)
+    if idx.seg_size % 128 != 0:
+        pytest.skip("layout not fused-eligible")
+    i_f, d_f = idx.query(q, 10, n_probes=4, exact_fallback=False)
+    os.environ["ANNSEARCH_NO_PALLAS"] = "1"
+    try:
+        i_s, d_s = idx.query(q, 10, n_probes=4, exact_fallback=False)
+    finally:
+        del os.environ["ANNSEARCH_NO_PALLAS"]
+    assert (i_f == i_s).mean() > 0.99
+    rec_f = calculate_recall(ti, i_f, 10)
+    rec_s = calculate_recall(ti, i_s, 10)
+    assert abs(rec_f - rec_s) < 0.01, (rec_f, rec_s)
+
+
+def _bigger_lsh_fixture():
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+
+    x, _ = generate_clustered_data(20000, 32, 10, seed=22)
+    q = subsample_with_noise(x, 200, seed=22)
+    ti, td = ExhaustiveIndex(x).query(q, 10)
+    return x, q, ti, td
