@@ -88,3 +88,48 @@ def test_hnsw_cosine(vdata):
     index = HnswIndex(x, m=16, dist_metric_unused=None, seed=0) if False else HnswIndex(x, "cosine", m=16, seed=0)
     ai, _ = index.query(q, 10, ef_search=100)
     assert calculate_recall(ti, ai, 10) > 0.8
+
+
+def test_vamana_degree_bound(vdata):
+    """Robust prune + reverse edges must bound node degree (vamana.rs
+    degree invariant: R out-edges + R/2 reverse slots)."""
+    x, _, _ = vdata
+    idx = VamanaIndex(x, r_degree=16, seed=0)
+    adj = np.asarray(idx.graph)[: len(x)]  # last row is the pad sentinel
+    assert adj.shape[1] <= 16 + 8
+    real = (adj >= 0) & (adj < len(x))
+    assert real.any(axis=1).all()  # no isolated node
+    rows = np.arange(len(x))[:, None]
+    assert not ((adj == rows) & real).any()  # no self-loops
+
+
+def test_hnsw_base_layer_degree_bound(vdata):
+    """HNSW base layer degree <= 2M, upper layers <= M (hnsw.rs), layer
+    member counts shrink geometrically."""
+    x, _, _ = vdata
+    idx = HnswIndex(x, m=8, seed=0)
+    _, base_graph, _, _ = idx.layers[0]
+    assert np.asarray(base_graph).shape[1] <= 16  # 2M
+    for gids, graph, _, _ in idx.layers[1:]:
+        assert np.asarray(graph).shape[1] <= 16
+    sizes = [len(np.asarray(l[0])) for l in idx.layers]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+
+
+def test_nnd_vs_brute_agreement():
+    """Above the brute budget the NND path must still converge; below it
+    the exact MXU path runs — both give high-recall graphs."""
+    import os
+
+    from annsearch_tpu.models.graph import NNDescentIndex
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+    from annsearch_tpu.utils.data import generate_clustered_data
+    from annsearch_tpu.utils.metrics import calculate_recall
+
+    x, _ = generate_clustered_data(3000, 16, 6, seed=23)
+    ti, _ = ExhaustiveIndex(x).query(x, 11)
+    idx = NNDescentIndex(x, k=10, seed=0)
+    gi, gd = idx.generate_knn(10)
+    # graph-mode self-kNN excludes self; compare against GT minus self col
+    rec = calculate_recall(ti[:, 1:], gi, 10)
+    assert rec > 0.9, rec
