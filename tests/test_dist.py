@@ -80,3 +80,52 @@ def test_mantissa_split_reconstruction(rng):
         # silently zeroing before the masked split)
         lo = np.abs(np.asarray(terms[1]).astype(np.float64))
         assert lo.max() > 0
+
+
+def test_cosine_zero_vector_queries(rng):
+    """Zero vectors must not produce NaNs (reference guards, dist.rs)."""
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    x[7] = 0.0
+    idx = ExhaustiveIndex(x, "cosine")
+    q = np.zeros((2, 8), np.float32)
+    i, d = idx.query(q, 5)
+    assert np.isfinite(d).all()
+
+
+def test_euclidean_distance_nonnegative_under_cancellation(rng):
+    """‖q‖²+‖x‖²−2qx can go negative in float for near-identical rows —
+    kernels must clamp (reference returns exact 0 for identical rows)."""
+    from annsearch_tpu.ops.topk import chunked_topk
+    from annsearch_tpu.utils.dist import Dist
+
+    base = rng.standard_normal((1, 16)).astype(np.float32) * 100
+    x = jnp.asarray(np.repeat(base, 32, axis=0))
+    d, i = chunked_topk(jnp.asarray(base), x, 5, Dist.EUCLIDEAN)
+    assert (np.asarray(d) >= 0).all()
+    # |error| ~ eps*(norm scale): 16 dims x 100^2 => ~0.03 absolute is f32-correct
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=0.1)
+
+
+def test_mantissa_split_parts_bf16_representable(rng):
+    """Every split term must round-trip bf16 exactly — that's the whole
+    point of the split (one bf16 matmul pass per term is lossless)."""
+    from annsearch_tpu.utils.dist import mantissa_split
+
+    x = jnp.asarray((rng.standard_normal((64, 8)) * 1000).astype(np.float32))
+    for parts in (2, 3):
+        for t in mantissa_split(x, parts):
+            tf = np.asarray(t, dtype=np.float32)
+            back = tf.astype(jnp.bfloat16).astype(np.float32)
+            np.testing.assert_array_equal(tf, back)
+
+
+def test_high_dim_distance_matches_numpy(rng):
+    from annsearch_tpu.utils.dist import pairwise_sq_euclidean
+
+    q = rng.standard_normal((5, 1024)).astype(np.float32)
+    x = rng.standard_normal((30, 1024)).astype(np.float32)
+    got = np.asarray(pairwise_sq_euclidean(jnp.asarray(q), jnp.asarray(x)))
+    want = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
