@@ -39,6 +39,11 @@ import numpy as np
 
 from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
 from ..ops.ivf_scan_pallas import fused_eligible, fused_ivf_scan, repack_blocks
+from ..ops.probe_device import (
+    build_probe_lists_device,
+    device_probe_shapes,
+    expand_probes_device,
+)
 from ..ops.rerank import rerank_exact
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
@@ -115,6 +120,40 @@ def _dedup_topk(d: jax.Array, ids: jax.Array, k: int):
     d = jnp.where(dup, _INF, d)
     nd, pos = jax.lax.top_k(-d, k)
     return -nd, jnp.take_along_axis(ids, pos, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bits", "n_probes", "s_max", "nseg", "maxq", "R", "k2", "k", "kb",
+        "metric", "interpret", "layout",
+    ),
+)
+def _lsh_fused_e2e(
+    q, qn, projections, cluster_ptr, blocks, sn_blocks, seg_offsets,
+    seg_counts, original_ids, n, *, bits, n_probes, s_max, nseg, maxq, R,
+    k2, k, kb, metric, interpret, layout,
+):
+    """hash+probe → invert → fused bucket scan → dedup top-k, ONE dispatch
+    (the host path reads probe cells back, expands on host and re-uploads
+    task lists — a full link round-trip per query batch). Returns packed
+    ``[nq, 2k]`` (dists, then ids as exact f32 values)."""
+    cells = _probe_cells(qn, projections, bits, n_probes)
+    seg_probes = expand_probes_device(cells, cluster_ptr, s_max, nseg)
+    cids, lists, gmap = build_probe_lists_device(seg_probes, nseg, maxq, R)
+    d, pos = fused_ivf_scan(
+        q, cids, lists, gmap, blocks, sn_blocks, seg_offsets, seg_counts,
+        jnp.zeros((nseg, q.shape[1]), jnp.float32), k2, metric, "f32",
+        None, kb, interpret=interpret, layout=layout,
+    )
+    ids_dup = jnp.take(
+        original_ids, jnp.clip(pos, 0, original_ids.shape[0] - 1)
+    )
+    ids_dup = jnp.where(jnp.isinf(d), n, ids_dup)
+    d, ids = _dedup_topk(d, ids_dup, k)
+    return jnp.concatenate(
+        [d, jnp.clip(ids, 0, n - 1).astype(jnp.float32)], axis=-1
+    )
 
 
 class LSHIndex(BaseIndex):
@@ -207,6 +246,36 @@ class LSHIndex(BaseIndex):
         k = self._clamp_k(k)
         nq = q.shape[0]
         qn = q if self.metric == Dist.COSINE else normalise(q)
+
+        import os
+
+        k2 = min(k * self.num_tables, 192)
+        use_fused = (
+            not os.environ.get("ANNSEARCH_NO_PALLAS")
+            and int(self.storage.shape[0]) < (1 << 24)
+            and fused_eligible("f32", self.seg_size, self.dim, min(k, 128))
+        )
+        if use_fused:
+            # whole query is one compiled dispatch (device probe lists)
+            nseg = int(self.seg_offsets.shape[0])
+            maxq, R = device_probe_shapes(
+                nq, self.num_tables * n_probes, nseg, self._s_max()
+            )
+            blocks, sn_blocks = self._fused_blocks()
+            kb = min(128, max(8, 1 << (max(k, 8) - 1).bit_length()))
+            packed = np.asarray(_lsh_fused_e2e(
+                q, qn, self.projections, self._ptr_j(), blocks, sn_blocks,
+                self.seg_offsets, self.seg_counts, self.original_ids,
+                self.n, bits=self.bits, n_probes=n_probes,
+                s_max=self._s_max(), nseg=nseg, maxq=maxq, R=R, k2=k2, k=k,
+                kb=kb, metric=self.metric,
+                interpret=jax.default_backend() != "tpu",
+                layout="packed2" if 2 * self.dim <= 128 else "plain",
+            ))
+            dists = packed[:, :k]
+            ids = packed[:, k:].astype(np.int32)
+            return self._apply_fallback(q, ids, dists, k, nq)
+
         cells = np.asarray(
             _probe_cells(qn, self.projections, self.bits, n_probes)
         )
@@ -222,41 +291,18 @@ class LSHIndex(BaseIndex):
         # near in, and multi-probe makes that ALL T tables for the nearest
         # ones — under-provisioning lets duplicates crowd out distinct ids
         # before the dedup (measured: recall *dropped* with more probes)
-        k2 = min(k * self.num_tables, 192)
-        import os
-
-        use_fused = (
-            not os.environ.get("ANNSEARCH_NO_PALLAS")
-            and int(self.storage.shape[0]) < (1 << 24)
-            and fused_eligible("f32", self.seg_size, self.dim, min(k, 128))
+        d, pos = ivf_cluster_scan(
+            q, jnp.asarray(cluster_ids), jnp.asarray(lists),
+            jnp.asarray(gmap), self.storage, self.store_sqnorms,
+            self.seg_offsets, self.seg_counts,
+            jnp.zeros((nseg, self.dim), jnp.float32), k2, self.metric,
+            self.seg_size, "f32",
+            # per-cell top-k only needs the caller's k: a row appears at
+            # most once per cell, duplicates are cross-table — and the
+            # dense per-step outputs scale with k_cell (k2-wide cells
+            # OOMed HBM on skewed bucket distributions)
+            k_cell=k,
         )
-        if use_fused:
-            # buckets are segments — the fused cell-scan kernel applies
-            # unchanged (per-task kb candidates ≥ k, cross-task top-k2)
-            blocks, sn_blocks = self._fused_blocks()
-            kb = min(128, max(8, 1 << (max(k, 8) - 1).bit_length()))
-            d, pos = fused_ivf_scan(
-                q, jnp.asarray(cluster_ids), jnp.asarray(lists),
-                jnp.asarray(gmap), blocks, sn_blocks,
-                self.seg_offsets, self.seg_counts,
-                jnp.zeros((nseg, self.dim), jnp.float32), k2, self.metric,
-                "f32", None, kb,
-                interpret=jax.default_backend() != "tpu",
-                layout="packed2" if 2 * self.dim <= 128 else "plain",
-            )
-        else:
-            d, pos = ivf_cluster_scan(
-                q, jnp.asarray(cluster_ids), jnp.asarray(lists),
-                jnp.asarray(gmap), self.storage, self.store_sqnorms,
-                self.seg_offsets, self.seg_counts,
-                jnp.zeros((nseg, self.dim), jnp.float32), k2, self.metric,
-                self.seg_size, "f32",
-                # per-cell top-k only needs the caller's k: a row appears at
-                # most once per cell, duplicates are cross-table — and the
-                # dense per-step outputs scale with k_cell (k2-wide cells
-                # OOMed HBM on skewed bucket distributions)
-                k_cell=k,
-            )
         ids_dup = jnp.take(
             self.original_ids, jnp.clip(pos, 0, self.original_ids.shape[0] - 1)
         )
@@ -264,9 +310,11 @@ class LSHIndex(BaseIndex):
         d, ids = _dedup_topk(d, ids_dup, k)
         ids = np.asarray(jnp.clip(ids, 0, self.n - 1))
         dists = np.asarray(d)
+        return self._apply_fallback(q, ids, dists, k, nq)
 
-        # empty-bucket fallback: exact rerank over random candidates
-        # (lsh.rs:302-307; reference warns when >1% of queries fall back)
+    def _apply_fallback(self, q, ids, dists, k, nq):
+        """Empty-bucket fallback: exact rerank over random candidates
+        (lsh.rs:302-307; reference warns when >1% of queries fall back)."""
         miss = ~np.isfinite(dists[:, 0])
         self.last_fallback_rate = float(miss.mean()) if nq else 0.0
         if miss.any():
@@ -287,6 +335,23 @@ class LSHIndex(BaseIndex):
                 "more probes"
             )
         return ids, dists
+
+    def _ptr_j(self):
+        cached = getattr(self, "_ptr_j_cache", None)
+        if cached is None:
+            cached = jnp.asarray(
+                np.asarray(self._layout.cluster_ptr, np.int32)
+            )
+            self._ptr_j_cache = cached
+        return cached
+
+    def _s_max(self) -> int:
+        cached = getattr(self, "_s_max_cache", None)
+        if cached is None:
+            ptr = np.asarray(self._layout.cluster_ptr)
+            cached = int((ptr[1:] - ptr[:-1]).max()) if len(ptr) > 1 else 1
+            self._s_max_cache = cached
+        return cached
 
     def _fused_blocks(self):
         cached = getattr(self, "_fused_blocks_cache", None)
