@@ -119,3 +119,53 @@ def test_blocked_selector_bins(rng):
     expect = np.sort(full, axis=1)[:, :6]
     close = np.isclose(np.asarray(d), expect, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.97
+
+
+def test_chunked_topk_k_equals_n(rng):
+    from annsearch_tpu.ops.topk import chunked_topk
+    from annsearch_tpu.utils.dist import Dist
+
+    q = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((13, 8)).astype(np.float32))
+    d, i = chunked_topk(q, x, 13, Dist.EUCLIDEAN, db_chunk=5)
+    # every row id appears exactly once per query
+    for row in np.asarray(i):
+        assert sorted(row.tolist()) == list(range(13))
+    assert (np.diff(np.asarray(d), axis=1) >= -1e-5).all()
+
+
+def test_chunked_topk_single_row_db(rng):
+    from annsearch_tpu.ops.topk import chunked_topk
+    from annsearch_tpu.utils.dist import Dist
+
+    q = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+    d, i = chunked_topk(q, x, 1, Dist.EUCLIDEAN)
+    assert i.shape == (3, 1) and (np.asarray(i) == 0).all()
+
+
+def test_merge_topk_with_all_inf_side(rng):
+    from annsearch_tpu.ops.topk import merge_topk
+
+    d1 = jnp.asarray([[1.0, 2.0, 3.0]])
+    i1 = jnp.asarray([[5, 6, 7]], dtype=jnp.int32)
+    d2 = jnp.full((1, 3), jnp.inf)
+    i2 = jnp.zeros((1, 3), jnp.int32)
+    md, mi = merge_topk(d1, i1, d2, i2, 3)
+    np.testing.assert_array_equal(np.asarray(mi), [[5, 6, 7]])
+    np.testing.assert_allclose(np.asarray(md), [[1.0, 2.0, 3.0]])
+
+
+def test_approx_selector_recall_close_to_exact(rng):
+    from annsearch_tpu.ops.topk import chunked_topk
+    from annsearch_tpu.utils.dist import Dist
+
+    q = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((4096, 16)).astype(np.float32))
+    de, ie = chunked_topk(q, x, 10, Dist.EUCLIDEAN)
+    da, ia = chunked_topk(q, x, 10, Dist.EUCLIDEAN, approx=True)
+    overlap = np.asarray([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(ie), np.asarray(ia))
+    ])
+    assert overlap.mean() > 0.95
