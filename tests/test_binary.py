@@ -252,3 +252,33 @@ def test_ivf_binary_fused_hamming_matches_xla_scan(rng):
     i_s, _ = slow.query(q, 10, nprobe=25, rerank="exact", rerank_factor=12,
                         exact_fallback=False)
     np.testing.assert_array_equal(i_f, i_s)
+
+
+def test_binary_cosine_exact_rerank(rng):
+    """Cosine semantics through the binary family: rerank distances must
+    be 1−cos and match the exhaustive cosine index."""
+    x, _ = generate_clustered_data(3000, 32, 8, seed=25)
+    q = subsample_with_noise(x, 200, seed=25)
+    exact = ExhaustiveIndex(x, "cosine")
+    ti, td = exact.query(q, 10)
+    idx = ExhaustiveIndexBinary(x, "cosine", n_bits=256, seed=0)
+    i, d = idx.query(q, 10, rerank="exact", rerank_factor=20,
+                     exact_fallback=False)
+    assert calculate_recall(ti, i, 10) > 0.9
+    # matched ids carry identical cosine distances
+    m = i == ti
+    np.testing.assert_allclose(d[m], td[m], rtol=1e-3, atol=1e-4)
+
+
+def test_ivf_binary_cosine_hamming_tier(rng):
+    x, _ = generate_clustered_data(3000, 32, 8, seed=26)
+    q = subsample_with_noise(x, 150, seed=26)
+    exact = ExhaustiveIndex(x, "cosine")
+    ti, _ = exact.query(q, 10)
+    idx = IvfIndexBinary(x, "cosine", nlist=20, n_bits=256, seed=0)
+    i, d = idx.query(q, 10, nprobe=20, exact_fallback=False)
+    # hamming proxy on cosine data: recall well above random
+    assert calculate_recall(ti, i, 10) > 0.3
+    i, d = idx.query(q, 10, nprobe=20, rerank="exact", rerank_factor=20,
+                     exact_fallback=False)
+    assert calculate_recall(ti, i, 10) > 0.85
