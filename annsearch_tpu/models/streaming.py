@@ -18,6 +18,7 @@ the arithmetic.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any
@@ -111,9 +112,6 @@ class StreamingExhaustiveIndex:
 
     def memory_usage_bytes(self) -> int:
         return 0  # host/mmap resident; device holds one chunk at a time
-
-
-import functools  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "norm"))
