@@ -57,6 +57,7 @@ CONFIGS = [
 # correlated / lowrank / quantisation generators). Mirror the 256d rows.
 BINARY_BASE = [
     "--n-samples", "50000", "--dim", "256", "--k", "15",
+    "--build-reps", "2",
 ]
 BINARY_CONFIGS = [
     # (index kind, data generator, extra argv)
@@ -100,6 +101,7 @@ def main(argv=None):
     base = [
         "--n-samples", str(args.n_samples), "--dim", str(args.dim),
         "--n-clusters", "25", "--k", str(args.k),
+        "--build-reps", "2",
     ]
     configs = QUICK if args.quick else CONFIGS
 
@@ -227,7 +229,7 @@ def main(argv=None):
                 results = gridsearch_main(
                     ["--index", kind, "--data", "lowrank",
                      "--n-samples", n, "--dim", "64", "--k", "15",
-                     "--intrinsic-dim", "16"] + extra
+                     "--intrinsic-dim", "16", "--build-reps", "2"] + extra
                 )
             except Exception as e:
                 print(f"scale {kind} FAILED: {e}", flush=True)

@@ -34,10 +34,15 @@ from annsearch_tpu.utils.metrics import (
 
 
 def _run(name, build_fn, query_fn, q, k, ti, td, results, int_space=False,
-         reps=2):
-    t0 = time.perf_counter()
-    index = build_fn()
-    build_ms = (time.perf_counter() - t0) * 1000
+         reps=2, build_reps=1):
+    # first build pays any jit compile; with build_reps ≥ 2 take the min so
+    # the table reports warm build cost (cold-compile rows are misleading:
+    # same-config builds differed 25× run-to-run in the round-1 table)
+    build_ms = float("inf")
+    for _ in range(max(build_reps, 1)):
+        t0 = time.perf_counter()
+        index = build_fn()
+        build_ms = min(build_ms, (time.perf_counter() - t0) * 1000)
     # warm the query path once (jit compile), then time ≥2 runs and take the
     # min — run-to-run variance through the device tunnel is large (±2×)
     query_fn(index, q[:8])
@@ -326,6 +331,7 @@ def main(argv=None):
     p.add_argument("--nprobe-sweep", type=int, nargs="+", default=None)
     p.add_argument("--m-sweep", type=int, nargs="+", default=None)
     p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--build-reps", type=int, default=1)
     args = p.parse_args(argv)
 
     if args.n_queries is None:
@@ -367,6 +373,7 @@ def main(argv=None):
             _run(
                 name, build_fn, query_fn, q, args.k, ti, td, results,
                 int_space=args.index in _INT_SPACE_KINDS, reps=args.reps,
+                build_reps=args.build_reps,
             )
         except Exception as e:  # keep sweeping past OOM/param errors
             print(f"{name:<48} FAILED: {e}", flush=True)
