@@ -32,6 +32,7 @@ from ..ops.graph import (
     add_reverse_edges,
     beam_search,
     cagra_prune,
+    diversify_graph,
     nnd_round,
     random_init_graph,
     rp_forest_round,
@@ -117,6 +118,7 @@ class NNDescentIndex(BaseIndex):
         out_deg: int | None = None,
         reverse_extra: int | None = None,
         refine_rounds: int = 0,
+        diversify_prob: float = 0.0,
         seed: int = 42,
         verbose: bool = False,
     ):
@@ -124,7 +126,13 @@ class NNDescentIndex(BaseIndex):
         convergence (reference two_hop_refinement, nndescent_gpu.rs:686-825)
         — one full k² neighbour-of-neighbour pass each, no new/old
         filtering; squeezes out the last recall the incremental rounds
-        miss."""
+        miss.
+
+        ``diversify_prob``: probability of pruning occluded (redundant)
+        kNN-graph edges after build (reference diversify_graph,
+        nndescent.rs:954-1010; 0 disables). Pruned slots report the
+        sentinel id at +inf distance, exactly like the reference's
+        sentinel-padded rows."""
         super().__init__(mat, metric)
         n = self.n
         self.k_build = min(build_k if build_k is not None else 2 * k, max(n - 1, 1))
@@ -193,6 +201,18 @@ class NNDescentIndex(BaseIndex):
                         f"two-hop refinement {r + 1}/{refine_rounds}: "
                         f"{int(upd)} updates"
                     )
+
+        if diversify_prob > 0.0:
+            key, kd = jax.random.split(key)
+            ids, dists = diversify_graph(
+                kd, vecs, sq, ids, dists, diversify_prob, self.metric
+            )
+            if verbose:
+                kept = int(jnp.sum(ids < n))
+                print(
+                    f"diversified: {kept}/{ids.size} edges kept "
+                    f"(prob {diversify_prob})"
+                )
 
         self.knn_ids = ids
         self.knn_dists = dists

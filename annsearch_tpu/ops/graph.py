@@ -45,6 +45,7 @@ __all__ = [
     "rp_forest_round",
     "nnd_round",
     "cagra_prune",
+    "diversify_graph",
     "add_reverse_edges",
     "beam_search",
     "nav_hl_split",
@@ -427,6 +428,91 @@ def cagra_prune(
     us = jnp.arange(n_pad).reshape(-1, tile)
     out = jax.lax.map(block, us)
     return out.reshape(n_pad, out_deg)[:n]
+
+
+def diversify_graph(
+    key: jax.Array,
+    vectors: jax.Array,      # [n+1, d] (sentinel row n)
+    sqnorms: jax.Array,      # [n+1]
+    graph_ids: jax.Array,    # [n, kk] asc by dist
+    graph_dists: jax.Array,  # [n, kk]
+    prune_prob: float,
+    metric: Dist,
+    tile: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Probabilistic occlusion pruning of a kNN graph (reference
+    diversify_graph, nndescent.rs:954-1010): scanning each node's
+    neighbours in ascending distance, candidate v is dropped with
+    probability ``prune_prob`` when some already-KEPT closer neighbour w
+    sits nearer to v than the node does (d(w, v) < d(u, v)); kept edges
+    stay in rank order, pruned slots become (sentinel, +inf) at the tail.
+
+    Unlike :func:`cagra_prune` (rank-based test against ALL closer
+    neighbours, fixed out-degree with backfill) this matches the
+    reference's kept-set semantics — pruning one edge can save a later
+    one — so the sequential kept-set scan runs as a ``fori_loop`` over
+    the (small) kk columns while nodes stay fully batched."""
+    n, kk = graph_ids.shape
+    n_pad = -(-n // tile) * tile
+    eps = float(np.finfo(np.float32).eps)
+
+    def block(args):
+        u, kb = args
+        u_safe = jnp.minimum(u, n - 1)
+        nbrs = graph_ids[u_safe]                   # [t, kk]
+        nd = graph_dists[u_safe]                   # [t, kk]
+        safe = jnp.minimum(nbrs, n)
+        nv = vectors[safe]                         # [t, kk, d]
+        nsq = sqnorms[safe]
+        from ..utils.dist import mantissa_split
+
+        nh, nl = mantissa_split(nv, 2)
+        e = functools.partial(
+            jnp.einsum, "tkd,tmd->tkm", preferred_element_type=jnp.float32
+        )
+        dots = e(nh, nh) + e(nh, nl) + e(nl, nh)
+        if metric == Dist.COSINE:
+            pair = 1.0 - dots
+        else:
+            pair = jnp.maximum(
+                nsq[:, :, None] + nsq[:, None, :] - 2.0 * dots, 0.0
+            )
+        valid = nbrs < n
+        rand = jax.random.uniform(kb, pair.shape)
+        # occludes[t, w, v]: kept w would prune candidate v this draw
+        occludes = (
+            (pair < nd[:, None, :])
+            & (nd[:, :, None] > eps)
+            & (rand < prune_prob)
+        )
+
+        kept0 = jnp.zeros(nbrs.shape, bool).at[:, 0].set(valid[:, 0])
+
+        def step(i, kept):
+            hit = jnp.any(kept & occludes[:, :, i], axis=1)
+            return kept.at[:, i].set(valid[:, i] & ~hit)
+
+        kept = jax.lax.fori_loop(1, kk, step, kept0)
+
+        # compact kept edges to the front, rank order preserved
+        keep_key = jnp.where(kept, 0.0, 1e6) + jnp.arange(kk)[None, :]
+        order = jnp.argsort(keep_key, axis=-1)
+        kept_s = jnp.take_along_axis(kept, order, axis=-1)
+        ids_s = jnp.where(
+            kept_s, jnp.take_along_axis(nbrs, order, axis=-1), n
+        )
+        d_s = jnp.where(
+            kept_s, jnp.take_along_axis(nd, order, axis=-1), jnp.inf
+        )
+        return ids_s.astype(jnp.int32), d_s
+
+    us = jnp.arange(n_pad).reshape(-1, tile)
+    keys = jax.random.split(key, us.shape[0])
+    ids, dists = jax.lax.map(block, (us, keys))
+    return (
+        ids.reshape(n_pad, kk)[:n],
+        dists.reshape(n_pad, kk)[:n],
+    )
 
 
 def add_reverse_edges(

@@ -109,3 +109,52 @@ def test_graph_tiny_n():
     index = NNDescentIndex(x, k=5, seed=0)
     ai, _ = index.query(x[:3], 4)
     assert ai.shape == (3, 4)
+
+
+def test_diversify_graph_semantics(gdata):
+    from annsearch_tpu.ops.graph import diversify_graph
+
+    x, _, _, _ = gdata
+    n = 400
+    index = NNDescentIndex(x[:n], k=10, seed=0)
+    ids0, d0 = index.knn_ids, index.knn_dists
+
+    # p=0: nothing pruned
+    ids, d = diversify_graph(
+        jax.random.key(0), index.vectors, index.sqnorms, ids0, d0,
+        0.0, Dist.EUCLIDEAN,
+    )
+    assert (np.asarray(ids) == np.asarray(ids0)).all()
+
+    # p=1: deterministic occlusion rule — verify against a numpy replay
+    ids, d = diversify_graph(
+        jax.random.key(0), index.vectors, index.sqnorms, ids0, d0,
+        1.0, Dist.EUCLIDEAN,
+    )
+    ids, d = np.asarray(ids), np.asarray(d)
+    vecs = np.asarray(index.vectors)
+    ids0_np, d0_np = np.asarray(ids0), np.asarray(d0)
+    eps = np.finfo(np.float32).eps
+    for i in range(0, n, 37):
+        kept = [0] if ids0_np[i, 0] < n else []
+        for v in range(1, ids0_np.shape[1]):
+            if ids0_np[i, v] >= n:
+                continue
+            occ = any(
+                d0_np[i, w] > eps
+                and np.sum(
+                    (vecs[ids0_np[i, w]] - vecs[ids0_np[i, v]]) ** 2
+                ) < d0_np[i, v]
+                for w in kept
+            )
+            if not occ:
+                kept.append(v)
+        expect = ids0_np[i, kept]
+        got = ids[i][ids[i] < n]
+        assert list(got) == list(expect), (i, got, expect)
+        assert np.isinf(d[i, len(kept):]).all()
+
+    # fewer edges kept than the raw graph, and the index-level knob works
+    assert (ids < n).sum() < ids0_np.size
+    dived = NNDescentIndex(x[:n], k=10, seed=0, diversify_prob=0.5)
+    assert int((np.asarray(dived.knn_ids) < n).sum()) <= int((ids0_np < n).sum())
