@@ -32,7 +32,7 @@ import numpy as np
 
 from ..utils.dist import Dist
 
-__all__ = ["build_partition_forest", "descend_forest", "PartitionTree"]
+__all__ = ["build_partition_forest", "PartitionTree"]
 
 _BIG = jnp.float32(1e30)
 
@@ -344,26 +344,3 @@ def build_partition_forest(
     ]
 
 
-def descend_tree(q: jax.Array, tree: PartitionTree) -> jax.Array:
-    """Route queries to leaf ids. q: [bq, d] → [bq] int32 leaf index."""
-    bq = q.shape[0]
-    node = jnp.zeros((bq,), jnp.int32)
-    for lv in range(tree.n_levels):
-        normal = tree.normals[lv][node]        # [bq, d]
-        thr = tree.thresholds[lv][node]
-        proj = jnp.sum(q * normal, axis=-1)
-        node = 2 * node + (proj > thr).astype(jnp.int32)
-    return node
-
-
-def descend_forest(
-    q: jax.Array, trees: list[PartitionTree]
-) -> jax.Array:
-    """Candidate ids from every tree's leaf: [bq, n_trees·leaf] (padding
-    ids = n appear for part-full leaves; reranker masks them)."""
-    cands = []
-    for tree in trees:
-        leaf_ids = descend_tree(q, tree)
-        leaves = tree.order.reshape(-1, tree.leaf)
-        cands.append(leaves[leaf_ids])
-    return jnp.concatenate(cands, axis=-1)
