@@ -36,7 +36,10 @@ __all__ = [
     "DEFAULT_COR_STRENGTH",
 ]
 
-DEFAULT_COR_STRENGTH = 0.8
+#: reference default (commons/mod.rs:31) — recall targets on the
+#: "correlated" suite are defined at this strength; 0.8 makes target dims
+#: near-copies of their source and measurably tanks binary-code recall
+DEFAULT_COR_STRENGTH = 0.5
 
 
 def _variable_cluster_assignments(
