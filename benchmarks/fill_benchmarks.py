@@ -77,8 +77,14 @@ BINARY_CONFIGS = [
 SCALE_CONFIGS = [
     ("exhaustive", "250000", []),
     ("ivf", "250000", ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+    # fused single-dispatch path (the production query path; the plain
+    # `ivf` rows above time the exact multi-dispatch XLA scan)
+    ("ivf-gpu", "250000",
+     ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
     ("exhaustive", "500000", []),
     ("ivf", "500000", ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+    ("ivf-gpu", "500000",
+     ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
 ]
 
 QUICK = [
@@ -188,6 +194,14 @@ def main(argv=None):
             "",
             "## Binary quantisation suite (50k×256d, k=15 — the reference's "
             "`benchmarks_binary.md` workload)",
+            "",
+            "Size MB here includes the device-resident f32 rerank store "
+            "(51.2 MB at this workload) that the exact-rerank tier scores "
+            "against; the reference keeps the same vectors in an on-disk "
+            "mmap store it does NOT count in its Size column "
+            "(vec_store.rs; exhaustive_binary.rs:575-579 counts codes + "
+            "binariser only). Codes+binariser alone are ~1.9 MB at 256 "
+            "bits — parity with the reference's 1.78 MB.",
             "",
             "| Method | Data | Build (ms) | Query (ms) | Recall@k | "
             "Dist ratio | Size MB |",
