@@ -224,11 +224,16 @@ class IvfIndexBinary(IvfBase):
             return False
         return (
             self.fast_scan
+            # the fused engine keeps ≤ 2 survivors per lane-residue class
+            # per cell (depth-2 fold) before kb ≤ 128 extractions — under
+            # hamming's massive ties a k·rerank_factor candidate pool
+            # (k_scan 300) silently truncates per cell and IVF recall lands
+            # BELOW flat (measured −0.17 at 50k×256d nl158). Large rerank
+            # pools take the exact XLA cell scan instead.
+            and k_scan <= 128
             and int(self.storage.shape[0]) < (1 << 24)
             and self.n * self.n_bits * 2 <= (2 << 30)
-            and fused_eligible(
-                "bf16", self.seg_size, self.n_bits, min(k_scan, 128)
-            )
+            and fused_eligible("bf16", self.seg_size, self.n_bits, k_scan)
         )
 
     def _pm_blocks(self):

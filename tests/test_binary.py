@@ -282,3 +282,24 @@ def test_ivf_binary_cosine_hamming_tier(rng):
     i, d = idx.query(q, 10, nprobe=20, rerank="exact", rerank_factor=20,
                      exact_fallback=False)
     assert calculate_recall(ti, i, 10) > 0.85
+
+
+def test_ivf_binary_large_rerank_pool_takes_exact_scan(rng):
+    """k_scan = k·rerank_factor above the fused engine's per-cell
+    extraction capacity (128) must route to the exact XLA cell scan:
+    the depth-2 fold keeps ≤2 survivors per lane-residue class per cell,
+    and under hamming ties a 300-candidate pool silently truncates
+    (measured −0.17 recall vs flat at 50k×256d nl158)."""
+    x, _ = generate_clustered_data(4000, 32, 8, seed=9)
+    idx = IvfIndexBinary(x, nlist=8, n_bits=256, seed=0, fast_scan=True)
+    assert not idx._fused_hamming_ok(300)
+    assert not idx._fused_hamming_ok(129)
+    # small pools keep the fused path (when the layout is eligible at all)
+    if idx._fused_hamming_ok(10):
+        assert idx._fused_hamming_ok(128)
+    # and the big-pool query still works end-to-end through the XLA tier
+    q = subsample_with_noise(x, 64, seed=9)
+    i, d = idx.query(q, 15, nprobe=8, rerank="exact", rerank_factor=20,
+                     exact_fallback=False)
+    assert i.shape == (64, 15)
+    assert np.all(np.diff(d, axis=1) >= -1e-6)
