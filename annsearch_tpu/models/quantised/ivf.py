@@ -96,22 +96,70 @@ class IvfPqIndex(IvfBase):
     def __init__(self, mat, metric="euclidean", nlist=None, m: int = 16, **kw):
         super().__init__(mat, metric, nlist=nlist, m=m, **kw)
 
+    #: rows per encode chunk — bounds the f32 transients (residuals /
+    #: decoded reconstructions) to ~256 MB at d=128 so 10M-row builds fit
+    #: next to the 5.1 GB database + int8 storage in 16 GB HBM (a full
+    #: [10M, 128] f32 residual tensor OOMed the v5e)
+    ENCODE_CHUNK = 1 << 19
+
+    def _train_sample_residuals(self, x_sorted, owner, cap: int = 1 << 18):
+        """Residuals of ≤``cap`` stride-sampled rows (never the full
+        [n, d] f32 tensor — quantiser training subsamples anyway)."""
+        n = x_sorted.shape[0]
+        if n <= cap:
+            return x_sorted - self.centroids[owner]
+        idx = jnp.arange(0, n, -(-n // cap))
+        return x_sorted[idx] - self.centroids[owner[idx]]
+
+    def _encode_chunked(self, x_sorted, owner, encode_fn):
+        """Run residual → ``encode_fn`` over bounded row chunks and
+        concatenate (codes/int8 plus per-chunk sqnorms)."""
+        n = x_sorted.shape[0]
+        outs, sns = [], []
+        for s in range(0, n, self.ENCODE_CHUNK):
+            e = min(n, s + self.ENCODE_CHUNK)
+            res = x_sorted[s:e] - self.centroids[owner[s:e]]
+            out, sn = encode_fn(res, owner[s:e])
+            outs.append(out)
+            sns.append(sn)
+        if len(outs) == 1:
+            return outs[0], sns[0]
+        return jnp.concatenate(outs), jnp.concatenate(sns)
+
     def _encode_storage(self, x_sorted, seed, m: int = 16):
         self.m = m
         self.dec_scales = None
         owner = self._owner_clusters()
-        residuals = x_sorted - self.centroids[owner]
-        self.quantiser = ProductQuantiser.train(residuals, m, seed=seed)
+        self.quantiser = ProductQuantiser.train(
+            self._train_sample_residuals(x_sorted, owner), m, seed=seed
+        )
         self.codebooks = self.quantiser.codebooks
-        codes = self.quantiser.encode(residuals)
         if self.dim == m:
-            dec = self.quantiser.decode(codes)       # [n, d] f32 residuals
-            dec8, self.dec_scales = _requantise_i8(dec)
+            # scales from the codebooks themselves (decoded values ARE
+            # codebook entries, so per-dim |max| over entries bounds them)
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(self.codebooks[:, :, 0]), axis=1), 1e-12
+            )
+            self.dec_scales = (absmax / 127.0).astype(jnp.float32)
             self.mode = "i8dec_residual"
-            rec = dec8.astype(jnp.float32) * self.dec_scales[None, :]
-            self._pad_storage(dec8, self._recon_sqnorms_of(rec, owner))
+
+            def enc(res, own):
+                dec = self.quantiser.decode(self.quantiser.encode(res))
+                dec8 = jnp.clip(
+                    jnp.round(dec / self.dec_scales[None, :]), -127, 127
+                ).astype(jnp.int8)
+                rec = dec8.astype(jnp.float32) * self.dec_scales[None, :]
+                return dec8, self._recon_sqnorms_of(rec, own)
+
         else:
-            self._pad_storage(codes, self._recon_sqnorms(codes, owner))
+
+            def enc(res, own):
+                codes = self.quantiser.encode(res)
+                return codes, self._recon_sqnorms_of(
+                    self.quantiser.decode(codes), own
+                )
+
+        self._pad_storage(*self._encode_chunked(x_sorted, owner, enc))
 
     def _recon_sqnorms(self, codes, owner):
         return self._recon_sqnorms_of(self.quantiser.decode(codes), owner)
@@ -148,14 +196,6 @@ class IvfPqIndex(IvfBase):
             self.storage = self.storage.astype(jnp.int8)
 
 
-def _requantise_i8(dec: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-dim symmetric int8 requantisation of a decoded-vector matrix."""
-    absmax = jnp.maximum(jnp.max(jnp.abs(dec), axis=0), 1e-12)
-    scales = (absmax / 127.0).astype(jnp.float32)
-    dec8 = jnp.clip(
-        jnp.round(dec / scales[None, :]), -127, 127
-    ).astype(jnp.int8)
-    return dec8, scales
 
 
 class IvfOpqIndex(IvfPqIndex):
@@ -170,33 +210,49 @@ class IvfOpqIndex(IvfPqIndex):
         self.m = m
         self.dec_scales = None
         owner = self._owner_clusters()
-        residuals = x_sorted - self.centroids[owner]
-        opq = OptimisedProductQuantiser.train(residuals, m, seed=seed)
+        opq = OptimisedProductQuantiser.train(
+            self._train_sample_residuals(x_sorted, owner), m, seed=seed
+        )
         self.opq = opq
         self.rotation = opq.rotation
         self.codebooks = opq.pq.codebooks
         self.quantiser = opq.pq
-        codes = opq.encode(residuals)
         if self.dim == m:
             # int8 fast-scan cache of the rotated-space reconstructions
             # (scoring already happens in the rotated space)
-            dec = opq.pq.decode(codes)
-            dec8, self.dec_scales = _requantise_i8(dec)
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(self.codebooks[:, :, 0]), axis=1), 1e-12
+            )
+            self.dec_scales = (absmax / 127.0).astype(jnp.float32)
             self.mode = "i8dec_residual"
-            rec = dec8.astype(jnp.float32) * self.dec_scales[None, :]
-            if self.metric == Dist.COSINE:
-                sn = sq_norms(rec + self.centroids[owner] @ self.rotation)
-            else:
-                sn = sq_norms(rec)
-            self._pad_storage(dec8, sn)
-            return
-        if self.metric == Dist.COSINE:
-            # norms in rotated space equal norms in original space
-            recon = opq.pq.decode(codes) + self.centroids[owner] @ self.rotation
-            sn = sq_norms(recon)
+
+            def enc(res, own):
+                dec = opq.pq.decode(opq.encode(res))
+                dec8 = jnp.clip(
+                    jnp.round(dec / self.dec_scales[None, :]), -127, 127
+                ).astype(jnp.int8)
+                rec = dec8.astype(jnp.float32) * self.dec_scales[None, :]
+                if self.metric == Dist.COSINE:
+                    sn = sq_norms(rec + self.centroids[own] @ self.rotation)
+                else:
+                    sn = sq_norms(rec)
+                return dec8, sn
+
         else:
-            sn = opq.pq.code_sqnorms(codes)
-        self._pad_storage(codes, sn)
+
+            def enc(res, own):
+                codes = opq.encode(res)
+                if self.metric == Dist.COSINE:
+                    # norms in rotated space equal norms in original space
+                    sn = sq_norms(
+                        opq.pq.decode(codes)
+                        + self.centroids[own] @ self.rotation
+                    )
+                else:
+                    sn = opq.pq.code_sqnorms(codes)
+                return codes, sn
+
+        self._pad_storage(*self._encode_chunked(x_sorted, owner, enc))
 
     def _encode_queries(self, q):
         # routing stays in the original space (IvfBase routes before this);
