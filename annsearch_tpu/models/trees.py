@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rerank import rerank_exact
+from ..ops.rerank import rerank_exact, rerank_exact_split
 from ..ops.tree import (
     PartitionTree,
     build_partition_forest,
@@ -66,6 +66,13 @@ class _ForestIndex(BaseIndex):
         self.trees = build_partition_forest(
             jax.random.key(seed), vecs, n_trees, levels, leaf, self._mode
         )
+        # bf16 hi/lo split tables: the leaf-union rerank is candidate-
+        # gather-bound and split-table gathers are ~3× cheaper than f32
+        # row gathers (the beam-search lesson, ops/graph.nav_hl_split);
+        # None off-TPU → f32 rerank_exact path
+        from ..ops.graph import nav_hl_split
+
+        self._vec_hl = nav_hl_split(vecs)
         self._qfns = {}
 
     def _query_fn(self, k: int, qb_size: int, n_probes: int):
@@ -74,62 +81,89 @@ class _ForestIndex(BaseIndex):
         p-th most-uncertain split (smallest |projection − threshold|)
         flipped — the batched analogue of the reference's margin-ordered
         backtracking queue (annoy.rs:526-642), so recall scales with
-        n_probes like the reference's search_k budget. The eager version
-        paid a device round-trip per level per tree per block."""
+        n_probes like the reference's search_k budget.
+
+        All trees descend TOGETHER: per level one [bq, nt, d] gather on the
+        level-stacked routing data + one einsum (the per-tree loop issued
+        n_trees·(probes+1)·levels tiny dependent ops — ~1,400 at nt32 p4 —
+        and dominated query time; forests share a level shape by
+        construction so stacking is free)."""
         key = (k, qb_size, n_probes)
         if key in self._qfns:
             return self._qfns[key]
-        tree_data = tuple(
-            (t.order, tuple(t.normals), tuple(t.thresholds), t.leaf)
-            for t in self.trees
+        nt = len(self.trees)
+        n_levels = self.trees[0].n_levels
+        norms_lv = [
+            jnp.stack([t.normals[lv] for t in self.trees])
+            for lv in range(n_levels)
+        ]  # each [nt, 2^lv, d]
+        thrs_lv = [
+            jnp.stack([t.thresholds[lv] for t in self.trees])
+            for lv in range(n_levels)
+        ]  # each [nt, 2^lv]
+        leaves = jnp.stack(
+            [t.order.reshape(-1, t.leaf) for t in self.trees]
+        )  # [nt, n_leaves, leaf]
+        tix = jnp.arange(nt)[None, :]
+        import os
+
+        use_split = self._vec_hl is not None and bool(
+            os.environ.get("ANNSEARCH_TREE_SPLIT_RERANK")
         )
 
         @jax.jit
         def fn(qb, vectors):
             bq = qb.shape[0]
-            cands = []
-            for order, normals, thresholds, leaf in tree_data:
-                n_levels = len(normals)
-                leaves = order.reshape(-1, leaf)
-                # base descent, recording split margins
-                node = jnp.zeros((bq,), jnp.int32)
+
+            def descend(flip_lv, want_margins):
+                node = jnp.zeros((bq, nt), jnp.int32)
                 margins = []
                 for lv in range(n_levels):
-                    proj = jnp.sum(qb * normals[lv][node], axis=-1)
-                    thr = thresholds[lv][node]
-                    margins.append(jnp.abs(proj - thr))
-                    node = 2 * node + (proj > thr).astype(jnp.int32)
-                cands.append(leaves[node])
-                if n_probes > 1:
-                    m = jnp.stack(margins, axis=1)        # [bq, L]
-                    flip_order = jnp.argsort(m, axis=1)   # asc by margin
-                    n_extra = min(n_probes - 1, n_levels)
-
-                    def probe(_, flip_lv):
-                        # one re-descent with `flip_lv` inverted; scanned
-                        # over probes so program size is O(levels), not
-                        # O(levels·probes)
-                        node = jnp.zeros((bq,), jnp.int32)
-                        for lv in range(n_levels):
-                            proj = jnp.sum(
-                                qb * normals[lv][node], axis=-1
-                            )
-                            dec = proj > thresholds[lv][node]
-                            dec = jnp.where(flip_lv == lv, ~dec, dec)
-                            node = 2 * node + dec.astype(jnp.int32)
-                        return None, leaves[node]
-
-                    _, extra = jax.lax.scan(
-                        probe, None, flip_order[:, :n_extra].T
-                    )  # [n_extra, bq, leaf]
-                    cands.append(
-                        jnp.moveaxis(extra, 0, 1).reshape(bq, -1)
+                    nrm = norms_lv[lv][tix, node]      # [bq, nt, d]
+                    thr = thrs_lv[lv][tix, node]       # [bq, nt]
+                    proj = jnp.einsum(
+                        "qd,qtd->qt", qb, nrm,
+                        preferred_element_type=jnp.float32,
                     )
+                    dec = proj > thr
+                    if flip_lv is not None:
+                        dec = jnp.where(flip_lv == lv, ~dec, dec)
+                    if want_margins:
+                        margins.append(jnp.abs(proj - thr))
+                    node = 2 * node + dec.astype(jnp.int32)
+                return node, margins
+
+            node0, margins = descend(None, n_probes > 1)
+            cands = [leaves[tix, node0].reshape(bq, -1)]
+            if n_probes > 1:
+                m = jnp.stack(margins, axis=-1)          # [bq, nt, L]
+                flip_order = jnp.argsort(m, axis=-1)     # asc by margin
+                n_extra = min(n_probes - 1, n_levels)
+
+                def probe(_, flip_lv):
+                    # one re-descent (all trees) with each tree's
+                    # `flip_lv`-th split inverted; scanned over probes so
+                    # program size is O(levels), not O(levels·probes)
+                    node, _ = descend(flip_lv, False)
+                    return None, leaves[tix, node].reshape(bq, -1)
+
+                _, extra = jax.lax.scan(
+                    probe,
+                    None,
+                    jnp.moveaxis(flip_order[..., :n_extra], -1, 0),
+                )  # [n_extra, bq, nt·leaf]
+                cands.append(jnp.moveaxis(extra, 0, 1).reshape(bq, -1))
             cand = jnp.concatenate(cands, axis=-1)
-            vecs = vectors[jnp.minimum(cand, self.n)]
             valid = cand < self.n
+            ids = jnp.minimum(cand, self.n - 1)
+            if use_split:
+                return rerank_exact_split(
+                    qb, self._vec_hl, self.sqnorms, ids, valid, k,
+                    self.metric,
+                )
             return rerank_exact(
-                qb, vecs, jnp.minimum(cand, self.n - 1), valid, k, self.metric
+                qb, vectors[jnp.minimum(cand, self.n)], ids, valid, k,
+                self.metric,
             )
 
         self._qfns[key] = fn
@@ -229,6 +263,9 @@ class _ForestIndex(BaseIndex):
                         None, None, obj.leaf,
                     )
                 )
+            from ..ops.graph import nav_hl_split
+
+            obj._vec_hl = nav_hl_split(vecs)
             obj._qfns = {}
         return obj
 
@@ -270,6 +307,9 @@ class BallTreeIndex(BaseIndex):
         self.tree = build_partition_tree(
             jax.random.key(seed), vecs, levels, leaf, "ball"
         )
+        from ..ops.graph import nav_hl_split
+
+        self._vec_hl = nav_hl_split(vecs)
         self._qfns = {}
 
     def query(
@@ -325,10 +365,16 @@ class BallTreeIndex(BaseIndex):
             keep = min(beam, leaf_centers.shape[0])
             _, nodes = jax.lax.top_k(-d2, keep)
             cand = leaves[nodes].reshape(qb.shape[0], -1)
-            vecs = vectors[jnp.minimum(cand, self.n)]
             valid = cand < self.n
+            ids = jnp.minimum(cand, self.n - 1)
+            if self._vec_hl is not None:
+                return rerank_exact_split(
+                    qb, self._vec_hl, self.sqnorms, ids, valid, k,
+                    self.metric,
+                )
             return rerank_exact(
-                qb, vecs, jnp.minimum(cand, self.n - 1), valid, k, self.metric
+                qb, vectors[jnp.minimum(cand, self.n)], ids, valid, k,
+                self.metric,
             )
 
         self._qfns[key] = fn
@@ -403,5 +449,8 @@ class BallTreeIndex(BaseIndex):
                 jnp.asarray(z["order"]), normals, thrs, centers, radii,
                 obj.leaf,
             )
+            from ..ops.graph import nav_hl_split
+
+            obj._vec_hl = nav_hl_split(vecs)
             obj._qfns = {}
         return obj

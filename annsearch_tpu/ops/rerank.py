@@ -15,23 +15,35 @@ import jax.numpy as jnp
 
 from ..utils.dist import Dist, sq_norms
 
-__all__ = ["rerank_exact", "rerank_from_store"]
+__all__ = ["rerank_exact", "rerank_exact_split", "rerank_from_store"]
 
 _INF = jnp.float32(jnp.inf)
 
 
-def _dedup_by_id(ids: jax.Array, d: jax.Array) -> jax.Array:
-    """inf-out duplicate candidate ids per row (multi-tree / multi-probe
-    unions overlap; without this, top-k could return the same id twice)."""
-    order = jnp.argsort(ids, axis=-1)
-    s = jnp.take_along_axis(ids, order, axis=-1)
-    dup_s = jnp.concatenate(
-        [jnp.zeros(s.shape[:-1] + (1,), bool), s[..., 1:] == s[..., :-1]],
+def _dedup_select(
+    ids: jax.Array, d: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k of (d, ids) with duplicate ids inf'd out (multi-tree /
+    multi-probe unions overlap; without this top-k could return the same
+    id twice). ONE argsort: dedup marks run in id-sorted order and top-k
+    runs directly on the sorted arrays — selection is order-free, so the
+    inverse permutation (a second argsort over the full candidate width,
+    ~¼ of tree-query time) is never materialised."""
+    # two-key sort: (id asc, dist asc) — the head of each equal-id run is
+    # the BEST copy, so inf'ing the rest never shadows a real candidate
+    # with a clamped-padding copy of the same id (the old argsort-by-id
+    # scheme kept whichever copy sorted first)
+    s_ids, s_d = jax.lax.sort((ids, d), dimension=-1, num_keys=2)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros(s_ids.shape[:-1] + (1,), bool),
+            s_ids[..., 1:] == s_ids[..., :-1],
+        ],
         axis=-1,
     )
-    inv = jnp.argsort(order, axis=-1)
-    dup = jnp.take_along_axis(dup_s, inv, axis=-1)
-    return jnp.where(dup, _INF, d)
+    s_d = jnp.where(dup, _INF, s_d)
+    nd, pos = jax.lax.top_k(-s_d, min(k, s_d.shape[-1]))
+    return -nd, jnp.take_along_axis(s_ids, pos, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -61,9 +73,43 @@ def rerank_exact(
             0.0,
         )
     d = jnp.where(valid, d, _INF)
-    d = _dedup_by_id(cand_ids, d)
-    nd, pos = jax.lax.top_k(-d, min(k, d.shape[1]))
-    return -nd, jnp.take_along_axis(cand_ids, pos, axis=-1)
+    return _dedup_select(cand_ids, d, k)
+
+
+def rerank_exact_split(
+    q: jax.Array,            # [nq, d] f32 (normalised if cosine)
+    vec_hl: tuple,           # (hi, lo) bf16 tables [n+1, d] (mantissa split)
+    sqnorms: jax.Array,      # [n+1] f32 ‖row‖² (0 for the sentinel row)
+    cand_ids: jax.Array,     # [nq, kc] int32 (sentinel-safe, < n+1)
+    valid: jax.Array,        # [nq, kc] bool
+    k: int,
+    metric: Dist,
+) -> tuple[jax.Array, jax.Array]:
+    """f32-grade rerank that gathers bf16 hi/lo split tables instead of f32
+    rows — the candidate gather is the bound at tree/graph rerank volumes
+    (measured 3× on beam search: f32 gather 19.4 ms/iter vs split 6.6,
+    PROGRESS_NOTES s4), and gathering precomputed ``sqnorms`` replaces the
+    full ‖cand‖² reduction over the gathered tensor. Dot error ~2⁻²² rel
+    (three bf16 cross terms, `utils/dist.mantissa_split`), the same grade
+    the exact kNN-graph path uses at recall 0.9999. TPU-only (XLA:CPU
+    cannot run batched bf16 dots) — callers fall back to `rerank_exact`."""
+    from ..utils.dist import mantissa_split
+
+    vh, vl = vec_hl
+    nh = vh[cand_ids]
+    nl = vl[cand_ids]
+    qh, ql = mantissa_split(q, 2)
+    e = functools.partial(
+        jnp.einsum, "qd,qcd->qc", preferred_element_type=jnp.float32
+    )
+    dots = e(qh, nh) + e(qh, nl) + e(ql, nh)
+    csq = sqnorms[cand_ids]
+    if metric == Dist.COSINE:
+        d = 1.0 - dots
+    else:
+        d = jnp.maximum(sq_norms(q)[:, None] + csq - 2.0 * dots, 0.0)
+    d = jnp.where(valid, d, _INF)
+    return _dedup_select(cand_ids, d, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "qb"))
