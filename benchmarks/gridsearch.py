@@ -159,9 +159,13 @@ SWEEPS = {
     ],
     "ivf-binary": lambda a: [
         (
-            f"ivf-binary nl{nl} {b}b np{np_} rr{rr}",
-            {"nlist": nl, "n_bits": b, "nprobe": np_, "rerank": rr},
+            f"ivf-binary nl{nl} {mode} {b}b np{np_} rr{rr}",
+            {"nlist": nl, "n_bits": b, "nprobe": np_, "rerank": rr,
+             "binarisation": mode},
         )
+        # the reference's IVF-binary tables sweep the pca binariser
+        # (benchmarks_binary.md "-pca" rows) as well as random projections
+        for mode in ("simhash", "pca")
         for nl in a.nlist_sweep[:2]
         for b in (128, 256)
         for np_ in a.nprobe_sweep
@@ -298,7 +302,7 @@ def make_runner(kind: str, args, x):
             )
         if kind == "ivf-binary":
             return (
-                lambda: ann.build_ivf_index_binary(x, dist, nlist=cfg.get("nlist"), n_bits=cfg["n_bits"], seed=seed),
+                lambda: ann.build_ivf_index_binary(x, dist, nlist=cfg.get("nlist"), n_bits=cfg["n_bits"], binarisation=cfg.get("binarisation", "simhash"), seed=seed),
                 lambda ix, qq: ann.query_ivf_index_binary(qq, ix, k, nprobe=cfg.get("nprobe"), rerank=cfg["rerank"], return_dist=True),
             )
         if kind == "ivf-rabitq":
