@@ -146,10 +146,15 @@ class IvfBase(BaseIndex):
         self.seg_centroids = self.centroids[jnp.asarray(layout.seg_cluster)]
 
         order_j = jnp.asarray(layout.order)
-        x_sorted = x[order_j]
         self.original_ids = order_j.astype(jnp.int32)
         self.vectors = None  # replaced by (possibly quantised) storage
-        self._encode_storage(x_sorted, seed=seed, **encode_kwargs)
+        if getattr(type(self), "_encode_lazy", False):
+            # quantised encoders gather sorted rows chunk-by-chunk —
+            # materialising the full [n, d] f32 x_sorted next to the
+            # caller's x doubles data residency (2×5.1 GB at 10M×128d)
+            self._encode_storage((x, order_j), seed=seed, **encode_kwargs)
+        else:
+            self._encode_storage(x[order_j], seed=seed, **encode_kwargs)
         if verbose:
             c = layout.counts
             print(

@@ -102,23 +102,31 @@ class IvfPqIndex(IvfBase):
     #: [10M, 128] f32 residual tensor OOMed the v5e)
     ENCODE_CHUNK = 1 << 19
 
-    def _train_sample_residuals(self, x_sorted, owner, cap: int = 1 << 18):
-        """Residuals of ≤``cap`` stride-sampled rows (never the full
-        [n, d] f32 tensor — quantiser training subsamples anyway)."""
-        n = x_sorted.shape[0]
-        if n <= cap:
-            return x_sorted - self.centroids[owner]
-        idx = jnp.arange(0, n, -(-n // cap))
-        return x_sorted[idx] - self.centroids[owner[idx]]
+    #: receive (x, order) instead of a materialised x_sorted — sorted rows
+    #: are gathered per encode chunk (ivf_base.IvfBase.__init__)
+    _encode_lazy = True
 
-    def _encode_chunked(self, x_sorted, owner, encode_fn):
+    @staticmethod
+    def _row_chunk(x_ord, s, e):
+        x, order = x_ord
+        return x[order[s:e]]
+
+    def _train_sample_residuals(self, x_ord, owner, cap: int = 1 << 18):
+        """Residuals of ≤``cap`` stride-sampled sorted rows (never the
+        full [n, d] f32 tensor — quantiser training subsamples anyway)."""
+        x, order = x_ord
+        n = order.shape[0]
+        idx = jnp.arange(0, n, max(1, -(-n // cap)))
+        return x[order[idx]] - self.centroids[owner[idx]]
+
+    def _encode_chunked(self, x_ord, owner, encode_fn):
         """Run residual → ``encode_fn`` over bounded row chunks and
         concatenate (codes/int8 plus per-chunk sqnorms)."""
-        n = x_sorted.shape[0]
+        n = x_ord[1].shape[0]
         outs, sns = [], []
         for s in range(0, n, self.ENCODE_CHUNK):
             e = min(n, s + self.ENCODE_CHUNK)
-            res = x_sorted[s:e] - self.centroids[owner[s:e]]
+            res = self._row_chunk(x_ord, s, e) - self.centroids[owner[s:e]]
             out, sn = encode_fn(res, owner[s:e])
             outs.append(out)
             sns.append(sn)
@@ -126,12 +134,12 @@ class IvfPqIndex(IvfBase):
             return outs[0], sns[0]
         return jnp.concatenate(outs), jnp.concatenate(sns)
 
-    def _encode_storage(self, x_sorted, seed, m: int = 16):
+    def _encode_storage(self, x_ord, seed, m: int = 16):
         self.m = m
         self.dec_scales = None
         owner = self._owner_clusters()
         self.quantiser = ProductQuantiser.train(
-            self._train_sample_residuals(x_sorted, owner), m, seed=seed
+            self._train_sample_residuals(x_ord, owner), m, seed=seed
         )
         self.codebooks = self.quantiser.codebooks
         if self.dim == m:
@@ -159,7 +167,7 @@ class IvfPqIndex(IvfBase):
                     self.quantiser.decode(codes), own
                 )
 
-        self._pad_storage(*self._encode_chunked(x_sorted, owner, enc))
+        self._pad_storage(*self._encode_chunked(x_ord, owner, enc))
 
     def _recon_sqnorms(self, codes, owner):
         return self._recon_sqnorms_of(self.quantiser.decode(codes), owner)
@@ -206,12 +214,12 @@ class IvfOpqIndex(IvfPqIndex):
     mode = "pq_residual"
     _state_arrays = IvfPqIndex._state_arrays + ("rotation",)
 
-    def _encode_storage(self, x_sorted, seed, m: int = 16):
+    def _encode_storage(self, x_ord, seed, m: int = 16):
         self.m = m
         self.dec_scales = None
         owner = self._owner_clusters()
         opq = OptimisedProductQuantiser.train(
-            self._train_sample_residuals(x_sorted, owner), m, seed=seed
+            self._train_sample_residuals(x_ord, owner), m, seed=seed
         )
         self.opq = opq
         self.rotation = opq.rotation
@@ -252,7 +260,7 @@ class IvfOpqIndex(IvfPqIndex):
                     sn = opq.pq.code_sqnorms(codes)
                 return codes, sn
 
-        self._pad_storage(*self._encode_chunked(x_sorted, owner, enc))
+        self._pad_storage(*self._encode_chunked(x_ord, owner, enc))
 
     def _encode_queries(self, q):
         # routing stays in the original space (IvfBase routes before this);

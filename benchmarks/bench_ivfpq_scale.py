@@ -83,7 +83,9 @@ def main(argv=None):
         print(f"ground truth in {time.time() - t0:.1f}s", flush=True)
 
     build_s = float("inf")
+    index = None
     for _ in range(2):  # second build = warm (compile-free) cost
+        index = None  # free the previous index's HBM before rebuilding
         t0 = time.time()
         index = ann.build_ivf_pq_index(x, nlist=args.nlist, m=m, seed=42)
         build_s = min(build_s, time.time() - t0)
