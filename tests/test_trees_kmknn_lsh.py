@@ -65,6 +65,34 @@ def test_ball_tree_budget_sweep(tdata):
     assert calculate_recall(ti, hi, 10) >= calculate_recall(ti, lo, 10) - 0.02
 
 
+def test_ball_tree_fused_scan_parity(tdata, monkeypatch):
+    """The fused cell-scan path (cells = 2-leaf segments of the sorted
+    order, ranked by min leaf-centre distance) must track the leaf-precise
+    rerank path; full-budget probing must be exact."""
+    from annsearch_tpu.models import trees as trees_mod
+
+    monkeypatch.setattr(trees_mod, "_BALL_FUSED_MIN_CELLS", 1)
+    x, q, ti, _ = tdata
+    index = BallTreeIndex(x, seed=0)
+    scan = index._scan_setup()
+    assert scan is not None and scan["cell"] == 128
+    # counts: valid rows form the global suffix-padded prefix per cell
+    counts = np.asarray(scan["counts"])
+    assert counts.sum() == index.n
+    assert np.all(np.diff(counts) <= 0)
+    fi, fd = index.query(q, 10, budget=0.3)
+    monkeypatch.setenv("ANNSEARCH_NO_PALLAS", "1")
+    index._scan_cache = None
+    oi, od = index.query(q, 10, budget=0.3)
+    rec_f = calculate_recall(ti, fi, 10)
+    rec_o = calculate_recall(ti, oi, 10)
+    assert rec_f >= rec_o - 0.08, (rec_f, rec_o)
+    monkeypatch.delenv("ANNSEARCH_NO_PALLAS")
+    index._scan_cache = None
+    xi, xd = index.query(q, 10, budget=1.0)
+    assert calculate_recall(ti, xi, 10) > 0.999
+
+
 def test_kmknn_exact(tdata):
     x, q, ti, td = tdata
     index = KmknnIndex(x, seed=0)
