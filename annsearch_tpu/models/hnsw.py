@@ -184,11 +184,11 @@ class HnswIndex(BaseIndex):
     @staticmethod
     @functools.partial(
         jax.jit,
-        static_argnames=("k", "beam", "iters", "qb", "metric"),
+        static_argnames=("k", "beam", "iters", "qb", "metric", "expand"),
     )
     def _hnsw_query_impl(
         q, vectors, sqnorms, base_graph, hl, layer_args, entry_global,
-        *, k, beam, iters, qb, metric,
+        *, k, beam, iters, qb, metric, expand,
     ):
         nq = q.shape[0]
         if layer_args is not None:
@@ -222,7 +222,7 @@ class HnswIndex(BaseIndex):
             qq, ee = args
             return beam_search(
                 qq, vectors, sqnorms, base_graph, ee, k, beam, iters,
-                metric, expand=4, vectors_hl=hl if hl else None,
+                metric, expand=expand, vectors_hl=hl if hl else None,
             )
 
         d, i = jax.lax.map(
@@ -237,6 +237,7 @@ class HnswIndex(BaseIndex):
         ef_search: int | None = None,
         query_block: int = 1024,
         exact_fallback: bool = True,
+        expand: int = 4,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
@@ -274,6 +275,7 @@ class HnswIndex(BaseIndex):
             self._nav_hl if self._nav_hl is not None else (),
             layer_args, jnp.int32(self.entry_global),
             k=k, beam=beam, iters=iters, qb=qb, metric=self.metric,
+            expand=expand,
         )
         return np.clip(np.asarray(i), 0, self.n - 1), np.asarray(d)
 

@@ -102,6 +102,38 @@ def _fused_query_e2e(
     return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "nseg", "s_max", "maxq", "R", "k", "metric", "cap",
+        "mode", "approx",
+    ),
+)
+def _exact_query_e2e(
+    q, q_enc, centroids, cluster_ptr, storage, sqnorms, seg_offsets,
+    seg_counts, scan_cents, codebooks, aux, *, nprobe, nseg, s_max, maxq,
+    R, k, metric, cap, mode, approx,
+):
+    """Route (to CLUSTERS — reference nprobe semantics) → device segment
+    expansion → device task-list inversion → exact XLA cluster scan, one
+    compiled dispatch. The host-built task lists this replaces cost a
+    probes readback + numpy inversion + padded-list upload per query batch
+    (~0.5–0.8 s of the measured 1.15 s exact-query floor at 500k×64d;
+    the scan itself runs 0.67 s). Packed [nq, 2k] readback as in
+    `_fused_query_e2e` (ids as exact f32 VALUES, < 2²⁴)."""
+    probes = route_to_cells(q, centroids, nprobe, metric)
+    seg_probes = expand_probes_device(
+        probes.astype(jnp.int32), cluster_ptr, s_max, nseg
+    )
+    cids, lists, gmap = build_probe_lists_device(seg_probes, nseg, maxq, R)
+    d, i = ivf_cluster_scan(
+        q_enc, cids, lists, gmap, storage, sqnorms, seg_offsets,
+        seg_counts, scan_cents, k, metric, cap, mode,
+        codebooks=codebooks, aux=aux, approx=approx,
+    )
+    return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
+
+
 class IvfBase(BaseIndex):
     """k-means routing + segmented cells + cluster-major scan."""
 
@@ -217,6 +249,24 @@ class IvfBase(BaseIndex):
         """Reference default: √nlist (ivf.rs:261)."""
         return max(1, int(math.isqrt(self.nlist)))
 
+    def _seg_s_max(self) -> int:
+        """Max segments per cluster (static bound for device expansion)."""
+        cached = getattr(self, "_s_max_cache", None)
+        if cached is None:
+            ptr = np.asarray(self._cluster_ptr)
+            cached = int((ptr[1:] - ptr[:-1]).max()) if len(ptr) > 1 else 1
+            self._s_max_cache = cached
+        return cached
+
+    def _cluster_ptr_dev(self) -> jax.Array:
+        cached = getattr(self, "_ptr_dev_cache", None)
+        if cached is None:
+            cached = jnp.asarray(
+                np.asarray(self._cluster_ptr), dtype=jnp.int32
+            )
+            self._ptr_dev_cache = cached
+        return cached
+
     def query(
         self,
         query_mat: Any,
@@ -284,6 +334,46 @@ class IvfBase(BaseIndex):
             d = arr[:, :k]
             i = arr[:, k:].astype(np.int32)
             return d, i
+        nseg = int(self.seg_offsets.shape[0])
+        s_max = self._seg_s_max()
+        # device task lists ONLY when no cluster is split (s_max == 1 ⇒
+        # segments ≡ clusters and the expansion is the identity): split
+        # clusters force sentinel expansion slots, which the XLA scan pays
+        # for as real scan rows (measured 2.1× SLOWER than the host lists
+        # at 500k×64d s_max=3 — the fused kernel skips them, this scan
+        # cannot). Also n_pairs-bounded and id-packing-bounded (< 2²⁴ rows
+        # ride back as exact f32 values).
+        if (
+            s_max == 1
+            and nq * nprobe < (1 << 26)
+            and int(self.storage.shape[0]) < (1 << 24)
+        ):
+            maxq, R = device_probe_shapes(nq, nprobe, nseg, s_max)
+            packed = _exact_query_e2e(
+                q,
+                self._encode_queries(q) if q_eff is None else q_eff,
+                self.centroids,
+                self._cluster_ptr_dev(),
+                self.storage,
+                self.store_sqnorms,
+                self.seg_offsets,
+                self.seg_counts,
+                self._scan_seg_centroids(),
+                self._codebooks(),
+                self._aux(),
+                nprobe=nprobe,
+                nseg=nseg,
+                s_max=s_max,
+                maxq=maxq,
+                R=R,
+                k=k,
+                metric=self.metric,
+                cap=self.seg_size,
+                mode=eff_mode,
+                approx=approx,
+            )
+            arr = np.asarray(packed)
+            return arr[:, :k], arr[:, k:].astype(np.int32)
         probes = route_to_cells(q, self.centroids, nprobe, self.metric)
         from .kmeans import SegmentLayout  # local import to avoid cycle
 
@@ -308,7 +398,7 @@ class IvfBase(BaseIndex):
             k,
             self.metric,
             self.seg_size,
-            self.mode if mode is None else mode,
+            eff_mode,
             codebooks=self._codebooks(),
             aux=self._aux(),
             approx=approx,

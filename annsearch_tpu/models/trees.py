@@ -98,6 +98,102 @@ def _ball_fused_e2e(
     return jnp.concatenate([d, ids.astype(jnp.float32)], axis=-1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_probes", "shift", "nseg_tree", "nt", "maxq", "R", "k", "k2",
+        "kb", "metric", "interpret", "layout",
+    ),
+)
+def _forest_fused_e2e(
+    q, norms_lv, thrs_lv, blocks, sn_blocks, seg_offsets, seg_counts,
+    order_flat, n, *, n_probes, shift, nseg_tree, nt, maxq, R, k, k2, kb,
+    metric, interpret, layout,
+):
+    """Multi-probe forest descent → per-tree cell-major fused scan → id
+    dedup, ONE dispatch. Tree t's sorted order is a contiguous block of
+    the concatenated storage, so every probed leaf maps to segment
+    ``t·nseg_tree + (leaf >> shift)`` and the scan streams cells instead of
+    gathering ``n_trees·probes·leaf`` candidate rows per query (the gather
+    + rerank einsum was the measured floor of forest queries, ~1.0 s of a
+    2.0 s nt32 p4 query at 150k×32d). ``k2 = k·nt`` lanes survive the
+    merge — each original id appears at most once per tree, so the true
+    top-k distinct ids fit — and the LSH-style dedup keeps the k best.
+    Returns packed [nq, 2k] (dists, ids as exact f32 values)."""
+    from .lsh import _dedup_topk
+
+    bq = q.shape[0]
+    n_levels = len(norms_lv)
+    tix = jnp.arange(nt)[None, :]
+
+    def descend(flip_lv, want_margins):
+        node = jnp.zeros((bq, nt), jnp.int32)
+        margins = []
+        for lv in range(n_levels):
+            nrm = norms_lv[lv][tix, node]
+            thr = thrs_lv[lv][tix, node]
+            proj = jnp.einsum(
+                "qd,qtd->qt", q, nrm, preferred_element_type=jnp.float32
+            )
+            dec = proj > thr
+            if flip_lv is not None:
+                dec = jnp.where(flip_lv == lv, ~dec, dec)
+            if want_margins:
+                margins.append(jnp.abs(proj - thr))
+            node = 2 * node + dec.astype(jnp.int32)
+        return node, margins
+
+    node0, margins = descend(None, n_probes > 1)
+    probe_leaves = [node0[:, :, None]]                   # [bq, nt, 1]
+    if n_probes > 1:
+        m = jnp.stack(margins, axis=-1)                  # [bq, nt, L]
+        flip_order = jnp.argsort(m, axis=-1)
+        n_extra = min(n_probes - 1, n_levels)
+
+        def probe(_, flip_lv):
+            node, _ = descend(flip_lv, False)
+            return None, node
+
+        _, extra = jax.lax.scan(
+            probe, None, jnp.moveaxis(flip_order[..., :n_extra], -1, 0)
+        )                                                # [ne, bq, nt]
+        probe_leaves.append(jnp.moveaxis(extra, 0, 2))   # [bq, nt, ne]
+    leaves_all = jnp.concatenate(probe_leaves, axis=2)   # [bq, nt, p]
+    segs = (
+        tix[:, :, None] * nseg_tree
+        + jax.lax.shift_right_logical(leaves_all, shift)
+    ).reshape(bq, -1)
+    # dedup probed cells per query: a flip at the LAST level probes the
+    # sibling leaf — the same 2-leaf cell — and duplicate (query, cell)
+    # tasks both waste scan rows and double per-row lane copies past the
+    # k·nt merge bound (measured: duplicate ids backfilling the top-k).
+    # Probe order is irrelevant to the inversion, so sort + sentinel-mask.
+    segs = jnp.sort(segs, axis=-1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((bq, 1), bool),
+            segs[:, 1:] == segs[:, :-1],
+        ],
+        axis=-1,
+    )
+    segs = jnp.where(dup, nt * nseg_tree, segs)
+
+    cids, lists, gmap = build_probe_lists_device(
+        segs.astype(jnp.int32), nt * nseg_tree, maxq, R
+    )
+    d, pos = fused_ivf_scan(
+        q, cids, lists, gmap, blocks, sn_blocks, seg_offsets, seg_counts,
+        jnp.zeros((nt * nseg_tree, q.shape[1]), jnp.float32), k2, metric,
+        "f32", None, kb, interpret=interpret, layout=layout,
+    )
+    ids_dup = jnp.take(order_flat, jnp.clip(pos, 0, order_flat.shape[0] - 1))
+    ids_dup = jnp.where(jnp.isinf(d), n, ids_dup)
+    d, ids = _dedup_topk(d, ids_dup, k)
+    return jnp.concatenate(
+        [d, jnp.clip(ids, 0, n - 1).astype(jnp.float32)], axis=-1
+    )
+
+
 class _ForestIndex(BaseIndex):
     """Shared: forest build + leaf-union candidate rerank."""
 
@@ -133,6 +229,63 @@ class _ForestIndex(BaseIndex):
 
         self._vec_hl = nav_hl_split(vecs)
         self._qfns = {}
+        self._scan_cache = None
+
+    # scan-view budget: per-tree packed cell blocks cost ~256·n bytes/tree
+    _FOREST_SCAN_BYTES = 4 << 30
+
+    def _scan_setup(self):
+        """Lazy concatenated segment view over ALL trees for the fused cell
+        scan (tree t's leaves are contiguous cells of block t; padding is
+        each tree's global suffix). Returns None when the layout doesn't
+        fit the kernel (non-pow2 leaf, tiny forests) or the repacked
+        blocks would exceed the memory budget."""
+        if self._scan_cache is not None:
+            return self._scan_cache if self._scan_cache != "off" else None
+        t0 = self.trees[0]
+        leaf = t0.leaf
+        nt = len(self.trees)
+        ok = not (leaf & (leaf - 1))
+        cell, shift = leaf, 0
+        while cell < 128:
+            cell, shift = cell * 2, shift + 1
+        n_pad = int(t0.order.shape[0])
+        nseg_tree = n_pad // cell
+        bytes_est = nt * (n_pad + cell) * max(256, 4 * self.dim)
+        if (
+            not ok
+            or cell % 128
+            or nseg_tree < 8
+            or n_pad % cell
+            or bytes_est > self._FOREST_SCAN_BYTES
+        ):
+            self._scan_cache = "off"
+            return None
+        order_flat = jnp.concatenate([t.order for t in self.trees]).astype(
+            jnp.int32
+        )
+        storage = self.vectors[jnp.minimum(order_flat, self.n)]
+        sqn = self.sqnorms[jnp.minimum(order_flat, self.n)]
+        storage = jnp.concatenate(
+            [storage, jnp.zeros((cell, self.dim), jnp.float32)]
+        )
+        sqn = jnp.concatenate([sqn, jnp.zeros((cell,), jnp.float32)])
+        offsets = jnp.arange(nt * nseg_tree, dtype=jnp.int32) * cell
+        counts_tree = np.clip(
+            self.n - np.arange(nseg_tree) * cell, 0, cell
+        ).astype(np.int32)
+        counts = jnp.asarray(np.tile(counts_tree, nt))
+        lane_pack = 2 * self.dim <= 128
+        blocks, sn_blocks = repack_blocks(
+            storage, sqn, offsets, cell, lane_pack=lane_pack
+        )
+        self._scan_cache = dict(
+            cell=cell, shift=shift, nseg_tree=nseg_tree, nt=nt,
+            offsets=offsets, counts=counts, blocks=blocks,
+            sn_blocks=sn_blocks, order=order_flat,
+            layout="packed2" if lane_pack else "plain",
+        )
+        return self._scan_cache
 
     def _query_fn(self, k: int, qb_size: int, n_probes: int):
         """One jitted program per (k, block size, probes): multi-probe tree
@@ -164,8 +317,6 @@ class _ForestIndex(BaseIndex):
             [t.order.reshape(-1, t.leaf) for t in self.trees]
         )  # [nt, n_leaves, leaf]
         tix = jnp.arange(nt)[None, :]
-        import os
-
         use_split = self._vec_hl is not None and bool(
             os.environ.get("ANNSEARCH_TREE_SPLIT_RERANK")
         )
@@ -243,6 +394,58 @@ class _ForestIndex(BaseIndex):
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, k)
         nq = q.shape[0]
+        scan = (
+            self._scan_setup()
+            if not os.environ.get("ANNSEARCH_NO_PALLAS")
+            and self.n < (1 << 24)
+            else None
+        )
+        if scan is not None and fused_eligible(
+            "f32", scan["cell"], self.dim, min(k, 128)
+        ):
+            nt = scan["nt"]
+            nseg_tree = scan["nseg_tree"]
+            n_levels = self.trees[0].n_levels
+            n_extra = min(n_probes - 1, n_levels) if n_probes > 1 else 0
+            maxq, R = device_probe_shapes(
+                nq, nt * (1 + n_extra), nt * nseg_tree, 1
+            )
+            if R * maxq > (1 << 22):
+                # task-slot blow-up: every one of the nt·nseg segments
+                # reserves a partial-chunk row, and the wrapper's per-task
+                # query gather is R·maxq·d f32 (p8 at nt32/150k: ~6M slots,
+                # 760 MB — compile OOM). High-probe queries keep the
+                # gather+rerank path.
+                scan = None
+        if scan is not None and fused_eligible(
+            "f32", scan["cell"], self.dim, min(k, 128)
+        ):
+            # k·nt lanes guarantee the top-k distinct ids survive the merge
+            # (≤ one copy per tree); the 512 cap bounds merge cost — above
+            # it (k·nt > 512) the tail can crowd, ~LSH's k2 compromise
+            k2 = min(k * nt, 512)
+            kb = min(128, max(8, 1 << (max(k, 8) - 1).bit_length()))
+            if "norms_lv" not in scan:
+                scan["norms_lv"] = tuple(
+                    jnp.stack([t.normals[lv] for t in self.trees])
+                    for lv in range(n_levels)
+                )
+                scan["thrs_lv"] = tuple(
+                    jnp.stack([t.thresholds[lv] for t in self.trees])
+                    for lv in range(n_levels)
+                )
+            norms_lv = scan["norms_lv"]
+            thrs_lv = scan["thrs_lv"]
+            packed = np.asarray(_forest_fused_e2e(
+                q, norms_lv, thrs_lv, scan["blocks"], scan["sn_blocks"],
+                scan["offsets"], scan["counts"], scan["order"], self.n,
+                n_probes=n_probes, shift=scan["shift"],
+                nseg_tree=nseg_tree, nt=nt, maxq=maxq, R=R, k=k, k2=k2,
+                kb=kb, metric=self.metric,
+                interpret=jax.default_backend() != "tpu",
+                layout=scan["layout"],
+            ))
+            return packed[:, k:].astype(np.int32), packed[:, :k]
         qb_size = min(query_block, max(nq, 8))
         pad = (-nq) % qb_size
         if pad:
@@ -326,6 +529,7 @@ class _ForestIndex(BaseIndex):
 
             obj._vec_hl = nav_hl_split(vecs)
             obj._qfns = {}
+            obj._scan_cache = None
         return obj
 
 
