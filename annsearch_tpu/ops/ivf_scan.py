@@ -378,11 +378,14 @@ def ivf_cluster_scan(
     flat_d = ds.reshape(-1, kc)                      # [ncl_pad·maxq, kc]
     flat_i = gs.reshape(-1, kc)
 
-    # regroup lanes per query (pad lanes -1 → +inf) and take the final top-k
-    gd = jnp.take(
-        flat_d, gather_map, axis=0, mode="fill", fill_value=float("inf")
-    )
-    gi2 = jnp.take(flat_i, gather_map, axis=0, mode="fill", fill_value=0)
+    # regroup lanes per query (pad lanes -1 → +inf) and take the final top-k.
+    # NOTE: ``mode="fill"`` only fills for indices ≥ size — NEGATIVE indices
+    # wrap to the array tail (XLA gather semantics), so a -1 pad lane would
+    # silently inject the LAST scan lane's results into every short query
+    # row; remap pads to ``size`` (a true out-of-bounds index) first.
+    gm = jnp.where(gather_map < 0, flat_d.shape[0], gather_map)
+    gd = jnp.take(flat_d, gm, axis=0, mode="fill", fill_value=float("inf"))
+    gi2 = jnp.take(flat_i, gm, axis=0, mode="fill", fill_value=0)
     gd = gd.reshape(nq, -1)
     gi2 = gi2.reshape(nq, -1)
     kk = min(k, gd.shape[1])

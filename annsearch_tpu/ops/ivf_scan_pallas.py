@@ -437,11 +437,14 @@ def fused_ivf_scan(
 
     flat_d = cd.reshape(-1, kb)
     flat_i = gi.reshape(-1, kb)
+    # pad lanes (-1) must map to a true out-of-bounds index: ``mode="fill"``
+    # wraps negative indices to the array tail instead of filling
+    gm = jnp.where(gather_map < 0, flat_d.shape[0], gather_map)
     gd = jnp.take(
-        flat_d, gather_map, axis=0, mode="fill", fill_value=float("inf")
+        flat_d, gm, axis=0, mode="fill", fill_value=float("inf")
     ).reshape(nq, -1)
     gi2 = jnp.take(
-        flat_i, gather_map, axis=0, mode="fill", fill_value=0
+        flat_i, gm, axis=0, mode="fill", fill_value=0
     ).reshape(nq, -1)
     kk = min(k, gd.shape[1])
     nd, pos = jax.lax.top_k(-gd, kk)

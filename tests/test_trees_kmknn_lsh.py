@@ -41,6 +41,30 @@ def test_annoy_more_trees_better(tdata):
     assert rb >= rs - 0.02
 
 
+@pytest.mark.parametrize("cls", [AnnoyIndex, KdTreeIndex])
+def test_forest_fused_scan_parity(tdata, monkeypatch, cls):
+    """The fused forest query (multi-probe descent → per-tree cell scan →
+    id dedup, one dispatch) must track the gather+rerank path at matched
+    probes, and never return duplicate ids (cross-tree dedup)."""
+    x, q, ti, _ = tdata
+    index = cls(x, n_trees=8, seed=0)
+    scan = index._scan_setup()
+    assert scan is not None and scan["cell"] == 128
+    counts = np.asarray(scan["counts"])
+    assert counts.sum() == index.n * len(index.trees)
+    fi, fd = index.query(q, 10, n_probes=4)
+    for row in fi:
+        assert len(np.unique(row)) == 10
+    assert np.all(np.diff(fd, axis=-1) >= 0)
+    monkeypatch.setenv("ANNSEARCH_NO_PALLAS", "1")
+    oi, od = index.query(q, 10, n_probes=4)
+    rec_f = calculate_recall(ti, fi, 10)
+    rec_o = calculate_recall(ti, oi, 10)
+    # both paths rerank the same probed leaves exactly; the fused merge
+    # keeps k·nt lanes so the distinct top-k always survives
+    assert rec_f >= rec_o - 0.02, (rec_f, rec_o)
+
+
 def test_kd_forest_recall(tdata):
     x, q, ti, _ = tdata
     index = KdTreeIndex(x, n_trees=16, seed=0)
