@@ -116,9 +116,11 @@ def _forest_fused_e2e(
     ``t·nseg_tree + (leaf >> shift)`` and the scan streams cells instead of
     gathering ``n_trees·probes·leaf`` candidate rows per query (the gather
     + rerank einsum was the measured floor of forest queries, ~1.0 s of a
-    2.0 s nt32 p4 query at 150k×32d). ``k2 = k·nt`` lanes survive the
-    merge — each original id appears at most once per tree, so the true
-    top-k distinct ids fit — and the LSH-style dedup keeps the k best.
+    2.0 s nt32 p4 query at 150k×32d). The merge is per-tree (``groups=nt``
+    in the fused scan — a [p·kb]-wide top-k per tree instead of one
+    [nt·p·kb]-wide global selection): each id appears at most once per
+    tree, so ``nt·k`` group-major lanes are guaranteed to contain the true
+    top-k distinct ids, and the LSH-style dedup keeps the k best.
     Returns packed [nq, 2k] (dists, ids as exact f32 values)."""
     from .lsh import _dedup_topk
 
@@ -159,32 +161,33 @@ def _forest_fused_e2e(
         )                                                # [ne, bq, nt]
         probe_leaves.append(jnp.moveaxis(extra, 0, 2))   # [bq, nt, ne]
     leaves_all = jnp.concatenate(probe_leaves, axis=2)   # [bq, nt, p]
-    segs = (
-        tix[:, :, None] * nseg_tree
-        + jax.lax.shift_right_logical(leaves_all, shift)
-    ).reshape(bq, -1)
-    # dedup probed cells per query: a flip at the LAST level probes the
-    # sibling leaf — the same 2-leaf cell — and duplicate (query, cell)
-    # tasks both waste scan rows and double per-row lane copies past the
-    # k·nt merge bound (measured: duplicate ids backfilling the top-k).
-    # Probe order is irrelevant to the inversion, so sort + sentinel-mask.
-    segs = jnp.sort(segs, axis=-1)
-    dup = jnp.concatenate(
-        [
-            jnp.zeros((bq, 1), bool),
-            segs[:, 1:] == segs[:, :-1],
-        ],
-        axis=-1,
-    )
-    segs = jnp.where(dup, nt * nseg_tree, segs)
+    cells = jax.lax.shift_right_logical(leaves_all, shift)
+    # dedup probed cells per (query, tree): multi-leaf cells collapse flip
+    # probes onto the same cell (a last-level flip probes the sibling leaf
+    # = the same cell, and every flip below the cell boundary likewise).
+    # Duplicate (query, cell) tasks waste scan rows and their duplicate
+    # lane copies backfill the per-tree top-k. p is small, so an O(p²)
+    # earlier-copy compare keeps the TREE-MAJOR layout the per-tree merge
+    # (``groups=nt``) needs — no sort.
+    p = cells.shape[2]
+    if p > 1:
+        earlier = jnp.tril(jnp.ones((p, p), bool), -1)
+        dup = jnp.any(
+            (cells[..., None, :] == cells[..., :, None]) & earlier, axis=-1
+        )
+    else:
+        dup = jnp.zeros(cells.shape, bool)
+    segs = (tix[:, :, None] * nseg_tree + cells).reshape(bq, -1)
+    segs = jnp.where(dup.reshape(bq, -1), nt * nseg_tree, segs)
 
     cids, lists, gmap = build_probe_lists_device(
         segs.astype(jnp.int32), nt * nseg_tree, maxq, R
     )
+    k_pg = min(k2, p * kb)  # per-tree survivors
     d, pos = fused_ivf_scan(
         q, cids, lists, gmap, blocks, sn_blocks, seg_offsets, seg_counts,
-        jnp.zeros((nt * nseg_tree, q.shape[1]), jnp.float32), k2, metric,
-        "f32", None, kb, interpret=interpret, layout=layout,
+        jnp.zeros((nt * nseg_tree, q.shape[1]), jnp.float32), k_pg, metric,
+        "f32", None, kb, interpret=interpret, layout=layout, groups=nt,
     )
     ids_dup = jnp.take(order_flat, jnp.clip(pos, 0, order_flat.shape[0] - 1))
     ids_dup = jnp.where(jnp.isinf(d), n, ids_dup)
@@ -250,6 +253,18 @@ class _ForestIndex(BaseIndex):
         while cell < 128:
             cell, shift = cell * 2, shift + 1
         n_pad = int(t0.order.shape[0])
+        # grow cells until the forest has ≤ ~8k segments: the fused kernel
+        # pays a fixed per-grid-step cost, so 65k 128-row cells (150k×nt32)
+        # ran grid-bound; 8× larger cells scan more rows per probe (MXU
+        # absorbs it) for 8× fewer steps — and each probe covers more
+        # leaves, so recall at a given probe count only goes up.
+        while (
+            nt * (n_pad // (2 * cell)) >= 8192
+            and cell < 1024
+            and n_pad % (2 * cell) == 0
+            and n_pad // (2 * cell) >= 8
+        ):
+            cell, shift = cell * 2, shift + 1
         nseg_tree = n_pad // cell
         bytes_est = nt * (n_pad + cell) * max(256, 4 * self.dim)
         if (
@@ -407,23 +422,29 @@ class _ForestIndex(BaseIndex):
             nseg_tree = scan["nseg_tree"]
             n_levels = self.trees[0].n_levels
             n_extra = min(n_probes - 1, n_levels) if n_probes > 1 else 0
-            maxq, R = device_probe_shapes(
-                nq, nt * (1 + n_extra), nt * nseg_tree, 1
-            )
-            if R * maxq > (1 << 22):
-                # task-slot blow-up: every one of the nt·nseg segments
-                # reserves a partial-chunk row, and the wrapper's per-task
-                # query gather is R·maxq·d f32 (p8 at nt32/150k: ~6M slots,
-                # 760 MB — compile OOM). High-probe queries keep the
-                # gather+rerank path.
-                scan = None
+            # block queries so the per-dispatch task-slot count stays
+            # bounded: the wrapper's per-task query gather is R·maxq
+            # slots × a 128-lane bf16 row — unblocked p8 at nt32/150k is
+            # ~6M slots ≈ 1.5 GB of transient (compile OOM). Halve the
+            # block until the slot budget holds (min 2048 — below that
+            # the per-block nseg partial-row floor dominates R).
+            qb = nq
+            while True:
+                maxq, R = device_probe_shapes(
+                    qb, nt * (1 + n_extra), nt * nseg_tree, 1
+                )
+                if R * maxq <= (1 << 22) or qb <= 2048:
+                    break
+                qb = -(-qb // 2)
+            if R * maxq > (1 << 23):
+                scan = None  # pathological (huge forest): gather path
         if scan is not None and fused_eligible(
             "f32", scan["cell"], self.dim, min(k, 128)
         ):
-            # k·nt lanes guarantee the top-k distinct ids survive the merge
-            # (≤ one copy per tree); the 512 cap bounds merge cost — above
-            # it (k·nt > 512) the tail can crowd, ~LSH's k2 compromise
-            k2 = min(k * nt, 512)
+            # per-tree merge keeps k lanes per tree (an id appears ≤ once
+            # per tree, so the top-k distinct ids always survive); the
+            # final dedup+top-k runs over nt·k group-major lanes
+            k2 = k
             kb = min(128, max(8, 1 << (max(k, 8) - 1).bit_length()))
             if "norms_lv" not in scan:
                 scan["norms_lv"] = tuple(
@@ -436,15 +457,25 @@ class _ForestIndex(BaseIndex):
                 )
             norms_lv = scan["norms_lv"]
             thrs_lv = scan["thrs_lv"]
-            packed = np.asarray(_forest_fused_e2e(
-                q, norms_lv, thrs_lv, scan["blocks"], scan["sn_blocks"],
-                scan["offsets"], scan["counts"], scan["order"], self.n,
-                n_probes=n_probes, shift=scan["shift"],
-                nseg_tree=nseg_tree, nt=nt, maxq=maxq, R=R, k=k, k2=k2,
-                kb=kb, metric=self.metric,
-                interpret=jax.default_backend() != "tpu",
-                layout=scan["layout"],
-            ))
+            pad = (-nq) % qb
+            qp = (
+                jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+                if pad
+                else q
+            )
+            outs = []
+            for s in range(0, qp.shape[0], qb):
+                outs.append(np.asarray(_forest_fused_e2e(
+                    qp[s : s + qb], norms_lv, thrs_lv, scan["blocks"],
+                    scan["sn_blocks"], scan["offsets"], scan["counts"],
+                    scan["order"], self.n,
+                    n_probes=n_probes, shift=scan["shift"],
+                    nseg_tree=nseg_tree, nt=nt, maxq=maxq, R=R, k=k, k2=k2,
+                    kb=kb, metric=self.metric,
+                    interpret=jax.default_backend() != "tpu",
+                    layout=scan["layout"],
+                )))
+            packed = np.concatenate(outs)[:nq]
             return packed[:, k:].astype(np.int32), packed[:, :k]
         qb_size = min(query_block, max(nq, 8))
         pad = (-nq) % qb_size

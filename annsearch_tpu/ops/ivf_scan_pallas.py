@@ -297,7 +297,7 @@ def _fused_cell_scan(
     jax.jit,
     static_argnames=(
         "k", "metric", "mode", "kb", "interpret", "q_split", "fold_depth",
-        "layout",
+        "layout", "groups",
     ),
 )
 def fused_ivf_scan(
@@ -319,6 +319,7 @@ def fused_ivf_scan(
     q_split: bool = True,
     fold_depth: int = 2,
     layout: str = "plain",
+    groups: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused-kernel replacement for ``ivf_cluster_scan`` (approx selection).
 
@@ -327,8 +328,14 @@ def fused_ivf_scan(
     and cells share one 128-lane contraction — all four cross terms in one
     or two matmul passes instead of three lane-padded ones.
 
-    Returns ``(best_d, best_i)`` of shape ``[nq, k]`` ascending, with
-    ``best_i`` positions in the sorted storage.
+    ``groups > 1`` splits each query's ``T`` task lanes into ``groups``
+    equal runs (T must divide) and takes an independent top-k per run —
+    the forest path's per-tree merge: a narrow per-group sort replaces one
+    very wide global selection whose width would otherwise grow with the
+    group count. Output is then ``[nq, groups·k]``, group-major.
+
+    Returns ``(best_d, best_i)`` of shape ``[nq, k]`` ascending (or
+    ``[nq, groups·k]``), with ``best_i`` positions in the sorted storage.
     """
     nq, d = queries.shape
     nseg = seg_offsets.shape[0]
@@ -446,15 +453,24 @@ def fused_ivf_scan(
     gi2 = jnp.take(
         flat_i, gm, axis=0, mode="fill", fill_value=0
     ).reshape(nq, -1)
+    if groups > 1:
+        gd = gd.reshape(nq * groups, -1)
+        gi2 = gi2.reshape(nq * groups, -1)
     kk = min(k, gd.shape[1])
     nd, pos = jax.lax.top_k(-gd, kk)
     best_i = jnp.take_along_axis(gi2, pos, axis=-1)
     best_d = -nd
     if kk < k:
         best_d = jnp.concatenate(
-            [best_d, jnp.full((nq, k - kk), jnp.inf, jnp.float32)], axis=-1
+            [best_d,
+             jnp.full((best_d.shape[0], k - kk), jnp.inf, jnp.float32)],
+            axis=-1,
         )
         best_i = jnp.concatenate(
-            [best_i, jnp.zeros((nq, k - kk), jnp.int32)], axis=-1
+            [best_i, jnp.zeros((best_i.shape[0], k - kk), jnp.int32)],
+            axis=-1,
         )
+    if groups > 1:
+        best_d = best_d.reshape(nq, -1)
+        best_i = best_i.reshape(nq, -1)
     return best_d, best_i
