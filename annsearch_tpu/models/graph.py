@@ -56,7 +56,7 @@ BRUTE_BUILD_FLOP_BUDGET = 1_000_000 * 1_000_000 * 256
     ),
 )
 def _cagra_query(
-    q, vectors, sqnorms, nav_graph, router_ids, hl,
+    q, vectors, sqnorms, nav_graph, router_ids, hl, packed,
     *, k, beam, iters, expand, n_entries, qb, metric,
 ):
     """Route → beam-search, ONE jitted dispatch (eager per-op routing +
@@ -86,7 +86,7 @@ def _cagra_query(
         qq, ee = args
         return beam_search(
             qq, vectors, sqnorms, nav_graph, ee, k, beam, iters, metric,
-            expand, vectors_hl=hl if hl else None,
+            expand, vectors_hl=hl if hl else None, packed_nbrs=packed,
         )
 
     d, i = jax.lax.map(
@@ -258,6 +258,15 @@ class NNDescentIndex(BaseIndex):
         self.nav_graph = jnp.concatenate(
             [nav, jnp.full((1, nav.shape[1]), n, jnp.int32)]
         )
+        self._packed_nbrs = None
+
+    def _ensure_packed(self) -> None:
+        if getattr(self, "_packed_nbrs", None) is None:
+            from ..ops.graph import maybe_pack_neighbors
+
+            self._packed_nbrs = maybe_pack_neighbors(
+                self.vectors, self.sqnorms, self.nav_graph
+            )
 
     # -- queries -----------------------------------------------------------
 
@@ -282,6 +291,7 @@ class NNDescentIndex(BaseIndex):
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, k)
         self._ensure_nav()
+        self._ensure_packed()
         beam = beam if beam is not None else max(32, 2 * k)
         beam = min(beam, self.n)
         # measured on 150k×32d: 8–12 iterations saturate recall with routed
@@ -293,6 +303,7 @@ class NNDescentIndex(BaseIndex):
         d, i = _cagra_query(
             q, self.vectors, self.sqnorms, self.nav_graph, self.router_ids,
             self._nav_hl if self._nav_hl is not None else (),
+            self._packed_nbrs,
             k=k, beam=beam, iters=iters, expand=expand,
             n_entries=n_entries, qb=qb, metric=self.metric,
         )

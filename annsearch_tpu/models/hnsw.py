@@ -187,8 +187,8 @@ class HnswIndex(BaseIndex):
         static_argnames=("k", "beam", "iters", "qb", "metric", "expand"),
     )
     def _hnsw_query_impl(
-        q, vectors, sqnorms, base_graph, hl, layer_args, entry_global,
-        *, k, beam, iters, qb, metric, expand,
+        q, vectors, sqnorms, base_graph, hl, packed, layer_args,
+        entry_global, *, k, beam, iters, qb, metric, expand,
     ):
         nq = q.shape[0]
         if layer_args is not None:
@@ -223,6 +223,7 @@ class HnswIndex(BaseIndex):
             return beam_search(
                 qq, vectors, sqnorms, base_graph, ee, k, beam, iters,
                 metric, expand=expand, vectors_hl=hl if hl else None,
+                packed_nbrs=packed,
             )
 
         d, i = jax.lax.map(
@@ -256,6 +257,12 @@ class HnswIndex(BaseIndex):
             from ..ops.graph import nav_hl_split
 
             self._nav_hl = nav_hl_split(self.vectors)
+        if not hasattr(self, "_packed_nbrs"):
+            from ..ops.graph import maybe_pack_neighbors
+
+            self._packed_nbrs = maybe_pack_neighbors(
+                self.vectors, self.sqnorms, self.base_graph
+            )
 
         # Upper-layer routing. The reference descends greedily from a single
         # top node (hnsw.rs:1156) — that works because insert-time
@@ -273,7 +280,7 @@ class HnswIndex(BaseIndex):
         d, i = self._hnsw_query_impl(
             q, self.vectors, self.sqnorms, self.base_graph,
             self._nav_hl if self._nav_hl is not None else (),
-            layer_args, jnp.int32(self.entry_global),
+            self._packed_nbrs, layer_args, jnp.int32(self.entry_global),
             k=k, beam=beam, iters=iters, qb=qb, metric=self.metric,
             expand=expand,
         )

@@ -38,7 +38,7 @@ _INF = jnp.float32(jnp.inf)
     jax.jit, static_argnames=("k", "beam", "iters", "expand", "qb", "metric")
 )
 def _vamana_query(
-    q, vectors, sqnorms, graph, medoid_arr, hl,
+    q, vectors, sqnorms, graph, medoid_arr, hl, packed,
     *, k, beam, iters, expand, qb, metric,
 ):
     """Medoid-entry beam search, ONE jitted dispatch (eager pad/broadcast
@@ -56,7 +56,7 @@ def _vamana_query(
         qq, ee = args
         return beam_search(
             qq, vectors, sqnorms, graph, ee, k, beam, iters, metric, expand,
-            vectors_hl=hl if hl else None,
+            vectors_hl=hl if hl else None, packed_nbrs=packed,
         )
 
     d, i = jax.lax.map(
@@ -234,11 +234,18 @@ class VamanaIndex(BaseIndex):
             from ..ops.graph import nav_hl_split
 
             self._nav_hl = nav_hl_split(self.vectors)
+        if not hasattr(self, "_packed_nbrs"):
+            from ..ops.graph import maybe_pack_neighbors
+
+            self._packed_nbrs = maybe_pack_neighbors(
+                self.vectors, self.sqnorms, self.graph
+            )
 
         qb = min(query_block, max(q.shape[0], 8))
         d, i = _vamana_query(
             q, self.vectors, self.sqnorms, self.graph, self.medoid_arr,
             self._nav_hl if self._nav_hl is not None else (),
+            self._packed_nbrs,
             k=k, beam=beam, iters=iters, expand=expand, qb=qb,
             metric=self.metric,
         )

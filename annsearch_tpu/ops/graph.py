@@ -49,6 +49,8 @@ __all__ = [
     "add_reverse_edges",
     "beam_search",
     "nav_hl_split",
+    "pack_neighbor_table",
+    "neighbor_pack_bytes",
 ]
 
 
@@ -65,6 +67,79 @@ def nav_hl_split(vectors: jax.Array):
 
 _INF = jnp.float32(jnp.inf)
 _BIG = jnp.float32(1e30)
+
+
+def neighbor_pack_bytes(n: int, deg: int, d: int) -> int:
+    """HBM cost of :func:`pack_neighbor_table` — bf16 ``[n+1, deg·(2d+2)]``."""
+    return 2 * (n + 1) * deg * (2 * d + 2)
+
+
+def maybe_pack_neighbors(
+    vectors: jax.Array, sqnorms: jax.Array, graph: jax.Array
+) -> jax.Array | None:
+    """:func:`pack_neighbor_table` gated on an HBM budget
+    (``ANNSEARCH_NBR_PACK_BYTES``, default 4 GiB — the table trades
+    ``deg·(2d+2)/d`` × the vector bytes for multi-KB beam-search DMAs)."""
+    import os
+
+    np1, d = vectors.shape
+    budget = int(os.environ.get("ANNSEARCH_NBR_PACK_BYTES", 4 << 30))
+    if neighbor_pack_bytes(np1 - 1, graph.shape[1], d) > budget:
+        return None
+    return pack_neighbor_table(vectors, sqnorms, graph)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pack_neighbor_table(
+    vectors: jax.Array,     # [n+1, d] f32 (sentinel row n)
+    sqnorms: jax.Array,     # [n+1]
+    graph: jax.Array,       # [n+1, deg] int32 (sentinel id = n)
+    chunk: int = 4096,
+) -> jax.Array:
+    """Materialise each node's neighbourhood as ONE contiguous bf16 row.
+
+    The per-iteration floor of :func:`beam_search` is the candidate-row
+    gather: ``expand·deg`` random 64–128 B reads per query from the vector
+    table run at a few GB/s on TPU (HBM gathers want ≥ ~1 KB granularity).
+    Packing each node's neighbour vectors next to the node turns that into
+    ``expand`` reads of ``deg·(2d+2)·2`` B (multi-KB DMAs) — the same trade
+    the reference's GPU CAGRA kernel gets from coalesced warp loads
+    (src/gpu/cagra_gpu_search.rs:382-817), achieved here through layout
+    instead of thread scheduling.
+
+    Per edge j of node u the packed lanes are ``[xh(d) | xl(d) | sh | sl]``
+    where (xh, xl) is the f32-grade mantissa split of the neighbour vector
+    (qh·xh + qh·xl + ql·xh recovers HIGH-precision dots — see _tile_dists)
+    and (sh, sl) splits its squared norm (one bf16 lane would cost
+    ~|x|²·2⁻⁹, above the ~1e-3 neighbour gaps of clustered data).
+    Returns ``[n+1, deg·(2d+2)]`` bf16; sentinel edges pack as zeros
+    (callers mask ``id ≥ n`` via the id graph they gather anyway).
+    """
+    from ..utils.dist import mantissa_split
+
+    np1, d = vectors.shape
+    deg = graph.shape[1]
+    pad = (-np1) % chunk
+
+    def block(g):
+        safe = jnp.minimum(g, np1 - 1)
+        nv = vectors[safe]                       # [c, deg, d]
+        nsq = sqnorms[safe]                      # [c, deg]
+        valid = (g < np1 - 1)[..., None]
+        xh, xl = mantissa_split(nv, 2)
+        sh, sl = mantissa_split(nsq[..., None], 2)
+        row = jnp.concatenate(
+            [xh.astype(jnp.bfloat16), xl.astype(jnp.bfloat16),
+             sh.astype(jnp.bfloat16), sl.astype(jnp.bfloat16)], axis=-1
+        )
+        row = jnp.where(valid, row, jnp.bfloat16(0))
+        return row.reshape(g.shape[0], deg * (2 * d + 2))
+
+    gp = jnp.concatenate(
+        [graph, jnp.full((pad, deg), np1 - 1, graph.dtype)]
+    ) if pad else graph
+    out = jax.lax.map(block, gp.reshape(-1, chunk, deg))
+    return out.reshape(-1, deg * (2 * d + 2))[:np1]
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +620,7 @@ def beam_search(
     metric: Dist,
     expand: int = 2,
     vectors_hl: tuple[jax.Array, jax.Array] | None = None,
+    packed_nbrs: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fixed-iteration batched greedy beam search (reference
     cagra_beam_search, cagra_gpu_search.rs:382-817 — per-query candidate
@@ -557,18 +633,54 @@ def beam_search(
     (qh·xh + qh·xl + ql·xh, query split computed once, no gather) recover
     f32-grade scores at ~2/3 the gather cost.
 
+    ``packed_nbrs`` — optional :func:`pack_neighbor_table` output. The
+    per-iteration neighbour scores then come from ``expand`` contiguous
+    multi-KB rows per query instead of ``expand·deg`` 64–128 B random
+    reads (the measured iteration floor); entry scoring keeps the table
+    path.
+
     Returns (dists [bq, k], ids [bq, k]) ascending; unreached slots have
     id = n and dist = inf.
     """
     bq = q.shape[0]
     n = vectors.shape[0] - 1
     deg = graph.shape[1]
+    d_dim = q.shape[1]
     q_sq = sq_norms(q)
-    if vectors_hl is not None:
+    if vectors_hl is not None or packed_nbrs is not None:
         from ..utils.dist import mantissa_split
 
         q_hi, q_lo = mantissa_split(q, 2)
+    if vectors_hl is not None:
         x_hi, x_lo = vectors_hl
+
+    def packed_dists(sel_ids, nbrs):
+        # XLA:CPU cannot run batched bf16×bf16→f32 dots — cast up off-TPU
+        # (tests exercise the same layout/masking; the dtype is the only
+        # backend switch)
+        bf = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        rows = packed_nbrs[jnp.minimum(sel_ids, n)]  # [bq, e, deg·(2d+2)]
+        rows = rows.reshape(bq, -1, 2 * d_dim + 2)   # [bq, e·deg, 2d+2]
+        xh = rows[..., :d_dim].astype(bf)
+        xl = rows[..., d_dim : 2 * d_dim].astype(bf)
+        e = functools.partial(
+            jnp.einsum, "qd,qcd->qc", preferred_element_type=jnp.float32
+        )
+        qh = q_hi.astype(bf)
+        ql = q_lo.astype(bf)
+        # all four terms: the lo·lo term costs no extra gather here (both
+        # parts ride the packed row) and kills the systematic +2|x_lo|²
+        # bias that 3-term scoring puts on near-zero distances (self-query
+        # distances sat at ~2⁻⁸ without it)
+        dots = e(qh, xh) + e(qh, xl) + e(ql, xh) + e(ql, xl)
+        if metric == Dist.COSINE:
+            d = 1.0 - dots
+        else:
+            nsq = rows[..., 2 * d_dim].astype(jnp.float32) + rows[
+                ..., 2 * d_dim + 1
+            ].astype(jnp.float32)
+            d = jnp.maximum(q_sq[:, None] + nsq - 2.0 * dots, 0.0)
+        return jnp.where(nbrs >= n, _INF, d)
 
     def cand_dists(cand):
         safe = jnp.minimum(cand, n)
@@ -580,6 +692,19 @@ def beam_search(
                 preferred_element_type=jnp.float32,
             )
             dots = e(q_hi, ch) + e(q_hi, cl) + e(q_lo, ch)
+        elif packed_nbrs is not None:
+            # packed mode only reaches here for the (one-shot, few-entry)
+            # beam init — score it at the packed path's f32 grade via an
+            # on-the-fly split so init distances don't carry single-pass
+            # bf16 error (~‖q‖‖x‖·2⁻⁹) into the final top-k
+            from ..utils.dist import mantissa_split
+
+            ch, cl = mantissa_split(vectors[safe], 2)
+            e = functools.partial(
+                jnp.einsum, "qd,qcd->qc",
+                preferred_element_type=jnp.float32,
+            )
+            dots = e(q_hi, ch) + e(q_hi, cl) + e(q_lo, ch) + e(q_lo, cl)
         else:
             cv = vectors[safe]
             dots = jnp.einsum(
@@ -616,7 +741,10 @@ def beam_search(
 
         nbrs = graph[jnp.minimum(sel_ids, n)].reshape(bq, expand * deg)
         # dedup: against beam and within candidates
-        nd = cand_dists(nbrs)
+        if packed_nbrs is not None:
+            nd = packed_dists(sel_ids, nbrs)
+        else:
+            nd = cand_dists(nbrs)
         in_beam = jnp.any(
             nbrs[:, :, None] == ids[:, None, :], axis=-1
         )
