@@ -158,3 +158,59 @@ def test_diversify_graph_semantics(gdata):
     assert (ids < n).sum() < ids0_np.size
     dived = NNDescentIndex(x[:n], k=10, seed=0, diversify_prob=0.5)
     assert int((np.asarray(dived.knn_ids) < n).sum()) <= int((ids0_np < n).sum())
+
+
+def test_bitonic_sort_matches_jnp_sort():
+    from annsearch_tpu.ops.graph import bitonic_sort
+
+    rng = np.random.default_rng(7)
+    for N in (2, 8, 64, 256):
+        key = jnp.asarray(rng.normal(size=(5, N)).astype(np.float32))
+        pay = jnp.asarray(rng.integers(0, 1000, size=(5, N)).astype(np.int32))
+        sk, sp = bitonic_sort(key, pay)
+        np.testing.assert_allclose(np.asarray(sk), np.sort(np.asarray(key), -1))
+        # payload rides its key: re-derive via argsort on unique keys
+        order = np.argsort(np.asarray(key), -1, kind="stable")
+        np.testing.assert_array_equal(
+            np.asarray(sp), np.take_along_axis(np.asarray(pay), order, -1)
+        )
+
+
+def test_bitonic_sort_with_duplicates_and_inf():
+    from annsearch_tpu.ops.graph import bitonic_sort
+
+    key = jnp.array([[3.0, np.inf, 1.0, 3.0, np.inf, -2.0, 1.0, 0.0]])
+    pay = jnp.arange(8, dtype=jnp.int32)[None, :]
+    sk, sp = bitonic_sort(key, pay)
+    sk = np.asarray(sk)[0]
+    assert (np.diff(np.where(np.isinf(sk), 1e30, sk)) >= 0).all()
+    # every (key, payload) pair survives the permutation
+    got = sorted(zip(sk.tolist(), np.asarray(sp)[0].tolist()))
+    want = sorted(zip(np.asarray(key)[0].tolist(), list(range(8))))
+    assert [p for _, p in got] != [] and sorted(p for _, p in got) == sorted(
+        p for _, p in want
+    )
+
+
+def test_bitonic_merge_sorted():
+    from annsearch_tpu.ops.graph import bitonic_merge_sorted
+
+    rng = np.random.default_rng(3)
+    for N in (8, 32, 128):
+        a = np.sort(rng.normal(size=(4, N)).astype(np.float32), -1)
+        b = np.sort(rng.normal(size=(4, N)).astype(np.float32), -1)
+        pa = rng.integers(0, 99, size=(4, N)).astype(np.int32)
+        pb = rng.integers(100, 199, size=(4, N)).astype(np.int32)
+        mk, mpa = bitonic_merge_sorted(
+            jnp.asarray(a), jnp.asarray(b), [jnp.asarray(pa)], [jnp.asarray(pb)]
+        )
+        mk = np.asarray(mk)
+        np.testing.assert_allclose(
+            mk, np.sort(np.concatenate([a, b], -1), -1)
+        )
+        # payload multiset preserved per row
+        mpa = np.asarray(mpa)
+        for r in range(4):
+            assert sorted(mpa[r].tolist()) == sorted(
+                pa[r].tolist() + pb[r].tolist()
+            )
