@@ -141,8 +141,13 @@ class VamanaIndex(BaseIndex):
         super().__init__(mat, metric)
         n = self.n
         self.r_degree = min(r_degree, max(n - 1, 1))
+        # build_k does NOT scale with R: the prune pool is completed by the
+        # second-pass visited-set trails below (reference vamana.rs:427-559),
+        # so the base kNN graph only needs enough breadth to seed it. NND
+        # round cost grows with build_k² (the kk² neighbours-of-neighbours
+        # set) — 2·R at R=64 made builds 3× slower for no recall gain.
         build_k = min(
-            build_k if build_k is not None else 2 * self.r_degree,
+            build_k if build_k is not None else max(48, self.r_degree),
             max(n - 1, 1),
         )
 
@@ -187,16 +192,6 @@ class VamanaIndex(BaseIndex):
         pool_k = build_k + self.r_degree
         ids, dists = _merge_rows(ids, dists, rand_ids, rand_dists, pool_k)
 
-        # α-robust prune (reference runs α₁=1.0 then α₂, vamana.rs:427-559)
-        key, kp = jax.random.split(key)
-        pruned = robust_prune(
-            vecs, sq, ids, dists, alpha, self.r_degree, self.metric
-        )
-        graph = add_reverse_edges(kp, pruned, n, self.r_degree // 2)
-        self.graph = jnp.concatenate(
-            [graph, jnp.full((1, graph.shape[1]), n, jnp.int32)]
-        )
-
         # medoid: closest stored vector to the mean (reference compute_medoid
         # vamana.rs:251-311 — exact argmin of distance to the centroid)
         mean = jnp.mean(vecs[:n], axis=0, keepdims=True)
@@ -206,9 +201,100 @@ class VamanaIndex(BaseIndex):
         )
         self.medoid_arr = jnp.argmin(d_mean).astype(jnp.int32).reshape(1)
 
+        # first-pass α-robust prune (reference runs α₁=1.0 then α₂,
+        # vamana.rs:427-559)
+        key, kp = jax.random.split(key)
+        pruned = robust_prune(
+            vecs, sq, ids, dists, alpha, self.r_degree, self.metric
+        )
+        graph0 = add_reverse_edges(kp, pruned, n, self.r_degree // 2)
+        graph0 = jnp.concatenate(
+            [graph0, jnp.full((1, graph0.shape[1]), n, jnp.int32)]
+        )
+
+        # second pass (the step that gives Vamana its quality in the
+        # reference): each node's prune pool is completed with the VISITED
+        # SET of a beam search for itself from the medoid over the
+        # first-pass graph — the batched analogue of vamana.rs's
+        # greedy_search → robust_prune insert loop. Trails contribute the
+        # medium-range stepping stones a kNN pool lacks; α-pruning over
+        # them yields the cross-cluster highway edges.
+        pool_k = build_k + self.r_degree
+        ids, dists = self._second_pass_pool(
+            vecs, sq, graph0, ids, dists, pool_k
+        )
+        pruned = robust_prune(
+            vecs, sq, ids, dists, alpha, self.r_degree, self.metric
+        )
+        key, kp2 = jax.random.split(key)
+        graph = add_reverse_edges(kp2, pruned, n, self.r_degree // 2)
+        self.graph = jnp.concatenate(
+            [graph, jnp.full((1, graph.shape[1]), n, jnp.int32)]
+        )
+
     @property
     def medoid(self) -> int:
         return int(self.medoid_arr[0])
+
+    def _second_pass_pool(self, vecs, sq, graph0, ids, dists, pool_k):
+        """Merge each node's beam-search visited-set trail (from the
+        medoid, over the first-pass graph) into its prune pool — the
+        batched form of the reference's second build pass
+        (vamana.rs:427-559: greedy_search(V) feeds robust_prune)."""
+        n = self.n
+        medoid = self.medoid_arr
+        beam = min(64, max(self.r_degree, 32), max(n, 1))
+        iters = 12
+        expand = 4
+
+        @functools.partial(
+            jax.jit, static_argnames=("beam", "iters", "expand", "qb",
+                                      "metric", "pool_k"),
+        )
+        def run(vecs, sq, graph0, ids, dists, medoid, *, beam, iters,
+                expand, qb, metric, pool_k):
+            nq = n
+            q = vecs[:n]
+            pad = (-nq) % qb
+            if pad:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((pad, q.shape[1]), q.dtype)]
+                )
+            entries = jnp.broadcast_to(
+                medoid[None, :], (q.shape[0], 1)
+            ).astype(jnp.int32)
+
+            def blk(args):
+                qq, ee = args
+                _, _, td, tids = beam_search(
+                    qq, vecs, sq, graph0, ee, 1, beam, iters, metric,
+                    expand, return_trail=True,
+                )
+                return td, tids
+
+            td, tids = jax.lax.map(
+                blk,
+                (
+                    q.reshape(-1, qb, q.shape[1]),
+                    entries.reshape(-1, qb, 1),
+                ),
+            )
+            tw = td.shape[-1]
+            td = td.reshape(-1, tw)[:n]
+            tids = tids.reshape(-1, tw)[:n]
+            # a node's own trail visits itself — mask self-edges
+            self_row = tids == jnp.arange(n, dtype=jnp.int32)[:, None]
+            td = jnp.where(self_row | (tids >= n), jnp.inf, td)
+            from ..ops.graph import _merge_rows
+
+            return _merge_rows(ids, dists, tids, td, pool_k)
+
+        qb = min(1024, max(n, 8))
+        return run(
+            vecs, sq, graph0, ids, dists, medoid,
+            beam=beam, iters=iters, expand=expand, qb=qb,
+            metric=self.metric, pool_k=pool_k,
+        )
 
     def query(
         self,

@@ -704,7 +704,9 @@ def add_reverse_edges(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "beam", "iters", "expand", "metric")
+    jax.jit,
+    static_argnames=("k", "beam", "iters", "expand", "metric",
+                     "return_trail"),
 )
 def beam_search(
     q: jax.Array,           # [bq, d]
@@ -719,10 +721,18 @@ def beam_search(
     expand: int = 2,
     vectors_hl: tuple[jax.Array, jax.Array] | None = None,
     packed_nbrs: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    return_trail: bool = False,
+) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fixed-iteration batched greedy beam search (reference
     cagra_beam_search, cagra_gpu_search.rs:382-817 — per-query candidate
     queue + visited hash becomes a [bq, beam] sorted beam + expanded bits).
+
+    ``return_trail=True`` additionally returns the *expanded-node trail*
+    ``(trail_d, trail_ids)`` of shape ``[bq, iters·expand]`` — every node
+    the walk actually expanded, with its distance (sentinel n / +inf for
+    exhausted slots). This is the batched analogue of DiskANN's visited
+    set ``V`` (reference vamana.rs greedy_search returns it for the
+    build's robust-prune pool, vamana.rs:427-559).
 
     ``vectors_hl`` — optional (hi, lo) bf16 mantissa-split copies of
     ``vectors``. Candidate-row gathers are the measured floor of an
@@ -851,7 +861,7 @@ def beam_search(
     init_exp = init_ids >= n  # sentinels count as expanded
     init_d, init_ids, init_exp = trim(init_d, init_ids, init_exp)
 
-    def body(_, state):
+    def body_core(state):
         ids, d, exp = state
         # pick the `expand` best unexpanded beam entries: the beam is
         # sorted, so these are the first `expand` lanes with exp == False
@@ -868,6 +878,11 @@ def beam_search(
             ids, jnp.where(found, sel_pos, 0), axis=-1
         )
         sel_ids = jnp.where(found, sel_ids, n)  # exhausted beam → sentinel
+        sel_d = jnp.where(
+            found,
+            jnp.take_along_axis(d, jnp.where(found, sel_pos, 0), axis=-1),
+            _INF,
+        )
         exp = exp.at[
             jnp.arange(bq)[:, None], jnp.where(found, sel_pos, P)
         ].set(True, mode="drop")
@@ -893,13 +908,30 @@ def beam_search(
         new_d, new_ids, new_exp = md[:, :P], mids[:, :P], mexp[:, :P]
         new_exp = new_exp | (new_ids >= n) | jnp.isinf(new_d)
         new_d, new_ids, new_exp = trim(new_d, new_ids, new_exp)
-        return new_ids, new_d, new_exp
+        return (new_ids, new_d, new_exp), sel_ids, sel_d
 
-    ids, d, _ = jax.lax.fori_loop(
-        0, iters, body, (init_ids, init_d, init_exp)
-    )
+    if return_trail:
+        def body_scan(state, _):
+            new_state, sel_ids, sel_d = body_core(state)
+            return new_state, (sel_ids, sel_d)
+
+        (ids, d, _), (t_ids, t_d) = jax.lax.scan(
+            body_scan, (init_ids, init_d, init_exp), None, length=iters
+        )
+        # [iters, bq, expand] → [bq, iters·expand]
+        trail_ids = jnp.moveaxis(t_ids, 0, 1).reshape(bq, iters * expand)
+        trail_d = jnp.moveaxis(t_d, 0, 1).reshape(bq, iters * expand)
+    else:
+        ids, d, _ = jax.lax.fori_loop(
+            0, iters, lambda _, s: body_core(s)[0],
+            (init_ids, init_d, init_exp),
+        )
     # beam is sorted ascending — final top-k is a slice
     if k <= P:
-        return d[:, :k], ids[:, :k]
-    top_d, pos = jax.lax.top_k(-d, k)
-    return -top_d, jnp.take_along_axis(ids, pos, axis=-1)
+        out = d[:, :k], ids[:, :k]
+    else:
+        top_d, pos = jax.lax.top_k(-d, k)
+        out = -top_d, jnp.take_along_axis(ids, pos, axis=-1)
+    if return_trail:
+        return out[0], out[1], trail_d, trail_ids
+    return out
