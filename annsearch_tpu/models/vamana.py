@@ -18,14 +18,13 @@ closer neighbour w has ``α · d(w, v) < d(u, v)``; α > 1 keeps longer-range
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.graph import add_reverse_edges, beam_search, nnd_round, random_init_graph, rp_forest_round
+from ..ops.graph import add_reverse_edges, beam_search, random_init_graph
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
 
@@ -160,22 +159,15 @@ class VamanaIndex(BaseIndex):
 
         key = jax.random.key(seed)
         key, k0 = jax.random.split(key)
-        ids, dists = random_init_graph(k0, vecs, sq, build_k, self.metric)
-        leaf = 64
-        levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
-        for _ in range(n_trees):
-            key, kt = jax.random.split(key)
-            ids, dists = rp_forest_round(
-                kt, vecs, sq, ids, dists, levels, leaf, build_k, self.metric
-            )
-        flags = jnp.ones((n, build_k), bool)
-        for r in range(max_rounds):
-            key, kr = jax.random.split(key)
-            ids, dists, upd, flags = nnd_round(
-                kr, vecs, sq, ids, dists, build_k, self.metric, new_in=flags,
-            )
-            if float(upd) / max(n * build_k, 1) < 0.001:
-                break
+        # base kNN pool: exact MXU scan below the FLOP budget, forest+NND
+        # rounds above it (same economics inversion as the other graph
+        # builds — at the reference's 150k workload the NND rounds cost 8×
+        # the reference's build time while the exact scan costs ~1 s)
+        from .hnsw import _build_knn_graph
+
+        ids, dists = _build_knn_graph(
+            k0, vecs, sq, build_k, self.metric, n_trees, max_rounds
+        )
 
         # Mix random long-range candidates into the prune pool: the
         # reference's random-R init (vamana.rs:89-118) is what gives Vamana
