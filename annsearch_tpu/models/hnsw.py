@@ -62,12 +62,25 @@ def _build_knn_graph(
         dd, ii = topk_smallest(d, kk)
         return ii.astype(jnp.int32), dd
     if n * n * d_dim <= BRUTE_LAYER_FLOP_BUDGET:
+        import os
+
         from ..ops.topk import blocked_query_topk
 
+        # fused Pallas flat scan on TPU (same routing as the NNDescent
+        # brute path, models/graph._brute_knn_graph) — the XLA chunked
+        # path spends most of its time in per-chunk top-k merges at
+        # kk ≈ 50
+        selector = (
+            "fused"
+            if jax.default_backend() == "tpu"
+            and not os.environ.get("ANNSEARCH_NO_PALLAS")
+            else "exact"
+        )
         d, i = blocked_query_topk(
             vecs[:n], vecs[:n], min(kk + 1, n), metric,
             x_sqnorm=sq[:n] if metric == Dist.EUCLIDEAN else None,
             precision=jax.lax.Precision.HIGH,
+            selector=selector,
         )
         self_col = i == jnp.arange(n)[:, None]
         d = jnp.where(self_col, jnp.inf, d)
