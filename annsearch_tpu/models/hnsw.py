@@ -69,7 +69,11 @@ def _build_knn_graph(
         # fused Pallas flat scan on TPU (same routing as the NNDescent
         # brute path, models/graph._brute_knn_graph) — the XLA chunked
         # path spends most of its time in per-chunk top-k merges at
-        # kk ≈ 50
+        # kk ≈ 50. HIGHEST to actually match _brute_knn_graph: HIGH
+        # (3-pass, lo·lo term dropped) loses ~1e-3 neighbour gaps on
+        # tight-cluster data (recall 0.72 at 1M — see _brute_knn_graph);
+        # at d ≤ 64 the fused kernel packs the split parts into the
+        # 128-lane contraction so full precision costs ~2 passes, not 6
         selector = (
             "fused"
             if jax.default_backend() == "tpu"
@@ -79,7 +83,7 @@ def _build_knn_graph(
         d, i = blocked_query_topk(
             vecs[:n], vecs[:n], min(kk + 1, n), metric,
             x_sqnorm=sq[:n] if metric == Dist.EUCLIDEAN else None,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
             selector=selector,
         )
         self_col = i == jnp.arange(n)[:, None]

@@ -254,6 +254,11 @@ def blocked_query_topk(
     flat-scan kernel (bins state held in VMEM — no HBM carry spill; same
     ~1e-5 tail loss as "bins").
     """
+    if selector == "fused" and k > 128:
+        # the fused kernel extracts at most 128 ranks per query (kb cap in
+        # flat_topk_fused); ranks beyond that would silently come back as
+        # sentinels — route wide-k requests to the exact XLA scan instead
+        selector = "exact"
     if selector == "fused":
         from .flat_scan_pallas import flat_topk_fused
 

@@ -56,8 +56,8 @@ def test_robust_prune_alpha_one_prunes_more_than_large_alpha():
     keep_large = np.asarray(
         robust_prune(vecs, sq, ids, dists, 10.0, 3, Dist.EUCLIDEAN)
     )[0]
-    # at α=1.0, c IS dominated by a (1·121 < 144 → pruned); at α=10 it is
-    # not (10·121 ≥ 144 → kept), so c appears among the kept prefix
+    # at α=1.0, c IS dominated by a (1·361 < 400 → pruned); at α=10 it is
+    # not (10·361 ≥ 400 → kept), so c appears among the kept prefix
     assert keep_large.tolist()[:2] == [1, 3]
     # α=1.0 prunes both b and c → only a survives; pruned ids follow in
     # rank order
