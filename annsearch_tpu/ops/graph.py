@@ -464,15 +464,29 @@ def nnd_round(
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One NN-descent expansion round.
 
+    Candidate generation is *both-ways* (reference local joins propose each
+    pair to both endpoints, nndescent.rs:849-917): node u expands two hops
+    through the bidirectional adjacency ``B(u) = N(u) ∪ R(u)`` — forward
+    neighbours AND a reverse sample. The ``N(R(u))`` term is the gather-form
+    equivalent of the reference's reverse proposals: when a join at node p
+    would propose pair (u, q) to u (u, q ∈ N(p)), here u reaches q as
+    p ∈ R(u), q ∈ N(p). Without it, improvements discovered elsewhere can
+    only reach u through the r-slot 1-hop reverse sample and rounds stall
+    (measured: update rate 0.60 after 10 rounds at 1M — VERDICT r2).
+
     With ``new_in`` flags, implements the reference's incremental new/old
     candidate scheme (nndescent.rs:706-801 — edges are marked old once their
     pairs have been tried): the candidate c (reached u→v→c) is relevant only
-    if edge (u,v) or edge (v,c) is new, and each row's kk² fof set is
+    if edge (u,v) or edge (v,c) is new, and each row's fof set is
     *compacted* to the ``c_active`` relevant candidates before any vector
     gather — late rounds touch a fraction of the early-round candidates.
+    Reverse hops are always relevant: ``rev`` is sampled from edges that
+    were new last round, so (v→u) new ⇒ the pair is untried.
 
     Returns (ids, dists, n_updates, new_flags); feed ``new_flags`` back as
-    ``new_in`` next round.
+    ``new_in`` next round. ``n_updates`` counts edges in the new row that
+    were not in the old row (set difference, not positional: one insertion
+    shifts every later rank and would otherwise count as kk updates).
     """
     n = graph_ids.shape[0]
     k_rev, k_fof = jax.random.split(key)
@@ -491,27 +505,39 @@ def nnd_round(
         )
 
     n_pad = -(-n // tile) * tile
+    base_w = kk + r_slots
 
     def block(u):
         u_safe = jnp.minimum(u, n - 1)
         fwd = graph_ids[u_safe]                      # [t, kk]
-        fof = gid_x[jnp.minimum(fwd, n)]             # [t, kk, kk]
+        rv = rev[u_safe]                             # [t, r]
+        base = jnp.concatenate([fwd, rv], axis=-1)   # [t, kk+r]
+        fof = gid_x[jnp.minimum(base, n)]            # [t, kk+r, kk]
         if new_in is not None:
-            ca = min(c_active if c_active else 4 * kk, kk * kk)
-            rel = new_x[u_safe][:, :, None] | new_x[jnp.minimum(fwd, n)]
-            rel = rel.reshape(tile, kk * kk)
-            fof = fof.reshape(tile, kk * kk)
+            ca = min(c_active if c_active else 4 * kk, base_w * kk)
+            # forward hop u→v→c relevant iff edge (u,v) or (v,c) is new;
+            # reverse hop u→v (v ∈ R(u)) is relevant whenever v is real —
+            # v was sampled from edges flagged new, so (v→u) is new
+            rel_fwd = new_x[u_safe][:, :, None] | new_x[jnp.minimum(fwd, n)]
+            rel_rev = jnp.broadcast_to(
+                (rv < n)[:, :, None], (tile, r_slots, kk)
+            )
+            rel = jnp.concatenate([rel_fwd, rel_rev], axis=1)
+            rel = rel.reshape(tile, base_w * kk)
+            fof = fof.reshape(tile, base_w * kk)
             _, pos = jax.lax.top_k(rel.astype(jnp.float32), ca)
             sel_rel = jnp.take_along_axis(rel, pos, axis=-1)
             fof = jnp.where(
                 sel_rel, jnp.take_along_axis(fof, pos, axis=-1), n
             )
         else:
-            fof = fof.reshape(tile, kk * kk)
-            if fof_sample and fof_sample < kk * kk:
-                cols = jax.random.randint(k_fof, (fof_sample,), 0, kk * kk)
+            fof = fof.reshape(tile, base_w * kk)
+            if fof_sample and fof_sample < base_w * kk:
+                cols = jax.random.randint(
+                    k_fof, (fof_sample,), 0, base_w * kk
+                )
                 fof = fof[:, cols]
-        cand = jnp.concatenate([fof, rev[u_safe]], axis=-1)  # [t, C]
+        cand = jnp.concatenate([fof, rv], axis=-1)   # [t, C]
         safe_c = jnp.minimum(cand, n)
         cv = vectors[safe_c]
         d = _tile_dists(
@@ -526,13 +552,13 @@ def nnd_round(
         cand_top = jnp.take_along_axis(cand, ci, axis=-1)
         cur_ids, cur_d = graph_ids[u_safe], graph_dists[u_safe]
         new_ids, new_d = _merge_rows(cur_ids, cur_d, cand_top, -ncd, kk)
-        upd = jnp.sum(
-            (new_ids != cur_ids) & (u[:, None] < n), axis=-1
-        ).astype(jnp.int32)
         # an edge is "new" iff it was not in the row before this round
         fresh = ~jnp.any(
             new_ids[:, :, None] == cur_ids[:, None, :], axis=-1
         )
+        upd = jnp.sum(
+            fresh & (new_ids < n) & (u[:, None] < n), axis=-1
+        ).astype(jnp.int32)
         return new_ids, new_d, upd, fresh
 
     us = jnp.arange(n_pad).reshape(-1, tile)
@@ -799,7 +825,11 @@ def beam_search(
                 jnp.einsum, "qd,qcd->qc",
                 preferred_element_type=jnp.float32,
             )
-            dots = e(q_hi, ch) + e(q_hi, cl) + e(q_lo, ch)
+            # all four terms: lo·lo costs no extra gather (both parts are
+            # already fetched) and removes the +2|x_lo|² bias 3-term
+            # scoring puts on near-zero distances (self-query ~4e-3 off
+            # on 16-d clustered data without it)
+            dots = e(q_hi, ch) + e(q_hi, cl) + e(q_lo, ch) + e(q_lo, cl)
         elif packed_nbrs is not None:
             # packed mode only reaches here for the (one-shot, few-entry)
             # beam init — score it at the packed path's f32 grade via an
