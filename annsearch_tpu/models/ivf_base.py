@@ -450,15 +450,6 @@ class IvfBase(BaseIndex):
             owners[offs[s] : offs[s] + cnts[s]] = seg_owner[s]
         return jnp.asarray(owners)
 
-    def _post_load(self):
-        self.nlist = int(self.nlist)
-        self.seg_size = int(self.seg_size)
-        # rebuild cluster_ptr from seg_centroids↔centroids equality is
-        # fragile; persist it as an array instead
-        raise NotImplementedError(
-            "use save()/load() helpers that persist cluster_ptr"
-        )
-
     def save(self, path: str) -> None:
         import json, os
 

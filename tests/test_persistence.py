@@ -94,3 +94,117 @@ def test_rabitq_save_load(tmp_path, pdata):
     )
     # the rerank store must survive the round-trip (r1 dropped it to None)
     assert loaded.store is not None
+
+
+# -- full IVF-family coverage (VERDICT r2 item 9: every IvfBase subclass
+#    must round-trip, not just the binary ones) -----------------------------
+
+
+def test_ivf_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.ivf import IvfIndex
+
+    x, _ = pdata
+    _roundtrip(IvfIndex(x, nlist=16, seed=0), IvfIndex, tmp_path,
+               {"nprobe": 8})
+
+
+def test_ivf_bf16_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.quantised.ivf import IvfIndexBf16
+
+    x, _ = pdata
+    _roundtrip(IvfIndexBf16(x, nlist=16, seed=0), IvfIndexBf16, tmp_path,
+               {"nprobe": 8})
+
+
+def test_ivf_sq8_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.quantised.ivf import IvfSq8Index
+
+    x, _ = pdata
+    _roundtrip(IvfSq8Index(x, nlist=16, seed=0), IvfSq8Index, tmp_path,
+               {"nprobe": 8})
+
+
+def test_ivf_pq_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.quantised.ivf import IvfPqIndex
+
+    x, _ = pdata
+    _roundtrip(IvfPqIndex(x, nlist=16, m=8, seed=0), IvfPqIndex, tmp_path,
+               {"nprobe": 8})
+
+
+def test_ivf_pq_fastscan_save_load(tmp_path, pdata):
+    # m == dim selects the int8 decode-cache fast-scan storage — its extra
+    # arrays (decode cache + scales) must survive the round-trip too
+    from annsearch_tpu.models.quantised.ivf import IvfPqIndex
+
+    x, _ = pdata
+    _roundtrip(IvfPqIndex(x, nlist=16, m=32, seed=0), IvfPqIndex, tmp_path,
+               {"nprobe": 8})
+
+
+def test_ivf_opq_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.quantised.ivf import IvfOpqIndex
+
+    x, _ = pdata
+    _roundtrip(IvfOpqIndex(x, nlist=16, m=8, seed=0), IvfOpqIndex, tmp_path,
+               {"nprobe": 8})
+
+
+def test_ivf_rabitq_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.binary.rabitq import IvfIndexRaBitQ
+
+    x, _ = pdata
+    index = IvfIndexRaBitQ(x, nlist=16, seed=0)
+    loaded = _roundtrip(
+        index, IvfIndexRaBitQ, tmp_path, {"nprobe": 8, "rerank_factor": 4}
+    )
+    assert loaded.store is not None
+
+
+# -- remaining families ------------------------------------------------------
+
+
+def test_exhaustive_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+
+    x, _ = pdata
+    _roundtrip(ExhaustiveIndex(x), ExhaustiveIndex, tmp_path)
+
+
+@pytest.mark.parametrize("cls_name", ["bf16", "sq8", "pq", "opq"])
+def test_flat_quantised_save_load(tmp_path, pdata, cls_name):
+    from annsearch_tpu.models.quantised import flat as qflat
+
+    cls = {
+        "bf16": qflat.ExhaustiveIndexBf16,
+        "sq8": qflat.ExhaustiveSq8Index,
+        "pq": qflat.ExhaustivePqIndex,
+        "opq": qflat.ExhaustiveOpqIndex,
+    }[cls_name]
+    x, _ = pdata
+    kw = {"m": 8, "seed": 0} if cls_name in ("pq", "opq") else {}
+    _roundtrip(cls(x, **kw), cls, tmp_path)
+
+
+def test_hnsw_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.hnsw import HnswIndex
+
+    x, _ = pdata
+    _roundtrip(HnswIndex(x, m=8, seed=0), HnswIndex, tmp_path)
+
+
+def test_kmknn_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.kmknn import KmknnIndex
+
+    x, _ = pdata
+    _roundtrip(KmknnIndex(x, seed=0), KmknnIndex, tmp_path)
+
+
+def test_lsh_save_load(tmp_path, pdata):
+    from annsearch_tpu.models.lsh import LSHIndex
+
+    x, _ = pdata
+    _roundtrip(
+        LSHIndex(x, num_tables=4, bits_per_hash=8, seed=0), LSHIndex,
+        tmp_path, {"n_probes": 4},
+    )
