@@ -1,5 +1,6 @@
 """Multi-chip sharding layer (mesh + shard_map query/build)."""
 
+from .graph_sharded import ShardedGraphIndex, ring_self_knn
 from .ivf_sharded import (
     ShardedIvfIndex,
     ShardedIvfPqIndex,
@@ -23,8 +24,10 @@ __all__ = [
     "ShardedExhaustive",
     "BatchShardedExhaustive",
     "GridShardedExhaustive",
+    "ShardedGraphIndex",
     "ShardedIvfIndex",
     "ShardedIvfPqIndex",
+    "ring_self_knn",
     "sharded_topk",
     "batch_sharded_topk",
     "grid_sharded_topk",
