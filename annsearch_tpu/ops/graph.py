@@ -525,7 +525,18 @@ def nnd_round(
             rel = jnp.concatenate([rel_fwd, rel_rev], axis=1)
             rel = rel.reshape(tile, base_w * kk)
             fof = fof.reshape(tile, base_w * kk)
-            _, pos = jax.lax.top_k(rel.astype(jnp.float32), ca)
+            # Random tie-break: top_k over the raw 0/1 flags breaks ties by
+            # COLUMN INDEX, so when > ca forward candidates are relevant
+            # (every early round) the reverse-hop block — concatenated after
+            # them — was never selected and both-ways propagation silently
+            # degraded to one-way (measured: 1M stalls at recall 0.78).
+            # Adding U[0,1) noise keeps all relevant ranked above all
+            # irrelevant but samples UNIFORMLY among relevant candidates,
+            # matching the reference's random candidate sampling
+            # (nndescent.rs:706-801 sampled new/old lists).
+            kb = jax.random.fold_in(k_fof, u[0])
+            noise = jax.random.uniform(kb, rel.shape)
+            _, pos = jax.lax.top_k(rel.astype(jnp.float32) + noise, ca)
             sel_rel = jnp.take_along_axis(rel, pos, axis=-1)
             fof = jnp.where(
                 sel_rel, jnp.take_along_axis(fof, pos, axis=-1), n

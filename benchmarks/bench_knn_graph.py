@@ -51,7 +51,26 @@ def main() -> None:
     ap.add_argument("--sample", type=int, default=8192)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--force-nnd", action="store_true",
+        help="disable the brute FLOP budget so the approximate NND build "
+        "path runs even where the exact MXU scan would be cheaper — the "
+        "regime 10M-scale builds live in",
+    )
+    ap.add_argument(
+        "--build-k", type=int, default=None,
+        help="intermediate graph width (default: k for the brute path — "
+        "it is exact at any width — and 2k for NND rounds, which need "
+        "the wider candidate pools to converge)",
+    )
+    ap.add_argument("--refine", type=int, default=0,
+                    help="two-hop refinement sweeps after convergence")
     args = ap.parse_args()
+
+    if args.force_nnd:
+        import annsearch_tpu.models.graph as _g
+
+        _g.BRUTE_BUILD_FLOP_BUDGET = 0
 
     t0 = time.time()
     x_host, _ = generate_data(
@@ -69,7 +88,13 @@ def main() -> None:
     ids = dists = None
     for rep in range(args.reps):
         t0 = time.time()
-        idx = NNDescentIndex(x, k=args.k, build_k=args.k)
+        build_k = args.build_k
+        if build_k is None and not args.force_nnd:
+            build_k = args.k
+        idx = NNDescentIndex(
+            x, k=args.k, build_k=build_k, refine_rounds=args.refine,
+            verbose=args.force_nnd,
+        )
         # scalar checksum forces the whole build on device without the
         # [n, k] readback (jax.block_until_ready is unreliable here)
         _ = float(np.asarray(jnp.sum(idx.knn_dists[:, 0])))
