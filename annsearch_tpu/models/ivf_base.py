@@ -24,9 +24,12 @@ import numpy as np
 from ..ops.ivf_scan import build_probe_lists_from_pairs, ivf_cluster_scan
 from ..ops.ivf_scan_pallas import fused_eligible, fused_ivf_scan, repack_blocks
 from ..ops.probe_device import (
+    build_probe_lists_compact,
     build_probe_lists_device,
+    compact_probe_shapes,
     device_probe_shapes,
     expand_probes_device,
+    route_pair_stats,
 )
 from ..ops.topk import topk_smallest
 from ..utils.dist import Dist, normalise, sq_norms
@@ -99,6 +102,102 @@ def _fused_query_e2e(
     # flushed/canonicalised somewhere between XLA and the host readback —
     # measured as ids silently corrupting (recall 0.95 → 0.35) while the
     # distance half of the buffer stayed correct.
+    return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
+
+
+def _exact_rescore(q, storage, d, i, k, metric):
+    """f32-EXACT rescore of a candidate pool: the fused kernel's 4-term
+    bf16 split carries ~16 mantissa bits through the products, which flips
+    near-tie ranks on tight-gap data (measured 0.9966 vs the XLA HIGHEST
+    scan's 0.9999 at 500k×64d lowrank). Recomputing the pooled candidates
+    elementwise in f32 — sum((q−v)²) / 1−q·v, no matmul identity — restores
+    full f32 grade; the pool margin (kb ≥ k+8 per segment, 2k per query)
+    makes a true top-k member falling out of the pool require ≥9
+    noise-flips at ~4e-5 relative, i.e. never."""
+    rows = jnp.clip(i, 0, storage.shape[0] - 1)
+    v = storage[rows]                                   # [nq, kp, d]
+    if metric == Dist.COSINE:
+        dx = 1.0 - jnp.einsum(
+            "qd,qpd->qp", q, v, preferred_element_type=jnp.float32
+        )
+    else:
+        diff = q[:, None, :] - v
+        dx = jnp.sum(diff * diff, axis=-1)
+    dx = jnp.where(jnp.isfinite(d), dx, jnp.inf)        # keep pad sentinels
+    nd, pos = jax.lax.top_k(-dx, k)
+    return -nd, jnp.take_along_axis(i, pos, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "nseg", "s_max", "maxq", "R", "k", "metric", "mode", "kb",
+        "interpret", "layout",
+    ),
+)
+def _fused_exact_query_e2e(
+    q, q_enc, centroids, cluster_ptr, blocks, sn_blocks, seg_offsets,
+    seg_counts, seg_cents, scales, storage, *, nprobe, nseg, s_max, maxq,
+    R, k, metric, mode, kb, interpret, layout="plain",
+):
+    """Recall-1.0 fused tier: route to CLUSTERS (reference nprobe semantics,
+    ivf.rs:261) → device segment expansion → task-list inversion → fused
+    Pallas scan with EXACT per-segment selection (no fold loss) and all four
+    mantissa cross terms, then an elementwise-f32 rescore of the pooled
+    candidates (``_exact_rescore``). Split cells' sentinel expansion slots
+    cost only the kernel's ``cnt == 0`` masked-write branch (no matmul),
+    unlike the XLA scan which pays them as real scan rows."""
+    probes = route_to_cells(q, centroids, nprobe, metric)
+    seg_probes = expand_probes_device(
+        probes.astype(jnp.int32), cluster_ptr, s_max, nseg
+    )
+    cluster_ids, lists, gmap = build_probe_lists_device(
+        seg_probes, nseg, maxq, R
+    )
+    kp = min(2 * k, 128) if mode == "f32" else k
+    d, i = fused_ivf_scan(
+        q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
+        seg_offsets, seg_counts, seg_cents, kp, metric, mode, scales, kb,
+        interpret=interpret, layout=layout, selection="exact",
+    )
+    if mode == "f32":
+        d, i = _exact_rescore(q, storage, d, i, k, metric)
+    return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
+def _route_probes(q, centroids, *, nprobe, metric):
+    return route_to_cells(q, centroids, nprobe, metric)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "P", "T_g", "nseg", "maxq", "R", "k", "metric", "mode", "kb",
+        "interpret", "layout",
+    ),
+)
+def _fused_exact_compact_scan(
+    q, q_enc, probes, cluster_ptr, blocks, sn_blocks, seg_offsets,
+    seg_counts, seg_cents, scales, storage, *, P, T_g, nseg, maxq, R, k,
+    metric, mode, kb, interpret, layout="plain",
+):
+    """Skew-proof half of the fused exact tier: compact (query, segment)
+    pair lists (no s_max sentinel fan-out) + exact-selection fused scan +
+    elementwise-f32 rescore. Runs as dispatch #2 after a routing-stats
+    readback sized (P, T_g, maxq, R) on the host — the probe data itself
+    never leaves the device."""
+    cluster_ids, lists, gmap = build_probe_lists_compact(
+        probes, cluster_ptr, P, T_g, nseg, maxq, R
+    )
+    kp = min(2 * k, 128) if mode == "f32" else k
+    d, i = fused_ivf_scan(
+        q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
+        seg_offsets, seg_counts, seg_cents, kp, metric, mode, scales, kb,
+        interpret=interpret, layout=layout, selection="exact",
+    )
+    if mode == "f32":
+        d, i = _exact_rescore(q, storage, d, i, k, metric)
     return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
 
@@ -334,6 +433,106 @@ class IvfBase(BaseIndex):
             d = arr[:, :k]
             i = arr[:, k:].astype(np.int32)
             return d, i
+        import os
+
+        # Recall-1.0 fused tier (f32 / sq8, where the kernel reproduces the
+        # XLA exact scan's distances: packed2 / 4-term hi/lo = f32-grade,
+        # int8 products exact in bf16): cluster routing + device segment
+        # expansion + EXACT per-segment selection. Replaces the XLA exact
+        # scan on TPU — measured 6,580 ms → fused at 500k×64d np22 (the
+        # XLA scan pays per-cell HBM round-trips and real scan rows for
+        # split-cell sentinel slots; the kernel skips both).
+        # ANNSEARCH_FUSED_EXACT=0 disables; =1 forces (interpret) off-TPU.
+        fe_env = os.environ.get("ANNSEARCH_FUSED_EXACT")
+        if (
+            not approx
+            and q_eff is None
+            and eff_mode in ("f32", "sq8")
+            and fused_eligible(
+                eff_mode, self.seg_size, int(self.storage.shape[1]), k
+            )
+            and int(self.storage.shape[0]) < (1 << 24)
+            and (jax.default_backend() == "tpu" or fe_env == "1")
+            and fe_env != "0"
+        ):
+            nseg = int(self.seg_offsets.shape[0])
+            s_max = self._seg_s_max()
+            blocks, sn_blocks = self._fused_blocks()
+            # f32: +8 per-segment margin so precision rank-flips can't push
+            # a true top-k member out of the pool (see _exact_rescore);
+            # sq8 distances are bit-exact in integer space — no margin
+            margin = 8 if eff_mode == "f32" else 0
+            kb = min(max(8, -(-(k + margin) // 8) * 8), 128)
+            interp = jax.default_backend() != "tpu"
+            if s_max == 1:
+                # no split cells: the dense expansion is the identity —
+                # route + invert + scan stay one dispatch
+                maxq, R = device_probe_shapes(nq, nprobe, nseg, s_max)
+                packed = _fused_exact_query_e2e(
+                    q,
+                    self._encode_queries(q),
+                    self.centroids,
+                    self._cluster_ptr_dev(),
+                    blocks,
+                    sn_blocks,
+                    self.seg_offsets,
+                    self.seg_counts,
+                    self._scan_seg_centroids(),
+                    self._codebooks(),
+                    self.storage,
+                    nprobe=nprobe,
+                    nseg=nseg,
+                    s_max=s_max,
+                    maxq=maxq,
+                    R=R,
+                    k=k,
+                    metric=self.metric,
+                    mode=eff_mode,
+                    kb=kb,
+                    interpret=interp,
+                    layout=self._fused_layout(),
+                )
+            else:
+                # split cells: dense [nq, nprobe·s_max] expansion explodes
+                # on skewed layouts (measured 33.5 GB HBM at 500k×64d
+                # lowrank, s_max 20) — route, read back TWO scalars of
+                # routing stats, then run the compact-pair scan sized
+                # exactly to the real (query, segment) pairs
+                probes = _route_probes(
+                    q, self.centroids, nprobe=nprobe, metric=self.metric
+                )
+                stats = np.asarray(
+                    route_pair_stats(probes, self._cluster_ptr_dev())
+                )
+                P, T_g, maxq, R = compact_probe_shapes(
+                    int(stats[0]), int(stats[1]), nseg
+                )
+                packed = _fused_exact_compact_scan(
+                    q,
+                    self._encode_queries(q),
+                    probes,
+                    self._cluster_ptr_dev(),
+                    blocks,
+                    sn_blocks,
+                    self.seg_offsets,
+                    self.seg_counts,
+                    self._scan_seg_centroids(),
+                    self._codebooks(),
+                    self.storage,
+                    P=P,
+                    T_g=T_g,
+                    nseg=nseg,
+                    maxq=maxq,
+                    R=R,
+                    k=k,
+                    metric=self.metric,
+                    mode=eff_mode,
+                    kb=kb,
+                    interpret=interp,
+                    layout=self._fused_layout(),
+                )
+            arr = np.asarray(packed)
+            return arr[:, :k], arr[:, k:].astype(np.int32)
         nseg = int(self.seg_offsets.shape[0])
         s_max = self._seg_s_max()
         # device task lists ONLY when no cluster is split (s_max == 1 ⇒

@@ -126,36 +126,38 @@ def _scan_kernel(
     nq_t: int,    # number of query mantissa terms (1 or 2)
     nx_t: int,    # number of cell mantissa terms (1 or 2)
     fold_depth: int,
+    selection: str,
 ):
     q_refs = refs[:nq_t]
     x_refs = refs[nq_t:nq_t + nx_t]
     qadd_ref = refs[nq_t + nx_t]      # [1, 8, maxq] f32 (sublane-replicated)
     sn_ref = refs[nq_t + nx_t + 1]    # [1, 8, seg] f32 (sublane-replicated)
-    cd_ref = refs[nq_t + nx_t + 2]    # [1, maxq, kb] f32
-    ci_ref = refs[nq_t + nx_t + 3]    # [1, maxq, kb] int32 (lane in segment)
+    cd_ref = refs[nq_t + nx_t + 2]    # [1, kb, maxq] f32 (kb-major: a
+    ci_ref = refs[nq_t + nx_t + 3]    # [1, kb, maxq] int32   [maxq, kb]
+    # block would put kb on the 128-lane axis and pad 8× in HBM)
     r = pl.program_id(0)
-    maxq_s = cd_ref.shape[1]
-    kb_s = cd_ref.shape[2]
+    kb_s = cd_ref.shape[1]
+    maxq_s = cd_ref.shape[2]
 
     # rows with no valid cells (sentinel / padding) skip all compute but
     # must still emit masked outputs — their lanes may appear in gather maps
     @pl.when(cnt_ref[r] == 0)
     def _():
-        cd_ref[0] = jnp.full((maxq_s, kb_s), _BIG, jnp.float32)
-        ci_ref[0] = jnp.zeros((maxq_s, kb_s), jnp.int32)
+        cd_ref[0] = jnp.full((kb_s, maxq_s), _BIG, jnp.float32)
+        ci_ref[0] = jnp.zeros((kb_s, maxq_s), jnp.int32)
 
     @pl.when(cnt_ref[r] > 0)
     def _():
         _scan_body(
             r, cnt_ref, q_refs, x_refs, qadd_ref, sn_ref, cd_ref, ci_ref,
             epilogue=epilogue, kb=kb, nq_t=nq_t, nx_t=nx_t,
-            fold_depth=fold_depth,
+            fold_depth=fold_depth, selection=selection,
         )
 
 
 def _scan_body(
     r, cnt_ref, q_refs, x_refs, qadd_ref, sn_ref, cd_ref, ci_ref,
-    *, epilogue, kb, nq_t, nx_t, fold_depth,
+    *, epilogue, kb, nq_t, nx_t, fold_depth, selection,
 ):
     dn = (((1,), (1,)), ((), ()))
 
@@ -170,6 +172,10 @@ def _scan_body(
         dots = dots + mm(q_refs[0], x_refs[1])
     if nq_t == 2:
         dots = dots + mm(q_refs[1], x_refs[0])
+    if nq_t == 2 and nx_t == 2 and selection == "exact":
+        # exact tier adds the lo·lo term: all four mantissa cross terms =
+        # f32-grade (Precision.HIGHEST parity with the XLA exact scan)
+        dots = dots + mm(q_refs[1], x_refs[1])
     maxq, seg = dots.shape
     # rows are sublane-replicated ([*, 8, W] tiles — natively-tiled (8,128)
     # layouts; a (1, W) block is a partial tile Mosaic handles poorly)
@@ -194,47 +200,56 @@ def _scan_body(
     lane = jax.lax.broadcasted_iota(jnp.int32, (maxq, seg), 1)
     dist = jnp.where(lane < cnt_ref[r], dist, _BIG)
 
-    # stage 1: fold seg lanes → per-stride-class (best, runner-up) pairs
-    # (full-lane VPU ops). Keeping TWO survivors per residue class matters
-    # on clustered data, where a query's top-k concentrates in one cell:
-    # a single-survivor fold loses any top-k pair colliding mod 128.
-    li = jax.lax.broadcasted_iota(jnp.int32, (maxq, _LANES), 1)
-    vals = dist[:, :_LANES]
-    idx = li
-    if fold_depth == 2:
-        vals2 = jnp.full((maxq, _LANES), _BIG, jnp.float32)
-        idx2 = jnp.zeros((maxq, _LANES), jnp.int32)
-    for c in range(1, seg // _LANES):
-        nv = dist[:, c * _LANES:(c + 1) * _LANES]
-        ni = c * _LANES + li
-        upd = nv < vals
+    if selection == "exact":
+        # EXACT per-segment top-kb: extract straight from the full seg-wide
+        # distance tile — no fold, so no mod-128 collision loss (the fold
+        # tier's only approximation). Costs kb seg-wide VPU sweeps instead
+        # of kb 2·128-lane ones; worth it on the recall-1.0 query tier.
+        vals = dist
+        idx = lane
+    else:
+        # stage 1: fold seg lanes → per-stride-class (best, runner-up) pairs
+        # (full-lane VPU ops). Keeping TWO survivors per residue class
+        # matters on clustered data, where a query's top-k concentrates in
+        # one cell: a single-survivor fold loses any top-k pair colliding
+        # mod 128.
+        li = jax.lax.broadcasted_iota(jnp.int32, (maxq, _LANES), 1)
+        vals = dist[:, :_LANES]
+        idx = li
         if fold_depth == 2:
-            lose_v = jnp.where(upd, vals, nv)
-            lose_i = jnp.where(upd, idx, ni)
-        vals = jnp.where(upd, nv, vals)
-        idx = jnp.where(upd, ni, idx)
+            vals2 = jnp.full((maxq, _LANES), _BIG, jnp.float32)
+            idx2 = jnp.zeros((maxq, _LANES), jnp.int32)
+        for c in range(1, seg // _LANES):
+            nv = dist[:, c * _LANES:(c + 1) * _LANES]
+            ni = c * _LANES + li
+            upd = nv < vals
+            if fold_depth == 2:
+                lose_v = jnp.where(upd, vals, nv)
+                lose_i = jnp.where(upd, idx, ni)
+            vals = jnp.where(upd, nv, vals)
+            idx = jnp.where(upd, ni, idx)
+            if fold_depth == 2:
+                upd2 = lose_v < vals2
+                vals2 = jnp.where(upd2, lose_v, vals2)
+                idx2 = jnp.where(upd2, lose_i, idx2)
         if fold_depth == 2:
-            upd2 = lose_v < vals2
-            vals2 = jnp.where(upd2, lose_v, vals2)
-            idx2 = jnp.where(upd2, lose_i, idx2)
+            vals = jnp.concatenate([vals, vals2], axis=-1)
+            idx = jnp.concatenate([idx, idx2], axis=-1)
 
     # stage 2: kb sequential min-extractions from the survivors;
     # per-column writes (static lane index) rather than a lane-vector stack
-    if fold_depth == 2:
-        vals = jnp.concatenate([vals, vals2], axis=-1)
-        idx = jnp.concatenate([idx, idx2], axis=-1)
     for t in range(kb):
         v = jnp.min(vals, axis=-1)                        # [maxq]
         hit = vals == v[:, None]
         l_of_v = jnp.min(jnp.where(hit, idx, seg), axis=-1)
-        cd_ref[0, :, t] = v
-        ci_ref[0, :, t] = l_of_v
+        cd_ref[0, t, :] = v
+        ci_ref[0, t, :] = l_of_v
         vals = jnp.where(hit & (idx == l_of_v[:, None]), _BIG, vals)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kb", "epilogue", "interpret", "fold_depth"),
+    static_argnames=("kb", "epilogue", "interpret", "fold_depth", "selection"),
 )
 def _fused_cell_scan(
     qg,                   # tuple of [R, maxq, d] bf16 mantissa terms
@@ -247,6 +262,7 @@ def _fused_cell_scan(
     epilogue: str,
     interpret: bool,
     fold_depth: int = 2,
+    selection: str = "fold",
 ) -> tuple[jax.Array, jax.Array]:
     R, maxq, d = qg[0].shape
     seg = blocks[0].shape[1]
@@ -271,33 +287,50 @@ def _fused_cell_scan(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, maxq, kb), lambda r, blk, cnt: (r, 0, 0),
+            pl.BlockSpec((1, kb, maxq), lambda r, blk, cnt: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, maxq, kb), lambda r, blk, cnt: (r, 0, 0),
+            pl.BlockSpec((1, kb, maxq), lambda r, blk, cnt: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     kern = functools.partial(
         _scan_kernel, epilogue=epilogue, kb=kb,
         nq_t=len(qg), nx_t=len(blocks), fold_depth=fold_depth,
+        selection=selection,
     )
+    # both selection tiers keep the full [maxq, seg] distance tile plus live
+    # temporaries on the Mosaic stack — at maxq = seg = 1024 that is ~20 MB
+    # (exact: ~22 MB), over the 16 MB default scoped-vmem limit (measured
+    # OOM at 500k×64d np22). Size the limit to the tile: ~6 live f32
+    # [maxq, seg] arrays + double-buffered inputs.
+    need = 6 * maxq * seg * 4 + 4 * (maxq + seg) * d * 2
+    params = {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(32 * 2**20, need), 100 * 2**20)
+        )
+    }
     cd, ci = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((R, maxq, kb), jnp.float32),
-            jax.ShapeDtypeStruct((R, maxq, kb), jnp.int32),
+            jax.ShapeDtypeStruct((R, kb, maxq), jnp.float32),
+            jax.ShapeDtypeStruct((R, kb, maxq), jnp.int32),
         ],
         interpret=interpret,
+        **params,
     )(blk_ids, counts_r, *qg, *blocks, qadd, sn_blocks)
-    return cd, ci
+    # back to task-major [R, maxq, kb] for the row-gather epilogue (an XLA
+    # copy of the small output; the kb-major kernel layout exists to keep
+    # HBM tiles full — a [maxq, kb] block puts kb on the lane axis and pads
+    # kb=16 → 128, measured 8× HBM expansion at 500k-scale R)
+    return cd.swapaxes(1, 2), ci.swapaxes(1, 2)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "metric", "mode", "kb", "interpret", "q_split", "fold_depth",
-        "layout", "groups",
+        "layout", "groups", "selection",
     ),
 )
 def fused_ivf_scan(
@@ -320,6 +353,7 @@ def fused_ivf_scan(
     fold_depth: int = 2,
     layout: str = "plain",
     groups: int = 1,
+    selection: str = "fold",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused-kernel replacement for ``ivf_cluster_scan`` (approx selection).
 
@@ -436,7 +470,7 @@ def fused_ivf_scan(
     cd, ci = _fused_cell_scan(
         qk_t, qadd_rep,
         cid, cnts_x[cid], blocks, sn_blocks, kb, epilogue, interpret,
-        fold_depth=fold_depth,
+        fold_depth=fold_depth, selection=selection,
     )
     # lane → sorted-storage row (sentinel lane ``seg`` lands in the padded
     # trailing rows — storage carries ≥ seg_size pad, matching the XLA scan)

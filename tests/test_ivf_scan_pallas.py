@@ -130,3 +130,60 @@ def test_fused_packed_small_dim_matches_xla(dim, metric):
     np.testing.assert_allclose(
         np.sort(df, 1), np.sort(de, 1), rtol=5e-3, atol=5e-3
     )
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_fused_exact_tier_matches_xla_exact(metric, monkeypatch):
+    """The recall-1.0 fused tier (cluster routing + device segment expansion
+    + exact per-segment selection + all four mantissa cross terms) must
+    reproduce the XLA exact scan: same ids, f32-grade distances."""
+    x, _ = generate_clustered_data(1500, 64, 6, seed=11)
+    q = subsample_with_noise(x, 40, seed=12)
+    # seg_size 128 forces split cells (cells avg ~250 rows) → s_max > 1,
+    # exercising the sentinel expansion slots the kernel must skip
+    idx = IvfIndex(x, metric, nlist=6, seg_size=128)
+    assert idx._seg_s_max() > 1
+    monkeypatch.setenv("ANNSEARCH_FUSED_EXACT", "0")
+    ide, de = idx.query(q, 10, nprobe=3, approx=False)
+    monkeypatch.setenv("ANNSEARCH_FUSED_EXACT", "1")
+    idf, df = idx.query(q, 10, nprobe=3, approx=False)
+    agree = np.asarray(
+        [len(set(a) & set(b)) / 10 for a, b in zip(ide, idf)]
+    )
+    assert agree.mean() >= 0.99, agree.mean()
+    # both tiers are f32-grade but not bit-equal: the packed 4-term split
+    # carries ~16 mantissa bits through the products (measured max abs err
+    # vs f64 truth: fused 5e-3, XLA HIGHEST 1.4e-3 on this fixture)
+    np.testing.assert_allclose(
+        np.sort(df, 1), np.sort(de, 1), rtol=2e-3, atol=2e-2
+    )
+
+
+def test_fused_exact_tier_sq8(monkeypatch):
+    x, _ = generate_clustered_data(1200, 128, 5, seed=13)
+    q = subsample_with_noise(x, 30, seed=14)
+    idx = IvfSq8Index(x, "euclidean", nlist=5, seg_size=256)
+    monkeypatch.setenv("ANNSEARCH_FUSED_EXACT", "0")
+    ide, de = idx.query(q, 10, nprobe=3, approx=False)
+    monkeypatch.setenv("ANNSEARCH_FUSED_EXACT", "1")
+    idf, df = idx.query(q, 10, nprobe=3, approx=False)
+    agree = np.asarray(
+        [len(set(a) & set(b)) / 10 for a, b in zip(ide, idf)]
+    )
+    assert agree.mean() >= 0.99, agree.mean()
+    np.testing.assert_allclose(
+        np.sort(df, 1), np.sort(de, 1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_exact_full_probe_is_exhaustive(monkeypatch):
+    """Full-probe fused-exact must equal brute force exactly (recall 1.0)."""
+    x, _ = generate_clustered_data(1200, 64, 5, seed=15)
+    q = subsample_with_noise(x, 30, seed=16)
+    idx = IvfIndex(x, "euclidean", nlist=5, seg_size=256)
+    monkeypatch.setenv("ANNSEARCH_FUSED_EXACT", "1")
+    idf, df = idx.query(q, 10, nprobe=5, approx=False)
+    xn = x.astype(np.float64)
+    d2 = ((q[:, None, :].astype(np.float64) - xn[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :10]
+    assert calculate_recall(idf, gt, 10) >= 0.999
