@@ -33,6 +33,8 @@ from ..ops.graph import (
     beam_search,
     cagra_prune,
     diversify_graph,
+    kmeans_leaves,
+    leaf_join_merge,
     nnd_round,
     random_init_graph,
     rp_forest_round,
@@ -113,7 +115,7 @@ class NNDescentIndex(BaseIndex):
         k: int = 30,
         build_k: int | None = None,
         n_trees: int = 4,
-        max_rounds: int = 10,
+        max_rounds: int = 40,
         delta: float = 0.001,
         out_deg: int | None = None,
         reverse_extra: int | None = None,
@@ -166,19 +168,43 @@ class NNDescentIndex(BaseIndex):
                 k_init, vecs, sq, self.k_build, self.metric
             )
 
-            leaf = 64
+            # k-means-partitioned leaf joins (ops/graph.kmeans_leaves):
+            # leaves grouped by the jth-nearest cell (jth rotates — spill
+            # assignment) co-locate true neighbours far more often than
+            # random-projection splits, and the join itself is pure GEMM.
+            # One RP pass is kept for partition diversity.
+            leaf = max(16, min(256, n // 8))
+            from .kmeans import train_centroids
+
+            cents = train_centroids(
+                vecs[:n], max(64, n // (2 * leaf)), self.metric, seed=seed
+            )
             levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
             for t in range(n_trees):
                 key, kt = jax.random.split(key)
-                ids, dists = rp_forest_round(
-                    kt, vecs, sq, ids, dists, levels, leaf, self.k_build,
-                    self.metric,
-                )
+                if t == n_trees - 1:
+                    ids, dists = rp_forest_round(
+                        kt, vecs, sq, ids, dists, levels, leaf,
+                        self.k_build, self.metric,
+                    )
+                else:
+                    leaves = kmeans_leaves(
+                        kt, vecs, cents, t % 3, leaf, self.metric
+                    )
+                    ids, dists = leaf_join_merge(
+                        leaves, vecs, sq, ids, dists, self.k_build,
+                        self.metric,
+                    )
                 if verbose:
-                    print(f"forest pass {t + 1}/{n_trees} done")
+                    print(f"partition pass {t + 1}/{n_trees} done")
 
             total_edges = n * self.k_build
             flags = jnp.ones((n, self.k_build), bool)  # everything starts new
+            # each round expands a SAMPLE of pending blocks (ops/graph.py
+            # nnd_round), so one quiet round can be sampling luck — stop on
+            # two consecutive rounds below delta (reference loop semantics,
+            # nndescent_gpu.rs:1548-1652, adjusted for sampled rounds)
+            quiet = 0
             for r in range(max_rounds):
                 key, kr = jax.random.split(key)
                 ids, dists, upd, flags = nnd_round(
@@ -188,7 +214,8 @@ class NNDescentIndex(BaseIndex):
                 rate = float(upd) / max(total_edges, 1)
                 if verbose:
                     print(f"nnd round {r + 1}: update rate {rate:.4f}")
-                if rate < delta:
+                quiet = quiet + 1 if rate < delta else 0
+                if quiet >= 2:
                     break
 
             for r in range(refine_rounds):

@@ -380,50 +380,157 @@ def rp_forest_round(
         v = jax.random.normal(keys[lv], (vectors.shape[1],), jnp.float32)
         proj = vectors[jnp.minimum(ids, n)] @ v
         proj = jnp.where(ids < n, proj, _BIG)
-        # sort by (group, projection): stable partition within groups
-        composite = group * _BIG * 4.0 + jnp.clip(proj, -_BIG, _BIG)
-        order = jnp.argsort(composite)
-        ids = ids[order]
-        group = group[order]
+        # sort by (group, projection) as a TWO-KEY lexicographic sort. A
+        # float composite (group·BIG + proj) silently loses the projection:
+        # at group ≥ 1 the f32 resolution near group·4e30 is ~2.4e23, every
+        # real projection value ties, and the stable sort degenerates to
+        # re-chopping the level-0 ordering — i.e. the whole "tree" was one
+        # projection split (measured: 1M forest+NND stalled at recall 0.64).
+        group, _, ids = jax.lax.sort(
+            (group, proj, ids), num_keys=2, is_stable=False
+        )
         # split each group in half: new group id = rank within array // half
         ranks = jnp.arange(n_pad)
-        group = (ranks // max(n_pad // (2 ** (lv + 1)), leaf)).astype(jnp.float32)
+        group = (ranks // max(n_pad // (2 ** (lv + 1)), leaf)).astype(
+            jnp.int32
+        )
 
     leaves = ids.reshape(-1, leaf)                      # [g, leaf]
-    safe = jnp.minimum(leaves, n)
-    lv_vecs = vectors[safe]                             # [g, leaf, d]
-    lv_sq = sqnorms[safe]
+    return leaf_join_merge(
+        leaves, vectors, sqnorms, graph_ids, graph_dists, kk, metric
+    )
+
+
+def leaf_join_merge(
+    leaves: jax.Array,      # [g, leaf] member ids (≥ n = pad sentinel)
+    vectors: jax.Array,     # [n+1, d]
+    sqnorms: jax.Array,     # [n+1]
+    graph_ids: jax.Array,   # [n, kk]
+    graph_dists: jax.Array, # [n, kk]
+    kk: int,
+    metric: Dist,
+) -> tuple[jax.Array, jax.Array]:
+    """All-pairs join inside each leaf, merged into the members' graph rows.
+
+    The join is pure GEMM (the TPU-native substitute for the reference's
+    random-access local joins) and is chunked over leaf blocks with a
+    top-kk pre-select per member, so peak memory is O(n·kk) instead of
+    O(n·leaf): top-kk(row ∪ leaf) ≡ top-kk(row ∪ top-kk(leaf)), which
+    admits large (MXU-efficient) leaves. Scatters are collision-free —
+    leaves partition the points.
+    """
     from ..utils.dist import mantissa_split
 
-    lh, ll = mantissa_split(lv_vecs, 2)  # f32-grade pairs (see _tile_dists)
+    n = graph_ids.shape[0]
+    g, leaf = leaves.shape
+    ksel = min(kk, leaf - 1)
+    # ~32k members per chunk bounds the [bg, leaf, leaf] distance tile
+    bg = max(1, min(g, 32768 // leaf))
+    g_pad = -(-g // bg) * bg
+    if g_pad != g:
+        leaves = jnp.concatenate(
+            [leaves, jnp.full((g_pad - g, leaf), n, jnp.int32)]
+        )
+
     e = functools.partial(
         jnp.einsum, "gld,gmd->glm", preferred_element_type=jnp.float32
     )
-    dots = e(lh, lh) + e(lh, ll) + e(ll, lh)
-    if metric == Dist.COSINE:
-        d = 1.0 - dots
-    else:
-        d = jnp.maximum(lv_sq[:, :, None] + lv_sq[:, None, :] - 2.0 * dots, 0.0)
-    eye = jnp.eye(leaf, dtype=bool)[None]
-    invalid = (leaves[:, None, :] >= n) | (leaves[:, :, None] >= n) | eye
-    d = jnp.where(invalid, _INF, d)
 
-    # merge each leaf-row into its member's graph row (scatter by member id)
-    cand_ids = jnp.broadcast_to(leaves[:, None, :], d.shape).reshape(-1, leaf)
-    cand_d = d.reshape(-1, leaf)
-    members = leaves.reshape(-1)                        # [g*leaf]
-    safe_m = jnp.minimum(members, n - 1)
-    cur_ids = graph_ids[safe_m]
-    cur_d = graph_dists[safe_m]
+    def ljoin(lv):                                      # [bg, leaf]
+        safe = jnp.minimum(lv, n)
+        lv_vecs = vectors[safe]                         # [bg, leaf, d]
+        lv_sq = sqnorms[safe]
+        lh, ll = mantissa_split(lv_vecs, 2)             # f32-grade pairs
+        dots = e(lh, lh) + e(lh, ll) + e(ll, lh)
+        if metric == Dist.COSINE:
+            d = 1.0 - dots
+        else:
+            d = jnp.maximum(
+                lv_sq[:, :, None] + lv_sq[:, None, :] - 2.0 * dots, 0.0
+            )
+        eye = jnp.eye(leaf, dtype=bool)[None]
+        invalid = (lv[:, None, :] >= n) | (lv[:, :, None] >= n) | eye
+        d = jnp.where(invalid, _INF, d)
+        nd, pos = jax.lax.top_k(-d, ksel)               # [bg, leaf, ksel]
+        cid = jnp.take_along_axis(
+            jnp.broadcast_to(lv[:, None, :], d.shape), pos, axis=-1
+        )
+        return cid, -nd
+
+    cand_ids, cand_d = jax.lax.map(
+        ljoin, leaves.reshape(-1, bg, leaf)
+    )
+    cand_ids = cand_ids.reshape(-1, ksel)
+    cand_d = cand_d.reshape(-1, ksel)
+    members = leaves.reshape(-1)                        # [g_pad*leaf]
+    cur_ids = graph_ids[jnp.minimum(members, n - 1)]
+    cur_d = graph_dists[jnp.minimum(members, n - 1)]
     new_ids, new_d = _merge_rows(cur_ids, cur_d, cand_ids, cand_d, kk)
-    valid = (members < n)[:, None]
-    gi = graph_ids.at[safe_m].set(
-        jnp.where(valid, new_ids, cur_ids), mode="drop"
-    )
-    gd = graph_dists.at[safe_m].set(
-        jnp.where(valid, new_d, cur_d), mode="drop"
-    )
+    # pads scatter OUT of range and are dropped — clamping them to n-1
+    # would collide with (and nondeterministically clobber) the real last
+    # member's update
+    safe_m = jnp.where(members < n, members, n)
+    gi = graph_ids.at[safe_m].set(new_ids, mode="drop")
+    gd = graph_dists.at[safe_m].set(new_d, mode="drop")
     return gi, gd
+
+
+@functools.partial(jax.jit, static_argnames=("jth", "leaf", "metric", "tile"))
+def kmeans_leaves(
+    key: jax.Array,
+    vectors: jax.Array,      # [n+1, d]
+    centroids: jax.Array,    # [nc, d]
+    jth: int,
+    leaf: int,
+    metric: Dist,
+    tile: int = 131072,
+) -> jax.Array:
+    """Contiguous leaves grouped by the (jth+1)-nearest k-means cell,
+    sub-ordered inside each cell by a fresh random projection.
+
+    A k-means partition co-locates true neighbours far more often than a
+    random-projection split, and rotating ``jth`` across passes (spill
+    assignment — the same idea as IVF multi-probe) catches cell-boundary
+    pairs; the projection sub-order moves chunk boundaries inside large
+    cells between passes. Combined with ``leaf_join_merge`` this is the
+    MXU-shaped replacement for the reference's NN-descent sampling at
+    scale (nndescent.rs:706-801): all candidate generation is GEMM + sort,
+    no random-access gathers.
+    """
+    n = vectors.shape[0] - 1
+    nc = centroids.shape[0]
+    j = min(jth, nc - 1)
+    v = jax.random.normal(key, (vectors.shape[1],), jnp.float32)
+    csq = sq_norms(centroids)
+    cb = centroids.astype(jnp.bfloat16)
+
+    n_pad_t = -(-n // tile) * tile
+
+    def blk(i0):
+        rows = jnp.minimum(i0 + jnp.arange(tile, dtype=jnp.int32), n)
+        x = vectors[rows]
+        dots = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), cb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dc = -dots if metric == Dist.COSINE else csq[None, :] - 2.0 * dots
+        _, top = jax.lax.top_k(-dc, j + 1)
+        return top[:, j].astype(jnp.int32), x @ v
+
+    cells, projs = jax.lax.map(
+        blk, jnp.arange(0, n_pad_t, tile, dtype=jnp.int32)
+    )
+    cells = cells.reshape(-1)[:n]
+    projs = projs.reshape(-1)[:n]
+
+    n_pad = -(-n // leaf) * leaf
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
+    cellp = jnp.concatenate([cells, jnp.full((n_pad - n,), nc, jnp.int32)])
+    projp = jnp.concatenate(
+        [projs, jnp.full((n_pad - n,), _BIG, jnp.float32)]
+    )
+    _, _, ids = jax.lax.sort((cellp, projp, ids), num_keys=2, is_stable=False)
+    return ids.reshape(-1, leaf)
 
 
 def _reverse_sample(
@@ -503,6 +610,11 @@ def nnd_round(
         new_x = jnp.concatenate(
             [new_in, jnp.zeros((1, kk), bool)], axis=0
         )
+        # block-level "has any new out-edge" — cheap relevance bound for
+        # old hop-1 edges whose target rows gained edges elsewhere
+        row_any_new = jnp.concatenate(
+            [jnp.any(new_in, axis=1), jnp.zeros((1,), bool)]
+        )
 
     n_pad = -(-n // tile) * tile
     base_w = kk + r_slots
@@ -512,36 +624,60 @@ def nnd_round(
         fwd = graph_ids[u_safe]                      # [t, kk]
         rv = rev[u_safe]                             # [t, r]
         base = jnp.concatenate([fwd, rv], axis=-1)   # [t, kk+r]
-        fof = gid_x[jnp.minimum(base, n)]            # [t, kk+r, kk]
+        expanded = None
         if new_in is not None:
-            ca = min(c_active if c_active else 4 * kk, base_w * kk)
-            # forward hop u→v→c relevant iff edge (u,v) or (v,c) is new;
-            # reverse hop u→v (v ∈ R(u)) is relevant whenever v is real —
-            # v was sampled from edges flagged new, so (v→u) is new
-            rel_fwd = new_x[u_safe][:, :, None] | new_x[jnp.minimum(fwd, n)]
-            rel_rev = jnp.broadcast_to(
-                (rv < n)[:, :, None], (tile, r_slots, kk)
+            # BLOCK-level sampling (the reference's join granularity,
+            # nndescent.rs:706-801: a local join consumes a sampled
+            # neighbour's whole list, and only SAMPLED new edges flip to
+            # old). Two earlier schemes both failed at 1M: candidate-level
+            # index-order compaction starved the reverse blocks (stall at
+            # 0.78), and candidate-level uniform sampling scattered the
+            # budget into 2-3 candidates per block while flagging every
+            # edge old — permanently discarding the unexplored 90% of each
+            # new edge's expansion (recall fell to 0.64). Sampling whole
+            # blocks keeps the join semantics, and newness persists until
+            # a block is actually expanded, so no information is lost.
+            s_blk = max(1, min((c_active if c_active else 4 * kk) // kk,
+                               base_w))
+            new1 = new_x[u_safe]                     # [t, kk]
+            # priority: untried pairs (new fwd edge, or rev hop — sampled
+            # from new edges so (v→u) is new) rank above old edges with
+            # fresh targets; exhausted blocks rank nowhere
+            any_tgt = row_any_new[jnp.minimum(fwd, n)]
+            pri_fwd = jnp.where(
+                fwd < n,
+                jnp.where(new1, 2.0, jnp.where(any_tgt, 1.0, 0.0)),
+                0.0,
             )
-            rel = jnp.concatenate([rel_fwd, rel_rev], axis=1)
-            rel = rel.reshape(tile, base_w * kk)
-            fof = fof.reshape(tile, base_w * kk)
-            # Random tie-break: top_k over the raw 0/1 flags breaks ties by
-            # COLUMN INDEX, so when > ca forward candidates are relevant
-            # (every early round) the reverse-hop block — concatenated after
-            # them — was never selected and both-ways propagation silently
-            # degraded to one-way (measured: 1M stalls at recall 0.78).
-            # Adding U[0,1) noise keeps all relevant ranked above all
-            # irrelevant but samples UNIFORMLY among relevant candidates,
-            # matching the reference's random candidate sampling
-            # (nndescent.rs:706-801 sampled new/old lists).
+            pri_rev = jnp.where(rv < n, 2.0, 0.0)
+            pri = jnp.concatenate([pri_fwd, pri_rev], axis=-1)
             kb = jax.random.fold_in(k_fof, u[0])
-            noise = jax.random.uniform(kb, rel.shape)
-            _, pos = jax.lax.top_k(rel.astype(jnp.float32) + noise, ca)
-            sel_rel = jnp.take_along_axis(rel, pos, axis=-1)
-            fof = jnp.where(
-                sel_rel, jnp.take_along_axis(fof, pos, axis=-1), n
+            noise = jax.random.uniform(kb, pri.shape)
+            score = jnp.where(pri > 0, pri + noise, 0.0)
+            _, bidx = jax.lax.top_k(score, s_blk)    # [t, s_blk]
+            sel_pri = jnp.take_along_axis(pri, bidx, axis=-1)
+            sel_base = jnp.take_along_axis(base, bidx, axis=-1)
+            sel_safe = jnp.minimum(sel_base, n)
+            fof = gid_x[sel_safe]                    # [t, s_blk, kk]
+            # within an OLD selected block only fresh targets are untried
+            sel_new1 = jnp.take_along_axis(
+                jnp.concatenate(
+                    [new1, jnp.ones((tile, r_slots), bool)], axis=-1
+                ),
+                bidx, axis=-1,
             )
+            rel = sel_new1[:, :, None] | new_x[sel_safe]
+            rel = rel & (sel_pri > 0)[:, :, None]
+            fof = jnp.where(rel, fof, n).reshape(tile, s_blk * kk)
+            # expanded fwd slots: their (u,v) pair joins happened — flip old
+            expanded = jnp.any(
+                (bidx[:, :, None] == jnp.arange(kk, dtype=bidx.dtype)[
+                    None, None, :])
+                & (sel_pri > 0)[:, :, None],
+                axis=1,
+            )                                        # [t, kk]
         else:
+            fof = gid_x[jnp.minimum(base, n)]        # [t, kk+r, kk]
             fof = fof.reshape(tile, base_w * kk)
             if fof_sample and fof_sample < base_w * kk:
                 cols = jax.random.randint(
@@ -564,13 +700,20 @@ def nnd_round(
         cur_ids, cur_d = graph_ids[u_safe], graph_dists[u_safe]
         new_ids, new_d = _merge_rows(cur_ids, cur_d, cand_top, -ncd, kk)
         # an edge is "new" iff it was not in the row before this round
-        fresh = ~jnp.any(
-            new_ids[:, :, None] == cur_ids[:, None, :], axis=-1
-        )
+        eq = new_ids[:, :, None] == cur_ids[:, None, :]
+        fresh = ~jnp.any(eq, axis=-1)
+        flags = fresh
+        if expanded is not None:
+            # surviving edges that were new and NOT expanded this round
+            # carry their newness forward — their pair joins are still owed
+            carried = jnp.any(
+                eq & (new_x[u_safe] & ~expanded)[:, None, :], axis=-1
+            )
+            flags = fresh | carried
         upd = jnp.sum(
             fresh & (new_ids < n) & (u[:, None] < n), axis=-1
         ).astype(jnp.int32)
-        return new_ids, new_d, upd, fresh
+        return new_ids, new_d, upd, flags
 
     us = jnp.arange(n_pad).reshape(-1, tile)
     ids, dists, upd, fresh = jax.lax.map(block, us)

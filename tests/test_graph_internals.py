@@ -195,3 +195,73 @@ def test_add_reverse_edges_appends_sampled_reverses(rng):
             if u == n:
                 continue
             assert v in gnp[u]
+
+
+def test_leaf_join_merge_exact_within_leaf(rng):
+    """Members of one leaf must end up with their exact in-leaf kNN (the
+    join is all-pairs; partition passes rely on this being lossless)."""
+    from annsearch_tpu.ops.graph import leaf_join_merge, random_init_graph
+
+    x, xp, sq = _padded(rng, n=192, d=8)
+    n, kk = 192, 5
+    ids, dists = random_init_graph(jax.random.PRNGKey(0), xp, sq, kk,
+                                   Dist.EUCLIDEAN)
+    # one partition of 3 leaves x 64 (plus a padded leaf of sentinels)
+    perm = rng.permutation(n).astype(np.int32)
+    leaves = np.concatenate([perm, np.full(64, n, np.int32)]).reshape(4, 64)
+    gi, gd = leaf_join_merge(
+        jnp.asarray(leaves), xp, sq, ids, dists, kk, Dist.EUCLIDEAN
+    )
+    gi, gd = np.asarray(gi), np.asarray(gd)
+    dm = ((x[:, None, :] - x[None]) ** 2).sum(-1)
+    np.fill_diagonal(dm, np.inf)
+    for lv in leaves[:3]:
+        for u in lv:
+            in_leaf = [v for v in lv if v != u]
+            want = sorted(in_leaf, key=lambda v: dm[u, v])[:kk]
+            got = set(gi[u])
+            # every exact in-leaf neighbour clearly closer than the worst
+            # kept edge must be present (1e-3 margin: the join computes
+            # hi/lo-split HIGH-grade distances, ~1e-4 abs at this scale)
+            for w in want:
+                if dm[u, w] <= gd[u].max() - 1e-3:
+                    assert w in got, (u, w)
+
+
+def test_kmeans_leaves_partition_properties(rng):
+    """Every real point appears exactly once; pads fill the tail."""
+    from annsearch_tpu.ops.graph import kmeans_leaves
+
+    x, xp, sq = _padded(rng, n=300, d=8)
+    cents = jnp.asarray(rng.standard_normal((10, 8)).astype(np.float32))
+    for jth in (0, 1):
+        leaves = np.asarray(kmeans_leaves(
+            jax.random.PRNGKey(3), xp, cents, jth, 32, Dist.EUCLIDEAN,
+            tile=128,
+        ))
+        real = leaves[leaves < 300]
+        assert sorted(real.tolist()) == list(range(300))
+        assert leaves.size == 320  # padded to a whole number of leaves
+
+
+def test_kmeans_leaves_groups_by_cell(rng):
+    """Points of one tight cluster land contiguously (same leaf when the
+    leaf is big enough to hold the cluster)."""
+    from annsearch_tpu.ops.graph import kmeans_leaves
+
+    centers = rng.standard_normal((4, 8)).astype(np.float32) * 50
+    pts = np.concatenate(
+        [centers[i] + 0.01 * rng.standard_normal((16, 8)).astype(np.float32)
+         for i in range(4)]
+    )
+    perm = rng.permutation(64)
+    pts = pts[perm]
+    owner = np.repeat(np.arange(4), 16)[perm]
+    xp = jnp.concatenate([jnp.asarray(pts), jnp.zeros((1, 8))])
+    leaves = np.asarray(kmeans_leaves(
+        jax.random.PRNGKey(1), xp, jnp.asarray(centers), 0, 16,
+        Dist.EUCLIDEAN, tile=64,
+    ))
+    for lv in leaves:
+        own = {int(owner[m]) for m in lv if m < 64}
+        assert len(own) == 1  # one cluster per leaf
