@@ -18,6 +18,7 @@ closer neighbour w has ``α · d(w, v) < d(u, v)``; α > 1 keeps longer-range
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any
 
 import jax
@@ -34,21 +35,45 @@ _INF = jnp.float32(jnp.inf)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "beam", "iters", "expand", "qb", "metric")
+    jax.jit,
+    static_argnames=("k", "beam", "iters", "expand", "n_entries", "qb",
+                     "metric"),
 )
 def _vamana_query(
-    q, vectors, sqnorms, graph, medoid_arr, hl, packed,
-    *, k, beam, iters, expand, qb, metric,
+    q, vectors, sqnorms, graph, medoid_arr, router_ids, hl, packed,
+    *, k, beam, iters, expand, n_entries, qb, metric,
 ):
-    """Medoid-entry beam search, ONE jitted dispatch (eager pad/broadcast
-    ops cost ~0.3 s of host-link latency per call)."""
+    """Routed-entry beam search, ONE jitted dispatch.
+
+    The reference walks from the single medoid (vamana.rs:781-865), paying
+    a graph-diameter-long descent per query; here a sampled router set is
+    scanned exactly (one [nq, S] matmul — the same entry routing as the
+    CAGRA path, models/graph._cagra_query) and the medoid is kept as one
+    entry, so the walk starts near the target and the iteration budget
+    drops ~2× for the same recall."""
     nq = q.shape[0]
-    entries = jnp.broadcast_to(medoid_arr[None, :], (nq, 1)).astype(jnp.int32)
+    rv = vectors[router_ids]
+    dots = jax.lax.dot_general(
+        q, rv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if metric == Dist.COSINE:
+        rd = 1.0 - dots
+    else:
+        rd = sqnorms[router_ids][None, :] - 2.0 * dots
+    _, pos = jax.lax.top_k(-rd, max(n_entries - 1, 1))
+    entries = jnp.concatenate(
+        [
+            router_ids[pos],
+            jnp.broadcast_to(medoid_arr[None, :], (nq, 1)).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    ne = entries.shape[1]
     pad = (-nq) % qb
     if pad:
         q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
         entries = jnp.concatenate(
-            [entries, jnp.zeros((pad, 1), entries.dtype)]
+            [entries, jnp.zeros((pad, ne), entries.dtype)]
         )
 
     def run(args):
@@ -59,7 +84,7 @@ def _vamana_query(
         )
 
     d, i = jax.lax.map(
-        run, (q.reshape(-1, qb, q.shape[1]), entries.reshape(-1, qb, 1))
+        run, (q.reshape(-1, qb, q.shape[1]), entries.reshape(-1, qb, ne))
     )
     return d.reshape(-1, k)[:nq], i.reshape(-1, k)[:nq]
 
@@ -295,18 +320,28 @@ class VamanaIndex(BaseIndex):
         beam: int | None = None,
         iters: int | None = None,
         expand: int = 4,
+        n_entries: int = 8,
         query_block: int = 1024,
         exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Single-layer beam search from the medoid (vamana.rs:781-865)."""
+        """Routed-entry beam search; medoid kept as one entry
+        (vamana.rs:781-865 walks from the single medoid — see
+        ``_vamana_query`` for why routing replaces the long descent)."""
         q = self._prep_queries(query_mat)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, self._clamp_k(k))
         k = self._clamp_k(k)
         beam = min(beam if beam is not None else max(32, 2 * k), self.n)
-        # single-entry medoid descent needs a longer walk than routed-entry
-        # CAGRA; 3·beam/(2·expand) matches the reference's budget
-        iters = iters if iters is not None else max(16, (3 * beam) // (2 * expand))
+        # routed entries start the walk near the target — same iteration
+        # economics as the CAGRA path (iters ≈ beam/4)
+        iters = iters if iters is not None else max(8, beam // 4)
+        n_entries = max(2, min(n_entries, beam, self.n))
+
+        if not hasattr(self, "_router_ids") or self._router_ids is None:
+            n_routers = min(self.n, max(256, 4 * int(math.isqrt(self.n))))
+            self._router_ids = jax.random.permutation(
+                jax.random.PRNGKey(7), self.n
+            )[:n_routers].astype(jnp.int32)
 
         if not hasattr(self, "_nav_hl"):
             from ..ops.graph import nav_hl_split
@@ -322,10 +357,11 @@ class VamanaIndex(BaseIndex):
         qb = min(query_block, max(q.shape[0], 8))
         d, i = _vamana_query(
             q, self.vectors, self.sqnorms, self.graph, self.medoid_arr,
+            self._router_ids,
             self._nav_hl if self._nav_hl is not None else (),
             self._packed_nbrs,
-            k=k, beam=beam, iters=iters, expand=expand, qb=qb,
-            metric=self.metric,
+            k=k, beam=beam, iters=iters, expand=expand,
+            n_entries=n_entries, qb=qb, metric=self.metric,
         )
         return np.clip(np.asarray(i), 0, self.n - 1), np.asarray(d)
 
