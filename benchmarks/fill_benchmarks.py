@@ -73,18 +73,26 @@ BINARY_CONFIGS = [
 
 # The reference's scale rows (fill_benchmarks.sh:156-165 — IVF + GPU
 # exhaustive on 250k/500k×64d lowrank; BASELINE.md: IVF CPU nl500 np22
-# query 639 ms @ 1.0, GPU exhaustive 2,701 ms at 500k).
+# query 639 ms @ 1.0, GPU exhaustive 2,701 ms at 500k). The reference
+# queries a CONSTANT 15k at every scale (DEFAULT_N_QUERY,
+# examples/commons/mod.rs:19) — NOT n/10; match it so the rows compare.
 SCALE_CONFIGS = [
-    ("exhaustive", "250000", []),
-    ("ivf", "250000", ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+    ("exhaustive", "250000", ["--n-queries", "15000"]),
+    ("ivf", "250000",
+     ["--n-queries", "15000",
+      "--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
     # fused single-dispatch path (the production query path; the plain
-    # `ivf` rows above time the exact multi-dispatch XLA scan)
+    # `ivf` rows above time the recall-1.0 exact tier)
     ("ivf-gpu", "250000",
-     ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
-    ("exhaustive", "500000", []),
-    ("ivf", "500000", ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+     ["--n-queries", "15000",
+      "--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+    ("exhaustive", "500000", ["--n-queries", "15000"]),
+    ("ivf", "500000",
+     ["--n-queries", "15000",
+      "--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
     ("ivf-gpu", "500000",
-     ["--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+     ["--n-queries", "15000",
+      "--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
 ]
 
 QUICK = [

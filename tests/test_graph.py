@@ -214,3 +214,24 @@ def test_bitonic_merge_sorted():
             assert sorted(mpa[r].tolist()) == sorted(
                 pa[r].tolist() + pb[r].tolist()
             )
+
+
+def test_forced_approximate_build_converges(monkeypatch):
+    """Beyond-brute build path (k-means partition joins + block-sampled NND
+    rounds) must reach high graph recall — the path 10M-scale builds take.
+    Forced here by zeroing the brute FLOP budget."""
+    import annsearch_tpu.models.graph as mg
+
+    monkeypatch.setattr(mg, "BRUTE_BUILD_FLOP_BUDGET", 0)
+    n, d, k = 6000, 16, 10
+    x, _ = generate_clustered_data(n, d, 20, seed=9)
+    idx = mg.NNDescentIndex(x, k=k, n_trees=4, max_rounds=10, seed=3)
+    xd = x.astype(np.float64)
+    dm = ((xd[:, None, :] - xd[None]) ** 2).sum(-1)
+    np.fill_diagonal(dm, np.inf)
+    gt = np.argsort(dm, 1)[:, :k]
+    got = np.asarray(jnp.clip(idx.knn_ids[:, :k], 0, n - 1))
+    rec = np.mean(
+        [len(set(got[r]) & set(gt[r])) / k for r in range(0, n, 3)]
+    )
+    assert rec >= 0.95, rec
