@@ -25,12 +25,21 @@ __all__ = ["ExhaustiveIndex"]
 class ExhaustiveIndex(BaseIndex):
     """Flat index: exact top-k via full scan."""
 
+    _x64 = None  # host f64 copy (load() bypasses __init__)
+
     def __init__(
         self,
         mat: Any,
         metric: str = "euclidean",
         precision=jax.lax.Precision.HIGHEST,
     ):
+        # f64 inputs keep a host-side f64 copy: the reference's distance
+        # kernels are generic over f32/f64 (dist.rs:113-2263); the MXU has
+        # no f64 path, so f64 grade comes from a device f32 HIGHEST
+        # pre-selection (pool 2k) + a host f64 rescore of the pool.
+        self._x64 = None
+        if isinstance(mat, np.ndarray) and mat.dtype == np.float64:
+            self._x64 = np.ascontiguousarray(mat)
         super().__init__(mat, metric)
         self.precision = precision
 
@@ -46,12 +55,20 @@ class ExhaustiveIndex(BaseIndex):
         "approx" (per-tile approx_min_k), "bins" (selection-free running
         bins, ~1e-5 tail loss) or "fused" (Pallas kernel — bins state in
         VMEM, fastest on TPU, same tail loss as "bins")."""
+        q64 = None
+        if (
+            self._x64 is not None
+            and isinstance(query_mat, np.ndarray)
+            and query_mat.dtype == np.float64
+        ):
+            q64 = query_mat
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
+        kp = min(2 * k, self.n) if q64 is not None else k
         d, i = blocked_query_topk(
             q,
             self.vectors,
-            k,
+            kp,
             self.metric,
             x_sqnorm=self.sqnorms,
             query_block=query_block,
@@ -59,7 +76,31 @@ class ExhaustiveIndex(BaseIndex):
             precision=self.precision,
             selector=selector,
         )
+        if q64 is not None:
+            return self._rescore_f64(q64, np.asarray(i), k)
         return np.asarray(i), np.asarray(d)
+
+    def _rescore_f64(
+        self, q64: np.ndarray, pool: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host f64 rescore of the device-selected candidate pool."""
+        x = self._x64
+        if self.metric.name == "COSINE":
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+            )
+            qn = q64 / np.maximum(
+                np.linalg.norm(q64, axis=1, keepdims=True), 1e-30
+            )
+            dx = 1.0 - np.einsum("qd,qpd->qp", qn, xn[pool])
+        else:
+            diff = q64[:, None, :] - x[pool]
+            dx = np.einsum("qpd,qpd->qp", diff, diff)
+        order = np.argsort(dx, axis=1)[:, :k]
+        return (
+            np.take_along_axis(pool, order, axis=1),
+            np.take_along_axis(dx, order, axis=1),
+        )
 
     def generate_knn(
         self,

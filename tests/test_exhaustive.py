@@ -98,3 +98,43 @@ def test_memory_usage(small_points):
     index = ann.build_exhaustive_index(small_points, "euclidean")
     # vectors 5*3*4 + sqnorms 5*4
     assert index.memory_usage_bytes() == 5 * 3 * 4 + 5 * 4
+
+
+def test_f64_inputs_get_f64_grade_results():
+    """f64 matrices keep a host copy; queries pre-select on device in f32
+    HIGHEST and rescore the pool in f64 on host (the reference's dist.rs
+    is generic over f32/f64 — dist.rs:113-2263)."""
+    rng = np.random.default_rng(11)
+    # tight-gap data: base points + tiny perturbations below f32 grain
+    base = rng.standard_normal((400, 16))
+    x = np.concatenate([base, base + 1e-8 * rng.standard_normal((400, 16))])
+    q = base[:50] + 1e-9
+    idx = ExhaustiveIndex(x, "euclidean")
+    ids, d = idx.query(q, 5)
+    assert d.dtype == np.float64
+    # exact f64 ground truth must match ids AND distances
+    diff = q[:, None, :] - x[None]
+    dm = np.einsum("qnd,qnd->qn", diff, diff)
+    gt = np.argsort(dm, axis=1)[:, :5]
+    gd = np.take_along_axis(dm, gt, axis=1)
+    np.testing.assert_allclose(d, gd, rtol=1e-12, atol=0)
+    # id agreement (allow permutation among exact ties)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(ids, gt)])
+    assert agree >= 0.99
+
+
+def test_f64_cosine_rescore():
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((500, 24))
+    q = x[:40] + 1e-3 * rng.standard_normal((40, 24))
+    idx = ExhaustiveIndex(x, "cosine")
+    ids, d = idx.query(q, 8)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    dm = 1.0 - qn @ xn.T
+    gt = np.argsort(dm, axis=1)[:, :8]
+    agree = np.mean([len(set(a) & set(b)) / 8 for a, b in zip(ids, gt)])
+    assert agree >= 0.99
+    np.testing.assert_allclose(
+        np.sort(d, 1), np.sort(np.take_along_axis(dm, gt, 1), 1), atol=1e-9
+    )
