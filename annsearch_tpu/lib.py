@@ -113,6 +113,28 @@ def _maybe_dist(idx: np.ndarray, dist: np.ndarray, return_dist: bool):
     return (idx, dist) if return_dist else (idx, None)
 
 
+def _query(index, query_mat, verbose, *args, **kw):
+    """Delegate to ``index.query`` with the reference's ``query_parallel``
+    progress reporting (lib.rs:91-110): when verbose and the batch holds
+    ≥100k queries, process in 100k chunks and print
+    ``  Processed X / Y samples.`` after each (underscore-separated counts,
+    like the reference's separate_with_underscores)."""
+    try:
+        nq = int(query_mat.shape[0])
+    except AttributeError:
+        nq = len(query_mat)
+    if not verbose or nq < 100_000:
+        return index.query(query_mat, *args, **kw)
+    qa = np.asarray(query_mat)
+    ids, dists = [], []
+    for i0 in range(0, nq, 100_000):
+        i, d = index.query(qa[i0 : i0 + 100_000], *args, **kw)
+        ids.append(i)
+        dists.append(d)
+        print(f"  Processed {min(i0 + 100_000, nq):_} / {nq:_} samples.")
+    return np.concatenate(ids), np.concatenate(dists)
+
+
 # ----------------------------------------------------------------------------
 # Exhaustive (reference lib.rs:211-271)
 # ----------------------------------------------------------------------------
@@ -129,7 +151,7 @@ def query_exhaustive_index(
     return_dist: bool = False,
     verbose: bool = False,
 ):
-    idx, dist = index.query(query_mat, k)
+    idx, dist = _query(index, query_mat, verbose, k)
     return _maybe_dist(idx, dist, return_dist)
 
 
@@ -174,7 +196,7 @@ def query_ivf_index(
     return_dist: bool = False,
     verbose: bool = False,
 ):
-    idx, dist = index.query(query_mat, k, nprobe=nprobe)
+    idx, dist = _query(index, query_mat, verbose, k, nprobe=nprobe)
     return _maybe_dist(idx, dist, return_dist)
 
 
@@ -199,7 +221,7 @@ def build_exhaustive_bf16_index(mat: Any, dist_metric: str = "euclidean") -> Exh
 
 
 def query_exhaustive_bf16_index(query_mat, index, k, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k), return_dist)
 
 
 def query_exhaustive_bf16_self(index, k, return_dist=False, verbose=False):
@@ -211,7 +233,7 @@ def build_exhaustive_sq8_index(mat: Any, dist_metric: str = "euclidean") -> Exha
 
 
 def query_exhaustive_sq8_index(query_mat, index, k, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k), return_dist)
 
 
 def query_exhaustive_sq8_self(index, k, return_dist=False, verbose=False):
@@ -226,7 +248,7 @@ def build_exhaustive_pq_index(
 
 
 def query_exhaustive_pq_index(query_mat, index, k, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k), return_dist)
 
 
 def query_exhaustive_pq_index_self(index, k, return_dist=False, verbose=False):
@@ -241,7 +263,7 @@ def build_exhaustive_opq_index(
 
 
 def query_exhaustive_opq_index(query_mat, index, k, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k), return_dist)
 
 
 def query_exhaustive_opq_index_self(index, k, return_dist=False, verbose=False):
@@ -265,7 +287,7 @@ def build_ivf_bf16_index(
 
 
 def query_ivf_bf16_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, nprobe=nprobe), return_dist)
 
 
 def query_ivf_bf16_self(index, k, nprobe=None, return_dist=False, verbose=False):
@@ -284,7 +306,7 @@ def build_ivf_sq8_index(
 
 
 def query_ivf_sq8_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, nprobe=nprobe), return_dist)
 
 
 def query_ivf_sq8_self(index, k, nprobe=None, return_dist=False, verbose=False):
@@ -303,7 +325,7 @@ def build_ivf_pq_index(
 
 
 def query_ivf_pq_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, nprobe=nprobe), return_dist)
 
 
 def query_ivf_pq_index_self(index, k, nprobe=None, return_dist=False, verbose=False):
@@ -322,7 +344,7 @@ def build_ivf_opq_index(
 
 
 def query_ivf_opq_index(query_mat, index, k, nprobe=None, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k, nprobe=nprobe), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, nprobe=nprobe), return_dist)
 
 
 def query_ivf_opq_index_self(index, k, nprobe=None, return_dist=False, verbose=False):
@@ -352,7 +374,7 @@ def query_exhaustive_index_binary(
     return_dist=False, verbose=False,
 ):
     return _maybe_dist(
-        *index.query(query_mat, k, rerank=rerank, rerank_factor=rerank_factor),
+        *_query(index, query_mat, verbose, k, rerank=rerank, rerank_factor=rerank_factor),
         return_dist,
     )
 
@@ -386,8 +408,8 @@ def query_ivf_index_binary(
     return_dist=False, verbose=False,
 ):
     return _maybe_dist(
-        *index.query(
-            query_mat, k, nprobe=nprobe, rerank=rerank,
+        *_query(
+            index, query_mat, verbose, k, nprobe=nprobe, rerank=rerank,
             rerank_factor=rerank_factor,
         ),
         return_dist,
@@ -429,7 +451,7 @@ def query_exhaustive_index_rabitq(
     return_dist=False, verbose=False,
 ):
     return _maybe_dist(
-        *index.query(query_mat, k, nprobe=nprobe, rerank=rerank,
+        *_query(index, query_mat, verbose, k, nprobe=nprobe, rerank=rerank,
                      rerank_factor=rerank_factor),
         return_dist,
     )
@@ -464,7 +486,7 @@ def query_ivf_index_rabitq(
     return_dist=False, verbose=False,
 ):
     return _maybe_dist(
-        *index.query(query_mat, k, nprobe=nprobe, rerank=rerank,
+        *_query(index, query_mat, verbose, k, nprobe=nprobe, rerank=rerank,
                      rerank_factor=rerank_factor),
         return_dist,
     )
@@ -508,7 +530,7 @@ def query_nndescent_index(
     verbose=False,
 ):
     return _maybe_dist(
-        *index.query(query_mat, k, beam=beam, iters=iters), return_dist
+        *_query(index, query_mat, verbose, k, beam=beam, iters=iters), return_dist
     )
 
 
@@ -536,7 +558,7 @@ def query_exhaustive_index_gpu(
 ):
     """The reference's GPU tiled scan (dist_gpu.rs:550-685) → the
     running-bins tile selector (selection-free scan; recall 1.0 measured)."""
-    idx, dist = index.query(query_mat, k, selector="bins")
+    idx, dist = _query(index, query_mat, verbose, k, selector="bins")
     return _maybe_dist(idx, dist, return_dist)
 
 
@@ -558,7 +580,7 @@ def query_ivf_index_gpu(
     """The reference's IVF GPU mega-kernel (ivf_gpu.rs:600-654) → the
     single-dispatch fused Pallas scan (route → device task lists → fused
     cell scan; falls back to the exact XLA scan where ineligible)."""
-    idx, dist = index.query(query_mat, k, nprobe=nprobe, approx=True)
+    idx, dist = _query(index, query_mat, verbose, k, nprobe=nprobe, approx=True)
     return _maybe_dist(idx, dist, return_dist)
 
 
@@ -566,7 +588,7 @@ def query_ivf_index_gpu_self(
     index, k, nprobe=None, return_dist=False, verbose=False,
 ):
     q = index.vectors_original_order()
-    idx, dist = index.query(q, k, nprobe=nprobe, approx=True)
+    idx, dist = _query(index, q, verbose, k, nprobe=nprobe, approx=True)
     return _maybe_dist(idx, dist, return_dist)
 
 
@@ -591,7 +613,7 @@ def query_hnsw_index(
     query_mat, index, k, ef_search=None, return_dist=False, verbose=False
 ):
     return _maybe_dist(
-        *index.query(query_mat, k, ef_search=ef_search), return_dist
+        *_query(index, query_mat, verbose, k, ef_search=ef_search), return_dist
     )
 
 
@@ -614,7 +636,7 @@ def build_vamana_index(
 def query_vamana_index(
     query_mat, index, k, beam=None, return_dist=False, verbose=False
 ):
-    return _maybe_dist(*index.query(query_mat, k, beam=beam), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, beam=beam), return_dist)
 
 
 def query_vamana_self(index, k, beam=None, return_dist=False, verbose=False):
@@ -641,7 +663,7 @@ def build_kmknn_index(
 
 
 def query_kmknn_index(query_mat, index, k, return_dist=False, verbose=False):
-    return _maybe_dist(*index.query(query_mat, k), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k), return_dist)
 
 
 def query_kmknn_self(index, k, return_dist=False, verbose=False):
@@ -661,7 +683,7 @@ def query_annoy_index(
     query_mat, index, k, n_probes: int = 2, search_k=None,
     return_dist=False, verbose=False,
 ):
-    return _maybe_dist(*index.query(query_mat, k, n_probes=n_probes), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, n_probes=n_probes), return_dist)
 
 
 def query_annoy_self(
@@ -683,7 +705,7 @@ def build_balltree_index(
 def query_balltree_index(
     query_mat, index, k, budget=None, return_dist=False, verbose=False
 ):
-    return _maybe_dist(*index.query(query_mat, k, budget=budget), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, budget=budget), return_dist)
 
 
 def query_balltree_self(index, k, budget=None, return_dist=False, verbose=False):
@@ -703,7 +725,7 @@ def query_kd_tree_index(
     query_mat, index, k, n_probes: int = 2, search_k=None,
     return_dist=False, verbose=False,
 ):
-    return _maybe_dist(*index.query(query_mat, k, n_probes=n_probes), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, n_probes=n_probes), return_dist)
 
 
 def query_kd_tree_self(
@@ -728,7 +750,7 @@ def build_lsh_index(
 def query_lsh_index(
     query_mat, index, k, n_probes: int = 4, return_dist=False, verbose=False
 ):
-    return _maybe_dist(*index.query(query_mat, k, n_probes=n_probes), return_dist)
+    return _maybe_dist(*_query(index, query_mat, verbose, k, n_probes=n_probes), return_dist)
 
 
 def query_lsh_self(index, k, n_probes: int = 4, return_dist=False, verbose=False):

@@ -42,13 +42,105 @@ from ..ops.graph import (
 from ..utils.dist import Dist, normalise, sq_norms
 from .base import BaseIndex, as_f32_matrix
 
-__all__ = ["NNDescentIndex"]
+__all__ = ["NNDescentIndex", "approx_knn_graph"]
 
 #: below this n²·d FLOP count the exact MXU self-scan beats approximate
 #: rounds (measured: 1M×32d exact fused scan ≈ 5 s vs ~80 s of NN-descent
 #: rounds reaching only 0.72 recall; the packed-lane f32-precision Pallas
 #: scan moved the crossover far beyond the reference hardware's)
 BRUTE_BUILD_FLOP_BUDGET = 1_000_000 * 1_000_000 * 256
+
+
+def _nnd_tile(width: int, dim: int) -> int:
+    """Rows per nnd_round map step, sized so the candidate-vector gather
+    (+ its hi/lo split copies) stays ≤ ~512 MB of HBM transients. The old
+    fixed tile=256 made 1M-row rounds dispatch-bound: 3,907 tiny sequential
+    map steps ≈ 35 s/round for ~4 GB of useful traffic."""
+    per_row = width * dim * 12  # cand f32 + hi + lo parts
+    return max(256, min(4096, ((1 << 29) // per_row) // 256 * 256))
+
+
+def approx_knn_graph(
+    key: jax.Array,
+    vecs: jax.Array,          # [n+1, d] (sentinel last row)
+    sq: jax.Array,            # [n+1]
+    kk: int,
+    metric: Dist,
+    *,
+    n_trees: int = 4,
+    max_rounds: int = 40,
+    delta: float = 0.001,
+    seed: int = 42,
+    verbose: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Approximate kk-NN graph: k-means partition joins + rate-adaptive
+    NN-descent rounds. The build path shared by every graph-family index
+    above the brute MXU budget (NNDescent / HNSW layers / Vamana pools).
+
+    Partition passes (ops/graph.kmeans_leaves): leaves grouped by the
+    jth-nearest cell (jth rotates — spill assignment) co-locate true
+    neighbours far more often than random-projection splits, and the join
+    itself is pure GEMM. One RP-tree pass is kept for partition diversity.
+
+    Rounds are rate-adaptive: the reference's local joins process each
+    node's FULL new-edge lists every round (nndescent.rs:849-917) — that is
+    what gives NN-descent its quadratic convergence; fixed 4-block sampling
+    alone decays the update rate only ~0.82×/round at 1M (measured: recall
+    stuck at 0.64 after 10 rounds). So: full-width expansion while the
+    graph still churns, cheap sampled blocks for the tail rounds (the
+    switch latches — no recompile ping-pong). Stops on two consecutive
+    rounds below ``delta`` (one quiet sampled round can be sampling luck;
+    reference loop semantics nndescent_gpu.rs:1548-1652)."""
+    n = vecs.shape[0] - 1
+    dim = vecs.shape[1]
+    key, k_init = jax.random.split(key)
+    ids, dists = random_init_graph(k_init, vecs, sq, kk, metric)
+
+    leaf = max(16, min(256, n // 8))
+    from .kmeans import train_centroids
+
+    cents = train_centroids(
+        vecs[:n], max(64, n // (2 * leaf)), metric, seed=seed
+    )
+    levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
+    for t in range(n_trees):
+        key, kt = jax.random.split(key)
+        if t == n_trees - 1:
+            ids, dists = rp_forest_round(
+                kt, vecs, sq, ids, dists, levels, leaf, kk, metric
+            )
+        else:
+            leaves = kmeans_leaves(kt, vecs, cents, t % 3, leaf, metric)
+            ids, dists = leaf_join_merge(
+                leaves, vecs, sq, ids, dists, kk, metric
+            )
+        if verbose:
+            print(f"partition pass {t + 1}/{n_trees} done")
+
+    total_edges = n * kk
+    flags = jnp.ones((n, kk), bool)  # everything starts new
+    quiet = 0
+    rate = 1.0
+    base_w = kk + 16                 # kk + nnd_round's r_slots
+    full = True
+    for r in range(max_rounds):
+        key, kr = jax.random.split(key)
+        full = full and rate >= 0.02
+        c_act = (base_w if full else 4) * kk
+        ids, dists, upd, flags = nnd_round(
+            kr, vecs, sq, ids, dists, kk, metric,
+            new_in=flags, c_active=c_act, tile=_nnd_tile(c_act + 16, dim),
+        )
+        rate = float(upd) / max(total_edges, 1)
+        if verbose:
+            print(
+                f"nnd round {r + 1} ({'full' if full else 'sampled'}):"
+                f" update rate {rate:.4f}"
+            )
+        quiet = quiet + 1 if rate < delta else 0
+        if quiet >= 2:
+            break
+    return ids, dists
 
 
 @functools.partial(
@@ -163,65 +255,19 @@ class NNDescentIndex(BaseIndex):
             if verbose:
                 print("graph built exactly (brute-force MXU path)")
         else:
-            key, k_init = jax.random.split(key)
-            ids, dists = random_init_graph(
-                k_init, vecs, sq, self.k_build, self.metric
+            key, ka = jax.random.split(key)
+            ids, dists = approx_knn_graph(
+                ka, vecs, sq, self.k_build, self.metric,
+                n_trees=n_trees, max_rounds=max_rounds, delta=delta,
+                seed=seed, verbose=verbose,
             )
 
-            # k-means-partitioned leaf joins (ops/graph.kmeans_leaves):
-            # leaves grouped by the jth-nearest cell (jth rotates — spill
-            # assignment) co-locate true neighbours far more often than
-            # random-projection splits, and the join itself is pure GEMM.
-            # One RP pass is kept for partition diversity.
-            leaf = max(16, min(256, n // 8))
-            from .kmeans import train_centroids
-
-            cents = train_centroids(
-                vecs[:n], max(64, n // (2 * leaf)), self.metric, seed=seed
-            )
-            levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
-            for t in range(n_trees):
-                key, kt = jax.random.split(key)
-                if t == n_trees - 1:
-                    ids, dists = rp_forest_round(
-                        kt, vecs, sq, ids, dists, levels, leaf,
-                        self.k_build, self.metric,
-                    )
-                else:
-                    leaves = kmeans_leaves(
-                        kt, vecs, cents, t % 3, leaf, self.metric
-                    )
-                    ids, dists = leaf_join_merge(
-                        leaves, vecs, sq, ids, dists, self.k_build,
-                        self.metric,
-                    )
-                if verbose:
-                    print(f"partition pass {t + 1}/{n_trees} done")
-
-            total_edges = n * self.k_build
-            flags = jnp.ones((n, self.k_build), bool)  # everything starts new
-            # each round expands a SAMPLE of pending blocks (ops/graph.py
-            # nnd_round), so one quiet round can be sampling luck — stop on
-            # two consecutive rounds below delta (reference loop semantics,
-            # nndescent_gpu.rs:1548-1652, adjusted for sampled rounds)
-            quiet = 0
-            for r in range(max_rounds):
-                key, kr = jax.random.split(key)
-                ids, dists, upd, flags = nnd_round(
-                    kr, vecs, sq, ids, dists, self.k_build, self.metric,
-                    new_in=flags,
-                )
-                rate = float(upd) / max(total_edges, 1)
-                if verbose:
-                    print(f"nnd round {r + 1}: update rate {rate:.4f}")
-                quiet = quiet + 1 if rate < delta else 0
-                if quiet >= 2:
-                    break
-
+            base_w = self.k_build + 16        # kk + nnd_round's r_slots
             for r in range(refine_rounds):
                 key, kr = jax.random.split(key)
                 ids, dists, upd, _ = nnd_round(
                     kr, vecs, sq, ids, dists, self.k_build, self.metric,
+                    tile=_nnd_tile((base_w + 1) * self.k_build + 16, self.dim),
                 )
                 if verbose:
                     print(

@@ -27,14 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.graph import (
-    add_reverse_edges,
-    beam_search,
-    cagra_prune,
-    nnd_round,
-    random_init_graph,
-    rp_forest_round,
-)
+from ..ops.graph import add_reverse_edges, beam_search, cagra_prune
 from ..ops.topk import topk_smallest
 from ..utils.dist import Dist, normalise, pairwise_dist, sq_norms
 from .base import BaseIndex, as_f32_matrix
@@ -43,10 +36,6 @@ __all__ = ["HnswIndex"]
 
 MAX_LAYERS = 16  # reference caps layer assignment at 15 (hnsw.rs:639-645)
 EXACT_LAYER_MAX = 4096  # layers this small get exact kNN graphs (one matmul)
-
-#: below this n²·d budget the blocked exact MXU scan beats NN-descent rounds
-#: (same inversion as models/graph.BRUTE_BUILD_FLOP_BUDGET)
-BRUTE_LAYER_FLOP_BUDGET = 250_000 * 250_000 * 64
 
 
 def _build_knn_graph(
@@ -61,7 +50,9 @@ def _build_knn_graph(
         d = d.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
         dd, ii = topk_smallest(d, kk)
         return ii.astype(jnp.int32), dd
-    if n * n * d_dim <= BRUTE_LAYER_FLOP_BUDGET:
+    from . import graph as _graph
+
+    if n * n * d_dim <= _graph.BRUTE_BUILD_FLOP_BUDGET:
         import os
 
         from ..ops.topk import blocked_query_topk
@@ -93,22 +84,11 @@ def _build_knn_graph(
         dists = -nd
         ids = jnp.where(jnp.isinf(dists), n, ids)
         return ids.astype(jnp.int32), dists
-    key, k0 = jax.random.split(key)
-    ids, dists = random_init_graph(k0, vecs, sq, kk, metric)
-    leaf = 64
-    levels = max(1, int(math.ceil(math.log2(max(n / leaf, 2)))))
-    for _ in range(n_trees):
-        key, kt = jax.random.split(key)
-        ids, dists = rp_forest_round(kt, vecs, sq, ids, dists, levels, leaf, kk, metric)
-    flags = jnp.ones((n, kk), bool)
-    for _ in range(max_rounds):
-        key, kr = jax.random.split(key)
-        ids, dists, upd, flags = nnd_round(
-            kr, vecs, sq, ids, dists, kk, metric, new_in=flags,
-        )
-        if float(upd) / max(n * kk, 1) < 0.001:
-            break
-    return ids, dists
+    # above the brute budget: the shared partition-join + rate-adaptive
+    # NN-descent build (models/graph.approx_knn_graph)
+    return _graph.approx_knn_graph(
+        key, vecs, sq, kk, metric, n_trees=n_trees, max_rounds=max_rounds
+    )
 
 
 class HnswIndex(BaseIndex):

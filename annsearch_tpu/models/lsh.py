@@ -72,15 +72,21 @@ def _probe_patterns(bits: int, n_probes: int) -> tuple[tuple[int, ...], ...]:
     return tuple(pats)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "n_probes"))
+@functools.partial(jax.jit, static_argnames=("bits", "n_probes", "uniform"))
 def _probe_cells(
     q: jax.Array,             # [bq, dim] normalised queries
     projections: jax.Array,   # [T, dim, bits]
     bits: int,
     n_probes: int,
+    uniform: bool = False,
 ) -> jax.Array:
     """[bq, T·P] global cell ids: per table, the base hash plus the ranked
-    multi-bit flip probes, offset into that table's cell range."""
+    multi-bit flip probes, offset into that table's cell range.
+
+    ``uniform=True`` flips bits in fixed index order instead of by
+    projection-magnitude rank — the reference's *self*-query semantics
+    (lsh.rs:510-522: stored hashes carry no projection magnitudes, so
+    generate_probes_uniform flips bit 0, 1, … then pairs)."""
     num_tables = projections.shape[0]
     powers = (2 ** jnp.arange(bits, dtype=jnp.int32))[None, :]
     pats = _probe_patterns(bits, n_probes)
@@ -88,13 +94,21 @@ def _probe_cells(
     for t in range(num_tables):
         proj = q @ projections[t]                      # [bq, bits]
         base_h = jnp.sum((proj > 0).astype(jnp.int32) * powers, axis=-1)
-        flip_order = jnp.argsort(jnp.abs(proj), axis=-1)  # asc — rank → bit
-        probes = [base_h]
-        for pat in pats:
-            h = base_h
-            for r in pat:
-                h = h ^ (1 << flip_order[:, r]).astype(jnp.int32)
-            probes.append(h)
+        if uniform:
+            probes = [base_h]
+            for pat in pats:
+                h = base_h
+                for r in pat:
+                    h = h ^ (1 << r)
+                probes.append(h)
+        else:
+            flip_order = jnp.argsort(jnp.abs(proj), axis=-1)  # asc: rank→bit
+            probes = [base_h]
+            for pat in pats:
+                h = base_h
+                for r in pat:
+                    h = h ^ (1 << flip_order[:, r]).astype(jnp.int32)
+                probes.append(h)
         out.append(jnp.stack(probes, axis=1) + t * (1 << bits))
     return jnp.concatenate(out, axis=1)
 
@@ -126,19 +140,19 @@ def _dedup_topk(d: jax.Array, ids: jax.Array, k: int):
     jax.jit,
     static_argnames=(
         "bits", "n_probes", "s_max", "nseg", "maxq", "R", "k2", "k", "kb",
-        "metric", "interpret", "layout",
+        "metric", "interpret", "layout", "uniform",
     ),
 )
 def _lsh_fused_e2e(
     q, qn, projections, cluster_ptr, blocks, sn_blocks, seg_offsets,
     seg_counts, original_ids, n, *, bits, n_probes, s_max, nseg, maxq, R,
-    k2, k, kb, metric, interpret, layout,
+    k2, k, kb, metric, interpret, layout, uniform=False,
 ):
     """hash+probe → invert → fused bucket scan → dedup top-k, ONE dispatch
     (the host path reads probe cells back, expands on host and re-uploads
     task lists — a full link round-trip per query batch). Returns packed
     ``[nq, 2k]`` (dists, then ids as exact f32 values)."""
-    cells = _probe_cells(qn, projections, bits, n_probes)
+    cells = _probe_cells(qn, projections, bits, n_probes, uniform)
     seg_probes = expand_probes_device(cells, cluster_ptr, s_max, nseg)
     cids, lists, gmap = build_probe_lists_device(seg_probes, nseg, maxq, R)
     d, pos = fused_ivf_scan(
@@ -239,7 +253,11 @@ class LSHIndex(BaseIndex):
         max_bucket: int | None = None,   # unused — full buckets are scanned
         query_block: int | None = None,  # unused — the scan is global
         exact_fallback: bool = True,
+        uniform_probes: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """``uniform_probes``: flip probe bits in fixed index order instead
+        of uncertainty rank — the reference's self-query behaviour
+        (lsh.rs:510-522); ``generate_knn`` sets it."""
         q = self._prep_queries(query_mat)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, self._clamp_k(k))
@@ -271,13 +289,16 @@ class LSHIndex(BaseIndex):
                 kb=kb, metric=self.metric,
                 interpret=jax.default_backend() != "tpu",
                 layout="packed2" if 2 * self.dim <= 128 else "plain",
+                uniform=uniform_probes,
             ))
             dists = packed[:, :k]
             ids = packed[:, k:].astype(np.int32)
             return self._apply_fallback(q, ids, dists, k, nq)
 
         cells = np.asarray(
-            _probe_cells(qn, self.projections, self.bits, n_probes)
+            _probe_cells(
+                qn, self.projections, self.bits, n_probes, uniform_probes
+            )
         )
 
         # expand cells → segment task pairs → cluster-major scan (the same
@@ -364,6 +385,9 @@ class LSHIndex(BaseIndex):
         return cached
 
     def generate_knn(self, k: int, **kw):
+        # self-query flips probe bits uniformly (reference lsh.rs:510-522 —
+        # stored hashes carry no projection magnitudes to rank by)
+        kw.setdefault("uniform_probes", True)
         return self.query(np.asarray(self.vectors[: self.n]), k, **kw)
 
     def vectors_original_order(self) -> np.ndarray:
