@@ -36,6 +36,7 @@ from ..ops.graph import (
     kmeans_leaves,
     leaf_join_merge,
     nnd_round,
+    nnd_round_chunked,
     random_init_graph,
     rp_forest_round,
 )
@@ -127,9 +128,12 @@ def approx_knn_graph(
         key, kr = jax.random.split(key)
         full = full and rate >= 0.02
         c_act = (base_w if full else 4) * kk
-        ids, dists, upd, flags = nnd_round(
+        ids, dists, upd, flags = nnd_round_chunked(
             kr, vecs, sq, ids, dists, kk, metric,
             new_in=flags, c_active=c_act, tile=_nnd_tile(c_act + 16, dim),
+            # bound each dispatch's candidate traffic (~width·d·chunk):
+            # full-width rounds move ~8× the data of sampled ones
+            row_chunk=131_072 if full else 1_048_576,
         )
         rate = float(upd) / max(total_edges, 1)
         if verbose:

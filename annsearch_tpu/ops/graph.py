@@ -553,7 +553,7 @@ def _reverse_sample(
 @functools.partial(
     jax.jit,
     static_argnames=("kk", "metric", "tile", "fof_sample", "r_slots",
-                     "c_active"),
+                     "c_active", "n_rows"),
 )
 def nnd_round(
     key: jax.Array,
@@ -568,6 +568,8 @@ def nnd_round(
     r_slots: int = 16,
     new_in: jax.Array | None = None,  # [n, kk] bool — edges added last round
     c_active: int | None = None,      # compacted candidate width with flags
+    n_rows: int | None = None,        # rows per call (None = all n)
+    row_start: jax.Array | None = None,  # first row (traced; with n_rows)
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One NN-descent expansion round.
 
@@ -594,6 +596,11 @@ def nnd_round(
     ``new_in`` next round. ``n_updates`` counts edges in the new row that
     were not in the old row (set difference, not positional: one insertion
     shifts every later rank and would otherwise count as kk updates).
+
+    ``n_rows``/``row_start`` process only rows [row_start, row_start+n_rows)
+    against the full graph snapshot, returning chunk-shaped outputs —
+    see :func:`nnd_round_chunked` for why rounds are split into bounded
+    dispatches at large n.
     """
     n = graph_ids.shape[0]
     k_rev, k_fof = jax.random.split(key)
@@ -616,7 +623,9 @@ def nnd_round(
             [jnp.any(new_in, axis=1), jnp.zeros((1,), bool)]
         )
 
-    n_pad = -(-n // tile) * tile
+    rows = n_rows if n_rows is not None else n
+    rows_pad = -(-rows // tile) * tile
+    r0 = row_start if row_start is not None else jnp.int32(0)
     base_w = kk + r_slots
 
     def block(u):
@@ -715,12 +724,65 @@ def nnd_round(
         ).astype(jnp.int32)
         return new_ids, new_d, upd, flags
 
-    us = jnp.arange(n_pad).reshape(-1, tile)
+    us = r0 + jnp.arange(rows_pad).reshape(-1, tile)
     ids, dists, upd, fresh = jax.lax.map(block, us)
-    ids = ids.reshape(n_pad, kk)[:n]
-    dists = dists.reshape(n_pad, kk)[:n]
-    fresh = fresh.reshape(n_pad, kk)[:n]
+    out_rows = min(rows, n)
+    ids = ids.reshape(rows_pad, kk)[:out_rows]
+    dists = dists.reshape(rows_pad, kk)[:out_rows]
+    fresh = fresh.reshape(rows_pad, kk)[:out_rows]
     return ids, dists, jnp.sum(upd), fresh
+
+
+def nnd_round_chunked(
+    key: jax.Array,
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    graph_ids: jax.Array,
+    graph_dists: jax.Array,
+    kk: int,
+    metric: Dist,
+    *,
+    tile: int,
+    c_active: int,
+    new_in: jax.Array,
+    row_chunk: int = 131_072,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One NN-descent round as several bounded dispatches over row ranges.
+
+    A full-width round over 1M rows as ONE program is a multi-minute XLA
+    dispatch — measured to crash the TPU worker ("kernel fault") twice at
+    the same spot, while the identical per-step program at 250k runs fine.
+    Chunking rows keeps each dispatch tens of seconds and is semantically
+    identical: every chunk expands candidates from the round-start graph
+    snapshot (exactly what the single-dispatch map reads) and merges only
+    into its own rows. ``n_updates`` sums over chunks."""
+    n = graph_ids.shape[0]
+    if n <= row_chunk:
+        return nnd_round(
+            key, vectors, sqnorms, graph_ids, graph_dists, kk, metric,
+            tile=tile, new_in=new_in, c_active=c_active,
+        )
+    out_ids = []
+    out_d = []
+    out_f = []
+    upd_total = jnp.int32(0)
+    for r0 in range(0, n, row_chunk):
+        ci, cd, cu, cf = nnd_round(
+            key, vectors, sqnorms, graph_ids, graph_dists, kk, metric,
+            tile=tile, new_in=new_in, c_active=c_active,
+            n_rows=row_chunk, row_start=jnp.int32(r0),
+        )
+        take = min(row_chunk, n - r0)
+        out_ids.append(ci[:take])
+        out_d.append(cd[:take])
+        out_f.append(cf[:take])
+        upd_total = upd_total + cu
+    return (
+        jnp.concatenate(out_ids),
+        jnp.concatenate(out_d),
+        upd_total,
+        jnp.concatenate(out_f),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -237,11 +237,21 @@ class ShardedGraphIndex:
                         self.metric,
                     )
                 flags = jnp.ones((m, kk), bool)
-                for _ in range(rounds):
+                # static full→sampled schedule (the rate-adaptive switch of
+                # models/graph.approx_knn_graph needs host-side rate reads,
+                # impossible inside a traced shard_map): full-width joins
+                # carry the quadratic-convergence phase, sampled blocks
+                # polish the tail
+                from ..models.graph import _nnd_tile
+
+                base_w = kk + 16
+                for r in range(rounds):
                     key, kr = jax.random.split(key)
+                    c_act = (base_w if r < 3 else 4) * kk
                     ids, dists, _, flags = nnd_round(
                         kr, vecs, sq, ids, dists, kk, self.metric,
-                        new_in=flags,
+                        new_in=flags, c_active=c_act,
+                        tile=_nnd_tile(c_act + 16, self.dim),
                     )
                 # drop edges into pad rows (their vectors are zeros)
                 pad_edge = ids >= local_valid
