@@ -265,3 +265,35 @@ def test_kmeans_leaves_groups_by_cell(rng):
     for lv in leaves:
         own = {int(owner[m]) for m in lv if m < 64}
         assert len(own) == 1  # one cluster per leaf
+
+
+def test_nnd_round_chunked_matches_single_dispatch():
+    """Row-chunked rounds must be bit-identical to the one-dispatch round:
+    every chunk expands from the round-start snapshot and merges only its
+    own rows (the semantics the single lax.map already has)."""
+    from annsearch_tpu.ops.graph import (
+        nnd_round, nnd_round_chunked, random_init_graph,
+    )
+
+    n, d, kk = 3000, 16, 8
+    vecs = jax.random.normal(jax.random.key(0), (n + 1, d), jnp.float32)
+    sq = sq_norms(vecs)
+    ids, dists = random_init_graph(
+        jax.random.key(1), vecs, sq, kk, Dist.EUCLIDEAN
+    )
+    flags = jnp.ones((n, kk), bool)
+    c_act = (kk + 16) * kk
+    a = nnd_round(
+        jax.random.key(2), vecs, sq, ids, dists, kk, Dist.EUCLIDEAN,
+        tile=256, new_in=flags, c_active=c_act,
+    )
+    # 1024-row chunks with a ragged tail (3000 % 1024 != 0)
+    b = nnd_round_chunked(
+        jax.random.key(2), vecs, sq, ids, dists, kk, Dist.EUCLIDEAN,
+        tile=256, new_in=flags, c_active=c_act, row_chunk=1024,
+    )
+    assert bool(jnp.all(a[0] == b[0]))           # ids
+    assert bool(jnp.allclose(a[1], b[1]))        # dists
+    assert int(a[2]) == int(b[2])                # update count
+    assert bool(jnp.all(a[3] == b[3]))           # new-edge flags
+    assert int(a[2]) > 0                         # the round did something
