@@ -35,7 +35,6 @@ from ..ops.graph import (
     diversify_graph,
     kmeans_leaves,
     leaf_join_merge,
-    nnd_round,
     nnd_round_chunked,
     random_init_graph,
     rp_forest_round,
@@ -269,9 +268,17 @@ class NNDescentIndex(BaseIndex):
             base_w = self.k_build + 16        # kk + nnd_round's r_slots
             for r in range(refine_rounds):
                 key, kr = jax.random.split(key)
-                ids, dists, upd, _ = nnd_round(
+                # all-new flags + full block budget ≡ an unfiltered two-hop
+                # pass (reference two_hop_refinement), in bounded chunk
+                # dispatches (a 1M-row full round as one program crashes
+                # the worker — see nnd_round_chunked)
+                c_act = base_w * self.k_build
+                ids, dists, upd, _ = nnd_round_chunked(
                     kr, vecs, sq, ids, dists, self.k_build, self.metric,
-                    tile=_nnd_tile((base_w + 1) * self.k_build + 16, self.dim),
+                    new_in=jnp.ones((n, self.k_build), bool),
+                    c_active=c_act,
+                    tile=_nnd_tile(c_act + 16, self.dim),
+                    row_chunk=131_072,
                 )
                 if verbose:
                     print(

@@ -263,13 +263,21 @@ class VamanaIndex(BaseIndex):
         beam = min(64, max(self.r_degree, 32), max(n, 1))
         iters = 12
         expand = 4
+        # the packed-neighbour table is what makes query-time beams fast
+        # (expand multi-KB DMAs instead of expand·deg 64-128 B gathers);
+        # the build-time trail pass is the same beam kernel over all n
+        # nodes and was paying the slow gather path — 15.7 s of a 17.3 s
+        # warm r32 build at 150k×32d was this one call
+        from ..ops.graph import maybe_pack_neighbors
+
+        packed0 = maybe_pack_neighbors(vecs, sq, graph0)
 
         @functools.partial(
             jax.jit, static_argnames=("beam", "iters", "expand", "qb",
                                       "metric", "pool_k"),
         )
-        def run(vecs, sq, graph0, ids, dists, medoid, *, beam, iters,
-                expand, qb, metric, pool_k):
+        def run(vecs, sq, graph0, packed0, ids, dists, medoid, *, beam,
+                iters, expand, qb, metric, pool_k):
             nq = n
             q = vecs[:n]
             pad = (-nq) % qb
@@ -285,7 +293,7 @@ class VamanaIndex(BaseIndex):
                 qq, ee = args
                 _, _, td, tids = beam_search(
                     qq, vecs, sq, graph0, ee, 1, beam, iters, metric,
-                    expand, return_trail=True,
+                    expand, packed_nbrs=packed0, return_trail=True,
                 )
                 return td, tids
 
@@ -308,7 +316,7 @@ class VamanaIndex(BaseIndex):
 
         qb = min(1024, max(n, 8))
         return run(
-            vecs, sq, graph0, ids, dists, medoid,
+            vecs, sq, graph0, packed0, ids, dists, medoid,
             beam=beam, iters=iters, expand=expand, qb=qb,
             metric=self.metric, pool_k=pool_k,
         )
