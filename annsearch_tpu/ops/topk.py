@@ -254,11 +254,15 @@ def blocked_query_topk(
     flat-scan kernel (bins state held in VMEM — no HBM carry spill; same
     ~1e-5 tail loss as "bins").
     """
-    if selector == "fused" and k > 128:
-        # the fused kernel extracts at most 128 ranks per query (kb cap in
-        # flat_topk_fused); ranks beyond that would silently come back as
-        # sentinels — route wide-k requests to the exact XLA scan instead
-        selector = "exact"
+    if selector == "fused" and k > 64:
+        # the fused kernel extracts minima with a fully UNROLLED kb-column
+        # loop (flat_scan_pallas._flat_kernel): kb = 128 blew Mosaic compile
+        # time past 25 minutes (measured: vamana r64's kk+1 = 65 → kb = 128
+        # base scan never finished compiling), and ranks beyond 128 would
+        # silently come back as sentinels anyway. Wide-k requests ride the
+        # selection-free running-bins scan instead (same ~1e-5 tail loss,
+        # ordinary XLA compile times).
+        selector = "bins"
     if selector == "fused":
         from .flat_scan_pallas import flat_topk_fused
 
