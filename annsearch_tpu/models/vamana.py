@@ -260,9 +260,27 @@ class VamanaIndex(BaseIndex):
         (vamana.rs:427-559: greedy_search(V) feeds robust_prune)."""
         n = self.n
         medoid = self.medoid_arr
-        beam = min(64, max(self.r_degree, 32), max(n, 1))
+        beam = min(32, max(n, 1))
         iters = 12
         expand = 4
+        # Trail cost scales with the walk graph's degree twice over: the
+        # packed-row gather is deg·(2d+2) wide and the bitonic merge width
+        # P is pow2(expand·deg). At r64 the first-pass graph is 96 wide
+        # (R + R/2 reverse), which would make this pass ~3-4× the r32 cost
+        # (measured r32: 15.7 s of a 17.3 s warm 150k build). The walk only
+        # needs a NAVIGABLE graph, not the full prune pool — so cap the
+        # trail graph at 48 edges/node: the closest 24 (local steps) plus
+        # an even stride over the remaining ranks (the α-kept far edges +
+        # reverse fill that give the walk its cross-cluster highways).
+        trail_cap = 48
+        deg0 = int(graph0.shape[1])
+        if deg0 > trail_cap:
+            near = trail_cap // 2
+            far_idx = np.unique(
+                np.linspace(near, deg0 - 1, trail_cap - near).astype(np.int64)
+            )
+            cols = np.concatenate([np.arange(near), far_idx])
+            graph0 = graph0[:, jnp.asarray(cols)]
         # the packed-neighbour table is what makes query-time beams fast
         # (expand multi-KB DMAs instead of expand·deg 64-128 B gathers);
         # the build-time trail pass is the same beam kernel over all n

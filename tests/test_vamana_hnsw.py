@@ -29,6 +29,18 @@ def test_vamana_recall(vdata):
     assert (np.diff(np.where(np.isfinite(ad), ad, 1e30), axis=1) >= -1e-4).all()
 
 
+def test_vamana_recall_high_degree(vdata):
+    # r_degree=48 → first-pass graph is 72 wide (R + R/2 reverse), which
+    # crosses the trail-pass degree cap (models/vamana._second_pass_pool
+    # trail_cap=48: closest 24 + strided far ranks) — the capped walk
+    # graph must still produce a high-recall final graph
+    x, q, ti = vdata
+    index = VamanaIndex(x, r_degree=48, seed=0)
+    ai, _ = index.query(q, 10)
+    rec = calculate_recall(ti, ai, 10)
+    assert rec > 0.9, rec
+
+
 def test_vamana_medoid(vdata):
     x, _, _ = vdata
     index = VamanaIndex(x, seed=0)
