@@ -65,13 +65,13 @@ def route_to_cells(
     jax.jit,
     static_argnames=(
         "nprobe_seg", "nseg", "maxq", "R", "k", "metric", "mode", "kb",
-        "interpret", "layout",
+        "interpret", "layout", "q_split",
     ),
 )
 def _fused_query_e2e(
     q, q_enc, route_cents, blocks, sn_blocks, seg_offsets, seg_counts,
     seg_cents, scales, *, nprobe_seg, nseg, maxq, R, k, metric, mode, kb,
-    interpret, layout="plain",
+    interpret, layout="plain", q_split=True,
 ):
     """Route → invert → fused scan as one compiled program.
 
@@ -91,7 +91,7 @@ def _fused_query_e2e(
         q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
         seg_offsets, seg_counts, seg_cents, k, metric, mode, scales, kb,
         interpret=interpret,
-        q_split=not os.environ.get("ANNSEARCH_IVF_NOQSPLIT"),
+        q_split=q_split and not os.environ.get("ANNSEARCH_IVF_NOQSPLIT"),
         fold_depth=1 if os.environ.get("ANNSEARCH_IVF_FOLD1") else 2,
         layout=layout,
     )
@@ -373,12 +373,19 @@ class IvfBase(BaseIndex):
         nprobe: int | None = None,
         k_scan: int | None = None,
         approx: bool = False,
+        q_split: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """``approx=True`` uses the TPU-optimised approximate per-cell
         selection (lax.approx_min_k) — a throughput knob that costs a little
-        tail recall."""
+        tail recall.
+
+        ``q_split=False`` (approx tier, quantised modes only) scores with a
+        single bf16 query pass instead of the hi/lo mantissa split — ~2⁻⁹
+        relative dot noise, half the MXU passes. Worth it only where the
+        recall ceiling is quantisation, not scoring precision (e.g. the
+        10M×128d i8dec operating point)."""
         q = self._prep_queries(query_mat)
-        return self._query_prepped(q, k, nprobe, k_scan, approx)
+        return self._query_prepped(q, k, nprobe, k_scan, approx, q_split)
 
     def _prep_queries(self, query_mat):
         q = as_f32_matrix(query_mat)
@@ -387,7 +394,10 @@ class IvfBase(BaseIndex):
         qj = jnp.asarray(q)
         return normalise(qj) if self.metric == Dist.COSINE else qj
 
-    def _scan(self, q, k, nprobe, mode=None, q_eff=None, approx=False):
+    def _scan(
+        self, q, k, nprobe, mode=None, q_eff=None, approx=False,
+        q_split=True,
+    ):
         """Route → segment task lists → cluster-major scan. Returns
         (dists [nq, k], sorted-storage positions [nq, k])."""
         nq = q.shape[0]
@@ -428,6 +438,7 @@ class IvfBase(BaseIndex):
                 kb=kb,
                 interpret=jax.default_backend() != "tpu",
                 layout=self._fused_layout(),
+                q_split=q_split,
             )
             arr = np.asarray(packed)              # single transfer
             d = arr[:, :k]
@@ -604,12 +615,15 @@ class IvfBase(BaseIndex):
         )
         return best_d, best_i
 
-    def _query_prepped(self, q, k, nprobe, k_scan=None, approx=False):
+    def _query_prepped(
+        self, q, k, nprobe, k_scan=None, approx=False, q_split=True
+    ):
         k = self._clamp_k(k)
         nprobe = self.default_nprobe() if nprobe is None else nprobe
         nprobe = max(1, min(nprobe, self.nlist))
         d, i = self._scan(
-            q, k if k_scan is None else k_scan, nprobe, approx=approx
+            q, k if k_scan is None else k_scan, nprobe, approx=approx,
+            q_split=q_split,
         )
         d = np.asarray(d)
         i = np.asarray(i)

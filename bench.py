@@ -86,10 +86,18 @@ def headline_ivfpq():
         index = ann.build_ivf_pq_index(x, nlist=1024, m=128, seed=42)
         build_s = min(build_s, time.time() - t0)
 
+    # single-bf16-pass query scoring: at this operating point recall is
+    # quantisation-limited — measured 0.9560 vs 0.9561 at np16 with the
+    # hi/lo split, and +12% QPS (controlled same-process comparison,
+    # PROGRESS_NOTES round-3 session 5)
+    QS = False
+
     def sweep():
         best = None
         for nprobe in (6, 8, 16, 24, 32, 48, 64):
-            ai, _ = index.query(q[:NQ_GT], K, nprobe=nprobe, approx=True)
+            ai, _ = index.query(
+                q[:NQ_GT], K, nprobe=nprobe, approx=True, q_split=QS
+            )
             rec = calculate_recall(ti, ai, K)
             if rec >= 0.95:
                 return (nprobe, rec)
@@ -104,11 +112,11 @@ def headline_ivfpq():
         chosen = sweep()
     nprobe, rec = chosen
 
-    index.query(q, K, nprobe=nprobe, approx=True)  # warm full batch
+    index.query(q, K, nprobe=nprobe, approx=True, q_split=QS)  # warm batch
     times = []
     for _ in range(3):  # tunnel timing variance is ±30% — take the best
         t0 = time.time()
-        index.query(q, K, nprobe=nprobe, approx=True)
+        index.query(q, K, nprobe=nprobe, approx=True, q_split=QS)
         times.append(time.time() - t0)
     qps = NQ / min(times)
 
