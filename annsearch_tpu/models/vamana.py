@@ -182,6 +182,19 @@ class VamanaIndex(BaseIndex):
         self.vectors = vecs
         self.sqnorms = sq
 
+        import time as _time
+
+        def _mark(label, t0, arr=None):
+            if verbose:
+                if arr is not None:
+                    # force completion with a tiny scalar readback —
+                    # block_until_ready is unreliable through tunnelled
+                    # hosts (see utils/profiling)
+                    float(np.asarray(jnp.sum(arr[:1])))
+                print(f"vamana build: {label} {_time.time() - t0:.1f}s",
+                      flush=True)
+            return _time.time()
+
         key = jax.random.key(seed)
         key, k0 = jax.random.split(key)
         # base kNN pool: exact MXU scan below the FLOP budget, forest+NND
@@ -190,9 +203,11 @@ class VamanaIndex(BaseIndex):
         # the reference's build time while the exact scan costs ~1 s)
         from .hnsw import _build_knn_graph
 
+        t0 = _time.time()
         ids, dists = _build_knn_graph(
             k0, vecs, sq, build_k, self.metric, n_trees, max_rounds
         )
+        t0 = _mark("base kNN pool", t0, dists)
 
         # Mix random long-range candidates into the prune pool: the
         # reference's random-R init (vamana.rs:89-118) is what gives Vamana
@@ -228,6 +243,7 @@ class VamanaIndex(BaseIndex):
         graph0 = jnp.concatenate(
             [graph0, jnp.full((1, graph0.shape[1]), n, jnp.int32)]
         )
+        t0 = _mark("first-pass prune", t0, graph0)
 
         # second pass (the step that gives Vamana its quality in the
         # reference): each node's prune pool is completed with the VISITED
@@ -240,6 +256,7 @@ class VamanaIndex(BaseIndex):
         ids, dists = self._second_pass_pool(
             vecs, sq, graph0, ids, dists, pool_k
         )
+        t0 = _mark("second-pass trails", t0, dists)
         pruned = robust_prune(
             vecs, sq, ids, dists, alpha, self.r_degree, self.metric
         )
@@ -248,6 +265,7 @@ class VamanaIndex(BaseIndex):
         self.graph = jnp.concatenate(
             [graph, jnp.full((1, graph.shape[1]), n, jnp.int32)]
         )
+        _mark("second-pass prune", t0, self.graph)
 
     @property
     def medoid(self) -> int:
