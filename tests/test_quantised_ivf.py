@@ -127,3 +127,18 @@ def test_memory_compression(data):
     pq = IvfPqIndex(x, "euclidean", nlist=32, m=8, seed=0)
     # PQ codes are m bytes/vector vs 4·dim — storage should be far smaller
     assert pq.memory_usage_bytes() < f32.memory_usage_bytes()
+
+
+def test_ivf_pq_qsplit_single_pass(data):
+    """q_split=False (single-bf16-pass query scoring on the approx fused
+    tier) must match the split path's recall where the ceiling is
+    quantisation — the 10M×128d operating point's knob (PROGRESS_NOTES
+    round-3 session 5: recall 0.9560 vs 0.9561 at np16 on hardware)."""
+    x, q, ti, _ = data
+    index = IvfPqIndex(x, "euclidean", nlist=32, m=32, seed=0)
+    ai_split, _ = index.query(q, 10, nprobe=16, approx=True, q_split=True)
+    ai_one, ad_one = index.query(q, 10, nprobe=16, approx=True, q_split=False)
+    r_split = calculate_recall(ti, ai_split, 10)
+    r_one = calculate_recall(ti, ai_one, 10)
+    assert r_one > r_split - 0.03
+    assert (np.diff(ad_one, axis=1) >= -1e-5).all()
