@@ -373,17 +373,25 @@ class IvfBase(BaseIndex):
         nprobe: int | None = None,
         k_scan: int | None = None,
         approx: bool = False,
-        q_split: bool = True,
+        q_split: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """``approx=True`` uses the TPU-optimised approximate per-cell
         selection (lax.approx_min_k) — a throughput knob that costs a little
         tail recall.
 
-        ``q_split=False`` (approx tier, quantised modes only) scores with a
-        single bf16 query pass instead of the hi/lo mantissa split — ~2⁻⁹
-        relative dot noise, half the MXU passes. Worth it only where the
-        recall ceiling is quantisation, not scoring precision (e.g. the
-        10M×128d i8dec operating point)."""
+        ``q_split`` controls query scoring precision in the FUSED approx
+        tier for int8-decoded modes ONLY (``approx=True`` AND
+        ``fused_eligible`` — dim a multiple of 128, k ≤ 64, storage < 2²⁴
+        rows — AND mode i8dec/i8dec_residual). Everywhere else the knob is a
+        no-op: f32/bf16 modes always use their own split schedule, and the
+        exact XLA/fused-exact tiers ignore it. ``False`` = one bf16 query
+        pass (~2⁻⁹ relative dot noise, half the MXU passes); ``True`` = hi/lo
+        mantissa split (XLA-scan scoring parity). Default ``None``
+        auto-resolves to ``False`` for i8dec modes — there the int8 code
+        quantisation (~2⁻⁷·range per dim) dominates the bf16 rounding, and a
+        controlled 1M×128d sweep measured identical recall at every nprobe
+        with +12% QPS at np16 (PROGRESS_NOTES round-3 session 5) — and
+        ``True`` otherwise."""
         q = self._prep_queries(query_mat)
         return self._query_prepped(q, k, nprobe, k_scan, approx, q_split)
 
@@ -396,12 +404,17 @@ class IvfBase(BaseIndex):
 
     def _scan(
         self, q, k, nprobe, mode=None, q_eff=None, approx=False,
-        q_split=True,
+        q_split=None,
     ):
         """Route → segment task lists → cluster-major scan. Returns
         (dists [nq, k], sorted-storage positions [nq, k])."""
         nq = q.shape[0]
         eff_mode = self.mode if mode is None else mode
+        if q_split is None:
+            # auto: single bf16 pass where the storage's own int8
+            # quantisation dominates the query-rounding noise (see
+            # IvfBase.query docstring for the measurement)
+            q_split = eff_mode not in ("i8dec", "i8dec_residual")
         if approx and q_eff is None and fused_eligible(
             eff_mode, self.seg_size, int(self.storage.shape[1]), k
         ) and int(self.storage.shape[0]) < (1 << 24):
@@ -616,7 +629,7 @@ class IvfBase(BaseIndex):
         return best_d, best_i
 
     def _query_prepped(
-        self, q, k, nprobe, k_scan=None, approx=False, q_split=True
+        self, q, k, nprobe, k_scan=None, approx=False, q_split=None
     ):
         k = self._clamp_k(k)
         nprobe = self.default_nprobe() if nprobe is None else nprobe

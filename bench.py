@@ -56,7 +56,10 @@ def headline_ivfpq():
     x, _ = generate_clustered_data_device(N, D, NC, seed=42)
     q = subsample_with_noise_device(x, NQ, seed=42)
 
-    gt_path = f"/tmp/gt_dev_{N}_{D}d.npz"
+    # cache key carries every input the GT depends on: the generator shape
+    # and seed AND the query-draw size (subsample draws NQ indices, so the
+    # first NQ_GT queries change whenever NQ changes) and k
+    gt_path = f"/tmp/gt_dev_{N}_{D}d_c{NC}_q{NQ}_g{NQ_GT}_k{K}_s42.npz"
     if os.path.exists(gt_path) and np.load(gt_path)["ti"].shape[0] >= NQ_GT:
         ti = np.load(gt_path)["ti"][:NQ_GT]
     else:
@@ -86,39 +89,50 @@ def headline_ivfpq():
         index = ann.build_ivf_pq_index(x, nlist=1024, m=128, seed=42)
         build_s = min(build_s, time.time() - t0)
 
-    # single-bf16-pass query scoring: at this operating point recall is
+    # q_split defaults to the single-bf16-pass scoring for i8dec modes
+    # (IvfBase.query auto-resolve): at this operating point recall is
     # quantisation-limited — measured 0.9560 vs 0.9561 at np16 with the
-    # hi/lo split, and +12% QPS (controlled same-process comparison,
-    # PROGRESS_NOTES round-3 session 5)
-    QS = False
+    # hi/lo split, and +12% QPS (PROGRESS_NOTES round-3 session 5)
 
     def sweep():
-        best = None
-        for nprobe in (6, 8, 16, 24, 32, 48, 64):
-            ai, _ = index.query(
-                q[:NQ_GT], K, nprobe=nprobe, approx=True, q_split=QS
-            )
+        """All clearing (recall ≥ 0.95) operating points, cheapest first;
+        falls back to the single best-effort point if nothing clears.
+        nprobe 10/12 matter: the 10M sweep's optimum was np10 and the old
+        6→8→16 jump skipped it (VERDICT r3 weak #1)."""
+        cleared, best = [], None
+        for nprobe in (6, 8, 10, 12, 16, 24, 32, 48, 64):
+            ai, _ = index.query(q[:NQ_GT], K, nprobe=nprobe, approx=True)
             rec = calculate_recall(ti, ai, K)
             if rec >= 0.95:
-                return (nprobe, rec)
-            best = (nprobe, rec)  # keep best-effort point
-        return best
+                cleared.append((nprobe, rec))
+                if len(cleared) >= 3:  # cost grows with nprobe; 3 is enough
+                    break
+            elif not cleared:
+                best = (nprobe, rec)  # keep best-effort point
+        return cleared or [best]
 
-    chosen = sweep()
-    if chosen[1] < 0.5 and not os.environ.get("ANNSEARCH_NO_PALLAS"):
+    candidates = sweep()
+    if candidates[0][1] < 0.5 and not os.environ.get("ANNSEARCH_NO_PALLAS"):
         # guard: a fused-kernel regression must not silently bench garbage —
         # fall back to the XLA scan path and re-sweep
         os.environ["ANNSEARCH_NO_PALLAS"] = "1"
-        chosen = sweep()
-    nprobe, rec = chosen
+        candidates = sweep()
 
-    index.query(q, K, nprobe=nprobe, approx=True, q_split=QS)  # warm batch
-    times = []
-    for _ in range(3):  # tunnel timing variance is ±30% — take the best
-        t0 = time.time()
-        index.query(q, K, nprobe=nprobe, approx=True, q_split=QS)
-        times.append(time.time() - t0)
-    qps = NQ / min(times)
+    # time EVERY clearing point and report the fastest: QPS is not strictly
+    # monotone in nprobe (task-list padding shapes), and tunnel run-to-run
+    # variance is ±2× — 5 reps, best-of
+    best_qps, nprobe, rec = 0.0, *candidates[0]
+    for np_c, rec_c in candidates:
+        index.query(q, K, nprobe=np_c, approx=True)  # warm batch
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            index.query(q, K, nprobe=np_c, approx=True)
+            times.append(time.time() - t0)
+        qps_c = NQ / min(times)
+        if qps_c > best_qps:
+            best_qps, nprobe, rec = qps_c, np_c, rec_c
+    qps = best_qps
 
     return {
         "metric": "ivfpq_qps_1M_128d_recall_ge_0.95",

@@ -104,8 +104,10 @@ def main(argv=None):
     )
 
     best = None
+    # non-sweep runs use the index default (None → auto: single-pass for
+    # i8dec modes); the sweep measures both explicitly
     for npb in args.nprobes:
-        for q_split in ((True, False) if args.sweep_qsplit else (True,)):
+        for q_split in ((True, False) if args.sweep_qsplit else (None,)):
             ai, _ = index.query(
                 q[: args.nq_gt], args.k, nprobe=npb, approx=True,
                 q_split=q_split,
@@ -122,7 +124,7 @@ def main(argv=None):
                 )
                 times.append(time.time() - t0)
             qps = args.nq / min(times)
-            tag = "" if q_split else " (single-pass queries)"
+            tag = "" if q_split in (True, None) else " (single-pass queries)"
             print(
                 f"nprobe={npb}: recall {rec:.4f}  {qps:,.0f} QPS{tag}",
                 flush=True,
@@ -130,10 +132,10 @@ def main(argv=None):
             if best is None or (rec >= 0.95) > (best[0] >= 0.95) or (
                 (rec >= 0.95) == (best[0] >= 0.95) and qps > best[1]
             ):
-                best = (rec, qps, npb)
+                best = (rec, qps, npb, q_split)
     print(
-        f"best: recall {best[0]:.4f} at {best[1]:,.0f} QPS (nprobe={best[2]}) "
-        f"on {args.n:,}×{args.dim}d — one chip"
+        f"best: recall {best[0]:.4f} at {best[1]:,.0f} QPS (nprobe={best[2]}, "
+        f"q_split={best[3]}) on {args.n:,}×{args.dim}d — one chip"
     )
 
 

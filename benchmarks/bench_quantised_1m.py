@@ -53,7 +53,13 @@ def main(argv=None):
     q = subsample_with_noise_device(x, args.nq, seed=42)
     print(f"data generated on device in {time.time() - t0:.1f}s", flush=True)
 
-    gt_path = f"/tmp/gt_dev_{args.n}_{args.dim}d.npz"
+    # cache key carries every input the GT depends on: generator shape and
+    # seed, the query-draw size (subsample draws nq indices — the first
+    # nq_gt queries change whenever --nq changes), and k
+    gt_path = (
+        f"/tmp/gt_dev_{args.n}_{args.dim}d_c{args.n_clusters}"
+        f"_q{args.nq}_g{args.nq_gt}_k{args.k}_s42.npz"
+    )
     if os.path.exists(gt_path) and np.load(gt_path)["ti"].shape[0] >= args.nq_gt:
         ti = np.load(gt_path)["ti"][: args.nq_gt]
     else:
@@ -78,6 +84,10 @@ def main(argv=None):
         ("ivf-bf16", ann.build_ivf_bf16_index),
         ("ivf-sq8", ann.build_ivf_sq8_index),
     ]
+    # f32-IVF results at each nprobe: the quantised rows report recall both
+    # vs exact GT and vs these (same probes, f32 scoring) — the latter
+    # isolates quantisation loss from probe loss
+    f32_ids: dict[int, np.ndarray] = {}
     for name, build in builders:
         build_s = float("inf")
         index = None
@@ -95,16 +105,24 @@ def main(argv=None):
                 q[: args.nq_gt], args.k, nprobe=npb, approx=True
             )
             rec = calculate_recall(ti, ai, args.k)
+            if name == "ivf-f32":
+                f32_ids[npb] = np.asarray(ai)
+                vs_f32 = ""
+            elif npb in f32_ids:
+                rq = calculate_recall(f32_ids[npb], ai, args.k)
+                vs_f32 = f"  vs-f32-ivf {rq:.4f}"
+            else:
+                vs_f32 = ""
             index.query(q, args.k, nprobe=npb, approx=True)
             times = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 index.query(q, args.k, nprobe=npb, approx=True)
                 times.append(time.time() - t0)
             qps = args.nq / min(times)
             print(
                 f"  {name} nprobe={npb}: recall {rec:.4f}  "
-                f"{qps:,.0f} QPS", flush=True,
+                f"{qps:,.0f} QPS{vs_f32}", flush=True,
             )
         del index
 
