@@ -48,6 +48,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..models.base import as_f32_matrix
+from ..models.graph import BRUTE_BUILD_FLOP_BUDGET
 from ..utils.dist import mantissa_split
 from ..ops.graph import (
     add_reverse_edges,
@@ -59,7 +60,7 @@ from ..ops.graph import (
 )
 from ..ops.topk import chunked_topk, merge_topk, topk_smallest
 from ..utils.dist import Dist, normalise, parse_ann_dist, sq_norms
-from .mesh import DB_AXIS, make_mesh
+from .mesh import BATCH_AXIS, DB_AXIS, make_mesh
 
 __all__ = ["ring_self_knn", "ShardedGraphIndex"]
 
@@ -192,8 +193,6 @@ class ShardedGraphIndex:
         rex = reverse_extra if reverse_extra is not None else self.out_deg // 2
 
         # per-shard FLOP budget: same crossover as the single-chip builder
-        from ..models.graph import BRUTE_BUILD_FLOP_BUDGET
-
         brute = m * m * self.dim <= BRUTE_BUILD_FLOP_BUDGET
 
         @functools.partial(
@@ -294,6 +293,11 @@ class ShardedGraphIndex:
             )
         return self._router_idx
 
+    def _grid_batch(self) -> int:
+        """Query-batch shards on 2-D ``(batch, db)`` grids, else 1."""
+        names = getattr(self.mesh, "axis_names", ())
+        return self.mesh.shape[BATCH_AXIS] if BATCH_AXIS in names else 1
+
     def query(
         self,
         query_mat,
@@ -303,7 +307,13 @@ class ShardedGraphIndex:
         expand: int = 4,
         n_entries: int = 8,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Replicated queries → per-shard beam search → all_gather merge."""
+        """Per-shard beam search → all_gather merge along ``db``.
+
+        On a 1-D mesh queries are replicated (every device searches every
+        query against its sub-graph). On a 2-D ``(batch, db)`` grid the
+        query batch additionally shards along ``batch`` — the same walk
+        economics per device on 1/nb of the queries, so throughput scales
+        with the full mesh instead of only the db axis."""
         q = jnp.asarray(as_f32_matrix(query_mat))
         if self.metric == Dist.COSINE:
             q = normalise(q)
@@ -315,11 +325,20 @@ class ShardedGraphIndex:
         ne = min(n_entries, beam, m)
         kl = min(k, m)  # per-shard candidates
 
+        nb = self._grid_batch()
+        nq_in = q.shape[0]
+        if nb > 1:
+            pad = (-nq_in) % nb
+            if pad:
+                q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+            q = jax.device_put(q, NamedSharding(self.mesh, P(BATCH_AXIS)))
+        q_spec = P(BATCH_AXIS) if nb > 1 else P()
+
         @functools.partial(
             _shard_map,
             mesh=self.mesh,
-            in_specs=(P(), P(DB_AXIS), P(DB_AXIS), P()),
-            out_specs=(P(), P()),
+            in_specs=(q_spec, P(DB_AXIS), P(DB_AXIS), P()),
+            out_specs=(q_spec, q_spec),
             check_vma=False,
         )
         def run(qq, x_shard, nav_shard, rt):
@@ -362,31 +381,140 @@ class ShardedGraphIndex:
             return md, jnp.take_along_axis(ig, pos, axis=-1)
 
         d, i = run(q, self.vectors, self.nav_local, routers)
-        return np.clip(np.asarray(i), 0, self.n - 1), np.asarray(d)
+        return (
+            np.clip(np.asarray(i)[:nq_in], 0, self.n - 1),
+            np.asarray(d)[:nq_in],
+        )
 
     # -- self-kNN ------------------------------------------------------------
 
     def generate_knn(
-        self, k: int, mode: str = "graph"
+        self, k: int, mode: str = "graph", flop_budget: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Global self-kNN rows.
 
-        ``mode="graph"`` completes the per-shard kNN rows into global ones
-        with the exact block ring (:func:`ring_self_knn`) — per-shard FLOPs
-        are n²·d/P, the distributed analogue of the single-chip brute
-        budget. ``mode="search"`` beam-searches every stored vector through
-        :meth:`query` (P× redundant compute; use for spot checks).
+        ``mode="graph"`` routes by per-device FLOP cost: the exact block
+        ring (:func:`ring_self_knn`, n²·d/P MACs per device — the
+        distributed analogue of the single-chip brute budget) while it fits
+        ``flop_budget`` (default ``models.graph.BRUTE_BUILD_FLOP_BUDGET``),
+        else the APPROXIMATE beam ring (:meth:`_ring_self_knn_beam`): each
+        travelling block is beam-searched against the hosting device's
+        sub-graph and the per-hop candidates merge as the block rides the
+        ring — walk-cost FLOPs instead of a full scan. ``mode="search"``
+        beam-searches every stored vector through :meth:`query` (P×
+        redundant compute; use for spot checks).
         """
         k = min(k, self.n - 1)
         if mode == "search":
             return self.query(np.asarray(self.vectors[: self.n]), k)
-        ids, dists = ring_self_knn(
-            self.vectors, k, self.metric, self.n, self.mesh
+        budget = (
+            flop_budget if flop_budget is not None else BRUTE_BUILD_FLOP_BUDGET
         )
+        per_device_macs = self.shard_rows * self.n_pad * self.dim
+        if per_device_macs <= budget:
+            ids, dists = ring_self_knn(
+                self.vectors, k, self.metric, self.n, self.mesh
+            )
+        else:
+            ids, dists = self._ring_self_knn_beam(k)
         return (
             np.clip(np.asarray(ids)[: self.n], 0, self.n - 1),
             np.asarray(dists)[: self.n],
         )
+
+    def _ring_self_knn_beam(
+        self,
+        k: int,
+        beam: int | None = None,
+        iters: int | None = None,
+        expand: int = 4,
+        n_entries: int = 8,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Approximate self-kNN ring: blocks of vectors ride the ``db``
+        ring; at each hop the hosting device BEAM-SEARCHES the visiting
+        block against its local sub-graph (routed entries, f32-grade
+        scores) instead of exact-scanning it, and the block's travelling
+        top-k merges hop by hop. Per-device cost is P walk batches of m
+        rows — independent of n per hop — versus the exact ring's
+        m·n·d MACs. Self-pairs masked by global id."""
+        ndev = self.mesh.shape[DB_AXIS]
+        m = self.shard_rows
+        n_valid = self.n
+        beam = min(beam if beam is not None else max(32, 2 * k), m)
+        iters = iters if iters is not None else max(8, beam // 4)
+        routers = jnp.asarray(self._routers(m))
+        ne = min(n_entries, beam, m)
+        kl = min(k + 1, m)
+        metric = self.metric
+
+        @functools.partial(
+            _shard_map,
+            mesh=self.mesh,
+            in_specs=(P(DB_AXIS), P(DB_AXIS), P()),
+            out_specs=(P(DB_AXIS), P(DB_AXIS)),
+            check_vma=False,
+        )
+        def run(x_shard, nav_shard, rt):
+            my = jax.lax.axis_index(DB_AXIS)
+            vecs = jnp.concatenate(
+                [x_shard, jnp.zeros((1, self.dim), jnp.float32)]
+            )
+            sq = sq_norms(vecs)
+            graph = jnp.concatenate(
+                [nav_shard, jnp.full((1, nav_shard.shape[1]), m, jnp.int32)]
+            )
+            vecs_hl = mantissa_split(vecs, 2)
+            local_valid = jnp.clip(n_valid - my * m, 0, m)
+            rt_l = jnp.where(rt < local_valid, rt, 0)
+            rv = vecs[rt_l]
+            rsq = sq[rt_l]
+
+            blk = x_shard
+            owner_base = my * m
+            best_d = jnp.full((m, k), _INF)
+            best_i = jnp.full((m, k), n_valid, jnp.int32)
+
+            def step(s, carry):
+                blk, owner_base, best_d, best_i = carry
+                host_base = jax.lax.axis_index(DB_AXIS) * m
+                gid_rows = owner_base + jnp.arange(m, dtype=jnp.int32)
+                # routed entries for the visiting block
+                dots = jax.lax.dot_general(
+                    blk, rv, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rd = 1.0 - dots if metric == Dist.COSINE else rsq[None, :] - 2.0 * dots
+                _, pos = jax.lax.top_k(-rd, ne)
+                entries = rt_l[pos]
+                d, i = beam_search(
+                    blk, vecs, sq, graph, entries, kl, beam, iters, metric,
+                    expand=expand, vectors_hl=vecs_hl,
+                )
+                gi = jnp.where(i >= local_valid, n_valid, host_base + i)
+                d = jnp.where(
+                    (gi == gid_rows[:, None]) | (gi >= n_valid), _INF, d
+                )
+                best_d2, best_i2 = merge_topk(best_d, best_i, d, gi, k)
+                perm = _ring_perm(ndev)
+                return (
+                    jax.lax.ppermute(blk, DB_AXIS, perm),
+                    jax.lax.ppermute(owner_base, DB_AXIS, perm),
+                    jax.lax.ppermute(best_d2, DB_AXIS, perm),
+                    jax.lax.ppermute(best_i2, DB_AXIS, perm),
+                )
+
+            blk, owner_base, best_d, best_i = jax.lax.fori_loop(
+                0, ndev, step, (blk, owner_base, best_d, best_i)
+            )
+            row_pad = (my * m + jnp.arange(m, dtype=jnp.int32)) >= n_valid
+            best_d = jnp.where(row_pad[:, None], _INF, best_d)
+            best_i = jnp.where(
+                row_pad[:, None] | jnp.isinf(best_d), n_valid, best_i
+            )
+            return best_d, best_i
+
+        d, i = run(self.vectors, self.nav_local, routers)
+        return i, d
 
     def memory_usage_bytes(self) -> int:
         return 4 * int(

@@ -37,7 +37,7 @@ from ..models.kmeans import build_cells, _dsq_seed_init, _random_init
 from ..ops.ivf_scan import build_probe_lists, ivf_cluster_scan
 from ..ops.topk import topk_smallest
 from ..utils.dist import Dist, normalise, parse_ann_dist, sq_norms
-from .mesh import DB_AXIS, make_mesh
+from .mesh import BATCH_AXIS, DB_AXIS, make_mesh
 
 __all__ = [
     "train_centroids_sharded",
@@ -53,9 +53,14 @@ def train_centroids_sharded(
     mesh,
     iters: int = 15,
 ) -> jax.Array:
-    """Distributed Lloyd: local assign + psum'd segment-sum update."""
+    """Distributed Lloyd: local assign + psum'd segment-sum update.
+
+    Works on 1-D ``db`` meshes and 2-D ``(batch, db)`` grids alike — the
+    data shards along ``db`` only; ``batch`` rows of the grid hold
+    replicated copies and redundantly compute the same update (build runs
+    once; the psum stays on the ``db`` axis)."""
     k = init_centroids.shape[0]
-    shard_rows = x_sharded.shape[0] // mesh.devices.size
+    shard_rows = x_sharded.shape[0] // mesh.shape[DB_AXIS]
 
     @functools.partial(
         _shard_map,
@@ -100,7 +105,13 @@ def train_centroids_sharded(
 
 
 class ShardedIvfIndex:
-    """IVF index with database and cells sharded over a device mesh."""
+    """IVF index with database and cells sharded over a device mesh.
+
+    Accepts a 1-D ``db`` mesh (queries replicated, the default) or a 2-D
+    ``(batch, db)`` grid (``make_mesh2d``): database rows shard along
+    ``db``; on a grid, query batches additionally shard along ``batch`` so
+    multi-chip query throughput scales with the mesh (the reference's rayon
+    query parallelism, lib.rs:84-121, composed with the sharded scan)."""
 
     def __init__(
         self,
@@ -112,7 +123,7 @@ class ShardedIvfIndex:
         mesh=None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
-        ndev = self.mesh.devices.size
+        ndev = self.mesh.shape[DB_AXIS]
         arr = as_f32_matrix(mat)
         self.metric = parse_ann_dist(metric)
         self.n, self.dim = arr.shape
@@ -225,6 +236,11 @@ class ShardedIvfIndex:
     def default_nprobe(self) -> int:
         return max(1, int(math.isqrt(self.nlist)))
 
+    def _grid_batch(self) -> int:
+        """Query-batch shards on 2-D ``(batch, db)`` grids, else 1."""
+        names = getattr(self.mesh, "axis_names", ())
+        return self.mesh.shape[BATCH_AXIS] if BATCH_AXIS in names else 1
+
     def query(self, query_mat, k: int, nprobe: int | None = None):
         q = jnp.asarray(as_f32_matrix(query_mat))
         if self.metric == Dist.COSINE:
@@ -232,6 +248,8 @@ class ShardedIvfIndex:
         k = max(1, min(k, self.n))
         nprobe = self.default_nprobe() if nprobe is None else nprobe
         nprobe = max(1, min(nprobe, self.nlist))
+        if self._grid_batch() > 1:
+            return self._query_grid(q, k, nprobe)
         nq = q.shape[0]
 
         # replicated routing → shared probe lists
@@ -290,6 +308,104 @@ class ShardedIvfIndex:
         ) + ((codebooks,) if has_cb else ())
         d, ids = run(*args)
         return np.asarray(ids), np.asarray(d)
+
+    def _query_grid(self, q: jax.Array, k: int, nprobe: int):
+        """2-D ``(batch, db)`` query: each device scans its (query block ×
+        cell shard) tile; the top-k merge all_gather rides only ``db``.
+
+        Routing is computed once for the whole batch (one [nq, nlist]
+        matmul); probe-list inversion happens per query block on the host
+        with every block padded to a COMMON (R, maxq, T) so the shard_map
+        traces one program. Sentinel conventions are block-local: query pad
+        = block rows (bq), cluster pad = nlist, gather pad = -1."""
+        nb = self._grid_batch()
+        nq = q.shape[0]
+        pad = (-nq) % nb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, self.dim), q.dtype)])
+        bq = q.shape[0] // nb
+
+        dots = q @ self.centroids.T
+        if self.metric == Dist.COSINE:
+            cd = 1.0 - dots
+        else:
+            cd = (
+                sq_norms(q)[:, None]
+                + sq_norms(self.centroids)[None, :]
+                - 2.0 * dots
+            )
+        _, probes = topk_smallest(cd, nprobe)
+        probes_np = np.asarray(probes)
+
+        blocks = [
+            build_probe_lists(probes_np[b * bq : (b + 1) * bq], self.nlist, bq)
+            for b in range(nb)
+        ]
+        R = max(c.shape[0] for c, _, _ in blocks)
+        maxq = max(l.shape[1] for _, l, _ in blocks)
+        T = max(g.shape[1] for _, _, g in blocks)
+
+        def pad_block(c, l, g):
+            cp = np.full(R, self.nlist, np.int32)
+            cp[: c.shape[0]] = c
+            lp = np.full((R, maxq), bq, np.int32)
+            lp[: l.shape[0], : l.shape[1]] = l
+            gp = np.full((bq, T), -1, np.int32)
+            gp[:, : g.shape[1]] = g
+            return cp, lp, gp
+
+        padded = [pad_block(*blk) for blk in blocks]
+        spec_b = lambda *rest: NamedSharding(self.mesh, P(BATCH_AXIS, *rest))
+        cids = jax.device_put(
+            jnp.asarray(np.stack([p[0] for p in padded])), spec_b(None)
+        )
+        lists = jax.device_put(
+            jnp.asarray(np.stack([p[1] for p in padded])), spec_b(None, None)
+        )
+        gmap = jax.device_put(
+            jnp.asarray(np.stack([p[2] for p in padded])), spec_b(None, None)
+        )
+        q_sharded = jax.device_put(q, spec_b(None))
+
+        metric = self.metric
+        cap = self.cell_cap
+        mode = self.mode
+        codebooks = self._scan_codebooks()
+        has_cb = codebooks is not None
+
+        @functools.partial(
+            _shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(BATCH_AXIS), P(BATCH_AXIS, None), P(BATCH_AXIS, None, None),
+                P(BATCH_AXIS, None, None),
+                P(DB_AXIS, None, None), P(DB_AXIS, None),
+                P(DB_AXIS, None), P(DB_AXIS, None), P(DB_AXIS, None), P(),
+            )
+            + ((P(),) if has_cb else ()),
+            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+            check_vma=False,
+        )
+        def run(qq, cids_b, plists_b, pgmap_b, storage, sqn, offs, cnts,
+                oids, cents, *cb):
+            d, i = ivf_cluster_scan(
+                qq, cids_b[0], plists_b[0], pgmap_b[0], storage[0], sqn[0],
+                offs[0], cnts[0], cents, k, metric, cap, mode,
+                codebooks=cb[0] if cb else None,
+            )
+            gids = oids[0][jnp.clip(i, 0, oids.shape[1] - 1)]
+            dg = jax.lax.all_gather(d, DB_AXIS, axis=1, tiled=True)
+            ig = jax.lax.all_gather(gids, DB_AXIS, axis=1, tiled=True)
+            md, pos = topk_smallest(dg, k)
+            return md, jnp.take_along_axis(ig, pos, axis=-1)
+
+        args = (
+            self._encode_queries(q_sharded), cids, lists, gmap, self.storage,
+            self.store_sqnorms, self.offsets, self.counts, self.original_ids,
+            self.centroids,
+        ) + ((codebooks,) if has_cb else ())
+        d, ids = run(*args)
+        return np.asarray(ids)[:nq], np.asarray(d)[:nq]
 
 
 class ShardedIvfPqIndex(ShardedIvfIndex):

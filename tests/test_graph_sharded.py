@@ -110,3 +110,46 @@ def test_sharded_graph_padding(gdata):
     np.testing.assert_array_equal(idx[:, 0], np.arange(16))
     ids, _ = index.generate_knn(8)
     assert (ids < 701).all()
+
+
+def test_sharded_graph_grid_query(gdata):
+    """2-D (batch, db) grid: query batches shard along `batch` (VERDICT r3
+    next-round #5). Self-query + recall parity with the 1-D path."""
+    from annsearch_tpu.parallel.mesh import make_mesh2d
+
+    grid = make_mesh2d(2, 4)
+    index = ShardedGraphIndex(gdata, "euclidean", k=10, mesh=grid)
+    q = gdata[:33]  # nq not divisible by batch axis → padding
+    idx, dist = index.query(q, 8)
+    assert idx.shape == (33, 8)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(33))
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=5e-3)
+    qn = gdata[100:200] + 0.01
+    gi, _ = index.query(qn, 10, beam=32)
+    d = ((qn[:, None, :] - gdata[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, axis=1)[:, :10]
+    recall = np.mean([
+        len(set(gi[r]) & set(gt[r])) / 10 for r in range(len(qn))
+    ])
+    assert recall > 0.9, recall
+
+
+def test_sharded_graph_knn_beam_tier(gdata):
+    """FLOP-budget routing in generate_knn (VERDICT r3 next-round #8): a
+    tiny budget must push the self-kNN onto the approximate beam ring, and
+    its graph recall must stay high (each travelling block beam-searches
+    every sub-graph, so the union covers the whole database)."""
+    mesh = make_mesh(8)
+    index = ShardedGraphIndex(gdata, "euclidean", k=10, mesh=mesh)
+    # budget 1 ⇒ per-device m·n·d MACs always exceed it ⇒ beam ring
+    ids, dists = index.generate_knn(8, mode="graph", flop_budget=1)
+    assert (ids < len(gdata)).all()
+    gt_ids, _ = _exact_knn(gdata, 8)
+    recall = np.mean([
+        len(set(ids[r]) & set(gt_ids[r])) / 8 for r in range(len(gdata))
+    ])
+    assert recall > 0.9, recall
+    # no self-loops
+    assert not (ids == np.arange(len(gdata))[:, None]).any()
+    # ascending distances
+    assert (np.diff(np.where(np.isinf(dists), 1e30, dists), axis=1) >= -1e-6).all()
