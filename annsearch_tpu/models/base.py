@@ -30,7 +30,41 @@ from ..utils.dist import Dist, normalise, parse_ann_dist, sq_norms
 
 __all__ = [
     "BaseIndex", "as_f32_matrix", "DTYPE_BYTES", "BRUTE_QUERY_FLOP_BUDGET",
+    "rescore_f64_pool",
 ]
+
+
+def rescore_f64_pool(
+    x64: np.ndarray,
+    q64: np.ndarray,
+    pool: np.ndarray,
+    k: int,
+    metric: Dist,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host f64 rescore of a device-selected candidate pool.
+
+    The reference's distance kernels are generic over f32/f64
+    (dist.rs:113-2263); the MXU has no f64 path, so f64 grade comes from a
+    device f32 HIGHEST pre-selection (pool ≥ 2k) + this host f64 rescore of
+    the pooled rows. ``x64`` is the raw f64 data in original row order;
+    ``pool [nq, kp]`` holds original ids. Returns ``(ids [nq, k],
+    dists [nq, k])`` ascending, distances computed fully in f64."""
+    if metric == Dist.COSINE:
+        xn = x64 / np.maximum(
+            np.linalg.norm(x64, axis=1, keepdims=True), 1e-30
+        )
+        qn = q64 / np.maximum(
+            np.linalg.norm(q64, axis=1, keepdims=True), 1e-30
+        )
+        dx = 1.0 - np.einsum("qd,qpd->qp", qn, xn[pool])
+    else:
+        diff = q64[:, None, :] - x64[pool]
+        dx = np.einsum("qpd,qpd->qp", diff, diff)
+    order = np.argsort(dx, axis=1)[:, :k]
+    return (
+        np.take_along_axis(pool, order, axis=1),
+        np.take_along_axis(dx, order, axis=1),
+    )
 
 #: Same economics inversion as the build-side brute path
 #: (models/graph.BRUTE_BUILD_FLOP_BUDGET): below this nq·n·d MAC count one

@@ -84,23 +84,9 @@ class ExhaustiveIndex(BaseIndex):
         self, q64: np.ndarray, pool: np.ndarray, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Host f64 rescore of the device-selected candidate pool."""
-        x = self._x64
-        if self.metric.name == "COSINE":
-            xn = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-30
-            )
-            qn = q64 / np.maximum(
-                np.linalg.norm(q64, axis=1, keepdims=True), 1e-30
-            )
-            dx = 1.0 - np.einsum("qd,qpd->qp", qn, xn[pool])
-        else:
-            diff = q64[:, None, :] - x[pool]
-            dx = np.einsum("qpd,qpd->qp", diff, diff)
-        order = np.argsort(dx, axis=1)[:, :k]
-        return (
-            np.take_along_axis(pool, order, axis=1),
-            np.take_along_axis(dx, order, axis=1),
-        )
+        from .base import rescore_f64_pool
+
+        return rescore_f64_pool(self._x64, q64, pool, k, self.metric)
 
     def generate_knn(
         self,

@@ -255,6 +255,17 @@ class IvfBase(BaseIndex):
         verbose: bool = False,
         **encode_kwargs,
     ):
+        # f64 inputs keep a host-side f64 copy (full-precision storage modes
+        # only): query() then runs the f32 scan as a 2k-pool pre-selection
+        # and rescores the pool in f64 on the host — the same trick
+        # ExhaustiveIndex uses for dist.rs's f64 generics (dist.rs:113-2263)
+        self._x64 = None
+        if (
+            isinstance(mat, np.ndarray)
+            and mat.dtype == np.float64
+            and type(self).mode == "f32"
+        ):
+            self._x64 = np.ascontiguousarray(mat)
         arr = as_f32_matrix(mat)
         n = arr.shape[0]
         if nlist is None:
@@ -391,9 +402,31 @@ class IvfBase(BaseIndex):
         quantisation (~2⁻⁷·range per dim) dominates the bf16 rounding, and a
         controlled 1M×128d sweep measured identical recall at every nprobe
         with +12% QPS at np16 (PROGRESS_NOTES round-3 session 5) — and
-        ``True`` otherwise."""
+        ``True`` otherwise.
+
+        f64 query batches against an index built from f64 data return
+        f64-exact ids+distances *within the probed cells*: the f32 scan
+        pre-selects a 2k pool, rescored in f64 on the host
+        (``models.base.rescore_f64_pool``)."""
+        q64 = None
+        if (
+            getattr(self, "_x64", None) is not None
+            and isinstance(query_mat, np.ndarray)
+            and query_mat.dtype == np.float64
+            and k_scan is None
+        ):
+            q64 = query_mat
+            k_scan = min(2 * self._clamp_k(k), self.n)
         q = self._prep_queries(query_mat)
-        return self._query_prepped(q, k, nprobe, k_scan, approx, q_split)
+        ids, d = self._query_prepped(q, k, nprobe, k_scan, approx, q_split)
+        if q64 is not None:
+            from .base import rescore_f64_pool
+
+            return rescore_f64_pool(
+                self._x64, q64, np.clip(ids, 0, self.n - 1),
+                self._clamp_k(k), self.metric,
+            )
+        return ids, d
 
     def _prep_queries(self, query_mat):
         q = as_f32_matrix(query_mat)

@@ -159,6 +159,14 @@ class KmknnIndex(BaseIndex):
         seed: int = 42,
         verbose: bool = False,
     ):
+        # f64 inputs: keep a host f64 copy; query() pre-selects a 2k pool
+        # with the exact f32 machinery and rescores it in f64 (same trick
+        # as ExhaustiveIndex/IvfBase — dist.rs f64 generics parity)
+        self._x64 = (
+            np.ascontiguousarray(mat)
+            if isinstance(mat, np.ndarray) and mat.dtype == np.float64
+            else None
+        )
         arr = as_f32_matrix(mat)
         n = arr.shape[0]
         if nlist is None:
@@ -216,12 +224,29 @@ class KmknnIndex(BaseIndex):
         self, query_mat: Any, k: int, p0: int | None = None,
         exact_fallback: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
+        q64 = None
+        kq = self._clamp_k(k)
+        if (
+            getattr(self, "_x64", None) is not None
+            and isinstance(query_mat, np.ndarray)
+            and query_mat.dtype == np.float64
+        ):
+            q64, kq = query_mat, min(2 * kq, self.n)
         q = self._prep_queries(query_mat)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             # identical output to the two-phase triangle-bound search (both
             # are exact); the MXU scan is the faster path below the budget
-            return self._exact_query_small(q, self._clamp_k(k))
-        return self._query_prepped(q, k, p0)
+            ids, d = self._exact_query_small(q, kq)
+        else:
+            ids, d = self._query_prepped(q, kq, p0)
+        if q64 is not None:
+            from .base import rescore_f64_pool
+
+            return rescore_f64_pool(
+                self._x64, q64, np.clip(ids, 0, self.n - 1),
+                self._clamp_k(k), self.metric,
+            )
+        return ids, d
 
     def _query_prepped(self, q, k, p0=None):
         k = self._clamp_k(k)

@@ -89,3 +89,25 @@ def test_ivf_memory_usage():
     x, _ = _setup(500, 8)
     index = IvfIndex(x, "euclidean", nlist=8, seed=0)
     assert index.memory_usage_bytes() > 500 * 8 * 4
+
+
+def test_ivf_f64_pool_rescore():
+    """f64 input + f64 queries → f64-exact ids+dists from IvfIndex.query
+    (VERDICT r3 next-round #9; dist.rs f64 generics). Sub-f32-grain pairs
+    must rank correctly at full probe."""
+    from annsearch_tpu.models.ivf import IvfIndex
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((400, 16))
+    x = np.concatenate([base, base + 1e-8 * rng.standard_normal((400, 16))])
+    q = base[:50] + 1e-9
+    index = IvfIndex(x, "euclidean", nlist=8, seed=0)
+    ids, d = index.query(q, 5, nprobe=8)  # all cells probed → exact
+    assert d.dtype == np.float64
+    diff = q[:, None, :] - x[None]
+    dm = np.einsum("qnd,qnd->qn", diff, diff)
+    gt = np.argsort(dm, axis=1)[:, :5]
+    gd = np.take_along_axis(dm, gt, axis=1)
+    np.testing.assert_allclose(d, gd, rtol=1e-12, atol=0)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(ids, gt)])
+    assert agree >= 0.99

@@ -248,3 +248,27 @@ def _bigger_lsh_fixture():
     q = subsample_with_noise(x, 200, seed=22)
     ti, td = ExhaustiveIndex(x).query(q, 10)
     return x, q, ti, td
+
+
+def test_kmknn_f64_pool_rescore():
+    """f64 input + f64 queries → f64-exact results from KmknnIndex.query
+    (VERDICT r3 next-round #9)."""
+    from annsearch_tpu.models.kmknn import KmknnIndex
+
+    rng = np.random.default_rng(22)
+    base = rng.standard_normal((300, 16))
+    x = np.concatenate([base, base + 1e-8 * rng.standard_normal((300, 16))])
+    q = base[:40] + 1e-9
+    index = KmknnIndex(x, "euclidean", nlist=8, seed=0)
+    ids, d = index.query(q, 5)
+    assert d.dtype == np.float64
+    diff = q[:, None, :] - x[None]
+    dm = np.einsum("qnd,qnd->qn", diff, diff)
+    gt = np.argsort(dm, axis=1)[:, :5]
+    gd = np.take_along_axis(dm, gt, axis=1)
+    np.testing.assert_allclose(d, gd, rtol=1e-12, atol=0)
+    agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(ids, gt)])
+    assert agree >= 0.99
+    # native (non-fallback) path must agree too
+    ids2, d2 = index.query(q, 5, exact_fallback=False)
+    np.testing.assert_allclose(d2, gd, rtol=1e-12, atol=0)
