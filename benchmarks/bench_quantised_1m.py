@@ -68,9 +68,20 @@ def main(argv=None):
         exact = ann.build_exhaustive_index(x)
         ti = None
         for _ in range(3):
-            t, td = exact.query(q[: args.nq_gt], args.k)
+            # host-level query chunks: at 1M×256d HIGHEST a single
+            # 1000-query dispatch runs multi-minute and can wedge the
+            # tunnelled worker (same failure mode as the full-width NND
+            # rounds, PROGRESS_NOTES r3s4) — keep each dispatch short
+            parts = [
+                np.asarray(
+                    exact.query(q[j : j + 128], args.k)[0]
+                )
+                for j in range(0, args.nq_gt, 128)
+            ]
+            t = np.concatenate(parts)
+            _, td = exact.query(q[:64], args.k)
             if float(np.median(np.asarray(td)[:, 0])) < 40 * 0.0025 * args.dim:
-                ti = np.asarray(t)
+                ti = t
                 break
             time.sleep(20)
         if ti is None:
