@@ -57,6 +57,8 @@ def main(argv=None):
     p.add_argument("--graph-sample", type=int, default=4096)
     p.add_argument("--beam", type=int, nargs="+", default=[32, 48])
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--refine", type=int, default=0,
+                   help="two-hop refinement sweeps after NND convergence")
     args = p.parse_args(argv)
 
     t0 = time.time()
@@ -70,7 +72,8 @@ def main(argv=None):
 
     t0 = time.time()
     index = NNDescentIndex(
-        x, k=args.k_graph, build_k=args.build_k, verbose=True
+        x, k=args.k_graph, build_k=args.build_k, verbose=True,
+        refine_rounds=args.refine,
     )
     _ = float(np.asarray(jnp.sum(index.knn_dists[:, 0])))
     build_s = time.time() - t0
