@@ -70,9 +70,17 @@ def headline_ivfpq():
         exact = ann.build_exhaustive_index(x)
         ti = None
         for _ in range(4):
-            t, td = exact.query(q[:NQ_GT], K)
+            # host-chunked queries: one multi-minute GT dispatch can wedge
+            # the tunnelled worker (measured at 1M×256d); short dispatches
+            # recover cleanly
+            parts = [
+                np.asarray(exact.query(q[j : j + 256], K)[0])
+                for j in range(0, NQ_GT, 256)
+            ]
+            t = np.concatenate(parts)
+            _, td = exact.query(q[:64], K)
             if float(np.median(np.asarray(td)[:, 0])) < 40 * 0.0025 * D:
-                ti = np.asarray(t)
+                ti = t
                 break
             time.sleep(20)
         if ti is None:

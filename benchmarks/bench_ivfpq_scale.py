@@ -68,7 +68,13 @@ def main(argv=None):
     q = subsample_with_noise_device(x, args.nq, seed=42)
     print(f"data generated on device in {time.time() - t0:.1f}s", flush=True)
 
-    gt_path = f"/tmp/gt_dev_{args.n}_{args.dim}d.npz"
+    # cache key carries every input the GT depends on (generator shape,
+    # seed, query-draw size, k); chunked queries keep each dispatch short —
+    # one multi-minute dispatch can wedge the tunnelled worker
+    gt_path = (
+        f"/tmp/gt_dev_{args.n}_{args.dim}d_c{args.n_clusters}"
+        f"_q{args.nq}_g{args.nq_gt}_k{args.k}_s42.npz"
+    )
     if os.path.exists(gt_path) and np.load(gt_path)["ti"].shape[0] >= args.nq_gt:
         ti = np.load(gt_path)["ti"][: args.nq_gt]
     else:
@@ -77,12 +83,17 @@ def main(argv=None):
         exact = ann.build_exhaustive_index(x)
         ti = None
         for _ in range(3):
-            t, td = exact.query(q[: args.nq_gt], args.k)
+            parts = [
+                np.asarray(exact.query(q[j : j + 128], args.k)[0])
+                for j in range(0, args.nq_gt, 128)
+            ]
+            t = np.concatenate(parts)
             # queries are σ=0.05 noisy subsamples — median NN distance must
             # sit near 0.05²·dim (tunnelled workers can return corrupted
             # buffers after a crash/restart; don't trust unvalidated GT)
+            _, td = exact.query(q[:64], args.k)
             if float(np.median(np.asarray(td)[:, 0])) < 40 * 0.0025 * args.dim:
-                ti = np.asarray(t)
+                ti = t
                 break
             time.sleep(20)
         if ti is None:
