@@ -118,6 +118,21 @@ class HnswIndex(BaseIndex):
         self.vectors = vecs
         self.sqnorms = sq
 
+        import time as _time
+
+        def _mark(label, t0, arr=None):
+            if verbose:
+                if arr is not None:
+                    # force completion with a tiny scalar readback —
+                    # block_until_ready is unreliable through tunnelled
+                    # hosts (see utils/profiling)
+                    float(np.asarray(jnp.sum(arr[:1])))
+                print(f"hnsw build: {label} {_time.time() - t0:.1f}s",
+                      flush=True)
+            return _time.time()
+
+        t0 = _time.time()
+
         # exponential layer assignment (hnsw.rs:639-645): mL = 1/ln(M)
         rng = np.random.default_rng(seed)
         ml = 1.0 / math.log(max(m, 2))
@@ -126,6 +141,7 @@ class HnswIndex(BaseIndex):
             MAX_LAYERS - 1,
         )
         self.n_layers = int(levels.max()) + 1 if n > 1 else 1
+        t0 = _mark("layer assignment", t0)
 
         # base layer: degree 2M, built from an NN-descent graph +
         # rank-prune (the batched Algorithm-4 analogue) + reverse fill
@@ -133,6 +149,7 @@ class HnswIndex(BaseIndex):
         build_k = min(max(2 * m, ef_construction // 2), max(n - 1, 1))
         key, kb = jax.random.split(key)
         ids, dists = _build_knn_graph(kb, vecs, sq, build_k, self.metric, 2, 8)
+        t0 = _mark("base kNN graph", t0, dists)
         key, kp = jax.random.split(key)
         deg0 = min(2 * m, build_k)
         pruned = cagra_prune(vecs, sq, ids, dists, deg0, self.metric)
@@ -140,6 +157,7 @@ class HnswIndex(BaseIndex):
         self.base_graph = jnp.concatenate(
             [base, jnp.full((1, base.shape[1]), n, jnp.int32)]
         )
+        t0 = _mark("prune + reverse edges", t0, self.base_graph)
 
         # upper layers: node subsets with their own degree-M graphs in
         # local id space + local→global maps
@@ -171,6 +189,7 @@ class HnswIndex(BaseIndex):
                 [lids, jnp.full((1, kk), s_pad, jnp.int32)]
             )
             self.layers.append((gids, graph, lv_vecs, lv_sq))
+            t0 = _mark(f"upper layer {lv} ({s} nodes, pad {s_pad})", t0, graph)
 
         # entry point: highest-layer node (hnsw.rs:648)
         if self.layers:
