@@ -119,6 +119,26 @@ def main(argv=None):
     ]
     configs = QUICK if args.quick else CONFIGS
 
+    # preserve appendix sections this script does not generate (the
+    # kNN-graph / 10M / quantised-1M sections maintained by the
+    # bench_knn_graph / bench_ivfpq_scale / bench_quantised_1m /
+    # bench_cagra_10m scripts) across full regens
+    appendix = ""
+    try:
+        with open("docs/benchmarks_tpu.md") as f:
+            old = f.read()
+        for marker in (
+            "## Full kNN-graph generation",
+            "## 10M×128d on ONE chip",
+            "## Quantised IVF at 1M×256d",
+        ):
+            pos = old.find(marker)
+            if pos >= 0:
+                appendix = "\n" + old[pos:].rstrip() + "\n"
+                break
+    except FileNotFoundError:
+        pass
+
     lines = [
         "# TPU benchmarks",
         "",
@@ -137,7 +157,7 @@ def main(argv=None):
 
     def write():
         with open("docs/benchmarks_tpu.md", "w") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write("\n".join(lines) + "\n" + appendix)
 
     for kind, extra in configs:
         print(f"=== {kind} ===", flush=True)
