@@ -105,6 +105,63 @@ def _fused_query_e2e(
     return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("nseg",))
+def _seg_radii(storage, sqn, seg_cents, row_seg, *, nseg):
+    """Per-segment max squared distance of member rows to the owning
+    centroid (f32 HIGHEST). Pad rows carry ``row_seg == nseg``."""
+    c = seg_cents[jnp.minimum(row_seg, nseg - 1)]
+    dots = jnp.einsum(
+        "nd,nd->n", storage.astype(jnp.float32), c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    csq = jnp.einsum("nd,nd->n", c, c, precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(sqn + csq - 2.0 * dots, 0.0)
+    d2 = jnp.where(row_seg < nseg, d2, 0.0)
+    return jax.ops.segment_max(d2, row_seg, num_segments=nseg + 1)[:nseg]
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _cert_flags(q, centroids, radii, dk, npr_used, *, metric):
+    """Triangle-inequality exactness certificate (one dispatch, tiny
+    readback). A vector x in cell c satisfies ``|q−x| ≥ |q−c| − r_c``
+    (``r_c`` = cell radius), so a cell with ``(|q−c| − r_c)² > d_k``
+    cannot improve the current top-k. Returns, per query, the 1-based
+    centroid-distance rank of the furthest cell that could still matter
+    (``m_need``) and whether that exceeds the probes already scanned.
+    Cosine rides the same geometry: stored rows, centroids and queries
+    are unit vectors, so ``1 − sim = |q−x|²/2``."""
+    dots = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # euclidean geometry in BOTH metrics: queries/rows are unit vectors
+    # under cosine (1 − sim = |q−x|²/2 exactly) but centroids need not be,
+    # so centroid distances use their real norms
+    dc2 = jnp.maximum(
+        sq_norms(q)[:, None] + sq_norms(centroids)[None, :] - 2.0 * dots,
+        0.0,
+    )
+    dk2 = jnp.maximum(2.0 * dk if metric == Dist.COSINE else dk, 0.0)
+    dc = jnp.sqrt(dc2)
+    bound = jnp.maximum(dc - radii[None, :], 0.0) ** 2
+    # float-grade slack: flag on ties rather than certify through noise
+    viol = bound <= dk2[:, None] * (1.0 + 1e-3) + 1e-6
+    # rank cells the way the ROUTER ranks them (cosine routes by 1 − dot,
+    # which can disagree with euclidean rank when centroid norms vary) so
+    # "rank < nprobe ⇒ already scanned" holds
+    dr = (1.0 - dots) if metric == Dist.COSINE else dc2
+    order = jnp.argsort(dr, axis=1)
+    viol_sorted = jnp.take_along_axis(viol, order, axis=1)
+    idx = jnp.arange(dc.shape[1])[None, :]
+    m_need = jnp.max(jnp.where(viol_sorted, idx + 1, 0), axis=1)
+    # −2 rank margin: the scan routed at DEFAULT (bf16-grade) matmul
+    # precision while this program ranks at HIGHEST, so near-tie cells can
+    # swap a couple of ranks across the probe boundary — only trust the
+    # probe set up to npr−2 and re-probe the rest
+    return m_need, m_need > jnp.maximum(npr_used - 2, 1)
+
+
 def _exact_rescore(q, storage, d, i, k, metric):
     """f32-EXACT rescore of a candidate pool: the fused kernel's 4-term
     bf16 split carries ~16 mantissa bits through the products, which flips
@@ -377,6 +434,115 @@ class IvfBase(BaseIndex):
             self._ptr_dev_cache = cached
         return cached
 
+    def _cell_radii(self) -> jax.Array:
+        """[nlist] per-cell euclidean radii (f32 upper bounds, small
+        multiplicative slack so HIGHEST rounding can't under-state a
+        radius and void the certificate). Computed once per index from
+        the sorted f32 storage — one device pass + [nseg] readback."""
+        cached = getattr(self, "_cell_radii_cache", None)
+        if cached is None:
+            offs = np.asarray(self.seg_offsets)
+            cnts = np.asarray(self.seg_counts)
+            nseg = len(offs)
+            n_pad = int(self.storage.shape[0])
+            row_seg = np.full(n_pad, nseg, np.int32)
+            for s in range(nseg):
+                row_seg[offs[s] : offs[s] + cnts[s]] = s
+            seg_max = np.asarray(
+                _seg_radii(
+                    self.storage, self.store_sqnorms, self.seg_centroids,
+                    jnp.asarray(row_seg), nseg=nseg,
+                )
+            )
+            ptr = np.asarray(self._cluster_ptr)
+            radii = np.zeros(self.nlist, np.float32)
+            for c in range(self.nlist):
+                if ptr[c + 1] > ptr[c]:
+                    radii[c] = seg_max[ptr[c] : ptr[c + 1]].max()
+            cached = jnp.asarray(
+                np.sqrt(np.maximum(radii, 0.0) * (1.0 + 2e-3)) + 1e-6
+            )
+            self._cell_radii_cache = cached
+        return cached
+
+    def _certify(self, q, ids, d, k, nprobe, k_scan, q_split, q64):
+        """Make the exact tier provably exact: run the triangle-inequality
+        certificate (:func:`_cert_flags`) over the routing geometry and
+        re-query any flagged query at the certified probe count (rounded
+        up to a power of two so re-probes can't trigger unbounded
+        recompiles). The re-query's probe set supersets the original
+        (same routing, larger top-k), so flagged rows are overwritten,
+        not merged. Loops until every query certifies or probes reach
+        nlist. The reference's exact path is exact by scanning the same
+        scalar kernels for GT and query (ivf.rs); on TPU GT and query
+        take different numeric paths, so exactness is *certified*
+        geometrically instead."""
+        kc = self._clamp_k(k)
+        npr = self.default_nprobe() if nprobe is None else nprobe
+        npr = max(1, min(npr, self.nlist))
+        radii = self._cell_radii()
+        nq = q.shape[0]
+        npr_used = np.full(nq, npr, np.int32)
+        sel = np.arange(nq)
+        for _ in range(5):
+            qs = q[jnp.asarray(sel)]
+            pad = (1 << max(len(sel) - 1, 0).bit_length()) - len(sel) if len(sel) > 1 else 0
+            if pad:
+                qs = jnp.concatenate(
+                    [qs, jnp.broadcast_to(qs[:1], (pad, q.shape[1]))]
+                )
+            dk = np.concatenate(
+                [d[sel, kc - 1].astype(np.float32), np.zeros(pad, np.float32)]
+            )
+            # rows that scanned every cell are exact by construction (the
+            # −2 rank margin must not re-flag them); same for pad rows
+            nu = np.concatenate(
+                [
+                    np.where(
+                        npr_used[sel] >= self.nlist,
+                        self.nlist + 8,
+                        npr_used[sel],
+                    ),
+                    np.full(pad, self.nlist + 8, np.int32),
+                ]
+            )
+            m_need, flags = _cert_flags(
+                qs, self.centroids, radii, jnp.asarray(dk),
+                jnp.asarray(nu), metric=self.metric,
+            )
+            flags = np.asarray(flags)[: len(sel)]
+            if not flags.any():
+                break
+            m_need = np.asarray(m_need)[: len(sel)]
+            rows = sel[flags]
+            if not ids.flags.writeable:
+                ids = ids.copy()  # np.asarray of device output is read-only
+            if not d.flags.writeable:
+                d = d.copy()
+            want = int(max(m_need[flags].max() + 2, npr_used[rows].max() + 1))
+            npr2 = min(self.nlist, 1 << (want - 1).bit_length())
+            nf = len(rows)
+            nf_pad = 1 << (nf - 1).bit_length() if nf > 1 else 1
+            rows_p = np.concatenate(
+                [rows, np.zeros(nf_pad - nf, rows.dtype)]
+            )
+            qf = q[jnp.asarray(rows_p)]
+            ids2, d2 = self._query_prepped(qf, k, npr2, k_scan, False, q_split)
+            if q64 is not None:
+                from .base import rescore_f64_pool
+
+                ids2, d2 = rescore_f64_pool(
+                    self._x64, q64[rows_p], np.clip(ids2, 0, self.n - 1),
+                    kc, self.metric,
+                )
+            ids[rows] = ids2[:nf]
+            d[rows] = d2[:nf]
+            npr_used[rows] = npr2
+            sel = rows
+            if npr2 >= self.nlist:
+                break
+        return ids, d
+
     def query(
         self,
         query_mat: Any,
@@ -385,6 +551,7 @@ class IvfBase(BaseIndex):
         k_scan: int | None = None,
         approx: bool = False,
         q_split: bool | None = None,
+        certify: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """``approx=True`` uses the TPU-optimised approximate per-cell
         selection (lax.approx_min_k) — a throughput knob that costs a little
@@ -407,7 +574,17 @@ class IvfBase(BaseIndex):
         f64 query batches against an index built from f64 data return
         f64-exact ids+distances *within the probed cells*: the f32 scan
         pre-selects a 2k pool, rescored in f64 on the host
-        (``models.base.rescore_f64_pool``)."""
+        (``models.base.rescore_f64_pool``).
+
+        ``certify=True`` (exact f32 tier only) upgrades "exact within the
+        probed cells" to provably exact top-k: a triangle-inequality
+        certificate over the routing geometry (:func:`_cert_flags`)
+        re-probes any query whose kth distance an unprobed cell could
+        still beat. ``nprobe`` then sets the STARTING probe count, not the
+        recall — the reference's exact CPU path gets 1.0 only when its
+        clustering happens to trap every neighbour (ivf.rs); this makes
+        it unconditional. Plain ``nprobe`` queries keep reference
+        recall/cost semantics."""
         q64 = None
         if (
             getattr(self, "_x64", None) is not None
@@ -422,10 +599,22 @@ class IvfBase(BaseIndex):
         if q64 is not None:
             from .base import rescore_f64_pool
 
-            return rescore_f64_pool(
+            ids, d = rescore_f64_pool(
                 self._x64, q64, np.clip(ids, 0, self.n - 1),
                 self._clamp_k(k), self.metric,
             )
+        if certify:
+            if approx or self.mode != "f32":
+                raise ValueError(
+                    "certify=True requires the exact f32 tier "
+                    "(approx=False and a plain-f32 IVF index) — quantised "
+                    "storage cannot certify exact distances"
+                )
+            npr = self.default_nprobe() if nprobe is None else nprobe
+            if max(1, min(npr, self.nlist)) < self.nlist:
+                ids, d = self._certify(
+                    q, ids, d, k, nprobe, k_scan, q_split, q64
+                )
         return ids, d
 
     def _prep_queries(self, query_mat):

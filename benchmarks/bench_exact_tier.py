@@ -64,15 +64,27 @@ def main(argv=None):
     q64 = q.astype(np.float64)
     print(f"data {time.time() - t0:.1f}s", flush=True)
 
-    # f64-grade ground truth (device f32 HIGHEST pool + host f64 rescore)
-    t0 = time.time()
-    exact = ExhaustiveIndex(x64, "euclidean")
-    ti64, td64 = exact.query(q64, args.k)
-    assert td64.dtype == np.float64
-    print(f"f64 GT {time.time() - t0:.1f}s", flush=True)
-    # f32-grade ground truth (the scale suite's usual GT)
-    ti32, _ = exact.query(q, args.k)
-    del exact
+    # f64-grade ground truth (device f32 HIGHEST pool + host f64 rescore),
+    # cached — it costs ~10 min through a cold tunnel
+    import os
+
+    gt_path = (
+        f"/tmp/gt_exact_tier_{args.n}_{args.dim}d_q{args.nq}"
+        f"_k{args.k}.npz"
+    )
+    if os.path.exists(gt_path):
+        z = np.load(gt_path)
+        ti64, ti32 = z["ti64"], z["ti32"]
+    else:
+        t0 = time.time()
+        exact = ExhaustiveIndex(x64, "euclidean")
+        ti64, td64 = exact.query(q64, args.k)
+        assert td64.dtype == np.float64
+        print(f"f64 GT {time.time() - t0:.1f}s", flush=True)
+        # f32-grade ground truth (the scale suite's usual GT)
+        ti32, _ = exact.query(q, args.k)
+        del exact
+        np.savez(gt_path, ti64=ti64, ti32=ti32)
 
     t0 = time.time()
     index = IvfIndex(x64, "euclidean", nlist=args.nlist, seed=42)
@@ -102,6 +114,31 @@ def main(argv=None):
         f"exact tier (f32 queries): {best32 * 1000:,.0f} ms  "
         f"recall vs f32 GT = {calculate_recall(ti32, ai32, args.k):.4f}  "
         f"vs f64 GT = {calculate_recall(ti64, ai32, args.k):.4f}",
+        flush=True,
+    )
+
+    # certified tier: the triangle-inequality probe certificate re-probes
+    # flagged queries — recall must be 1.0000 by construction, at the cost
+    # of one extra certificate dispatch + the flagged-query re-scan
+    index.query(q[:256], args.k, nprobe=args.nprobe, certify=True)
+    bestc = float("inf")
+    for _ in range(args.reps):
+        t0 = time.time()
+        aic, _ = index.query(q, args.k, nprobe=args.nprobe, certify=True)
+        bestc = min(bestc, time.time() - t0)
+    print(
+        f"CERTIFIED tier (f32 queries): {bestc * 1000:,.0f} ms  "
+        f"recall vs f64 GT = {calculate_recall(ti64, aic, args.k):.4f}",
+        flush=True,
+    )
+    bestc64 = float("inf")
+    for _ in range(args.reps):
+        t0 = time.time()
+        aic64, _ = index.query(q64, args.k, nprobe=args.nprobe, certify=True)
+        bestc64 = min(bestc64, time.time() - t0)
+    print(
+        f"CERTIFIED tier (f64 queries): {bestc64 * 1000:,.0f} ms  "
+        f"recall vs f64 GT = {calculate_recall(ti64, aic64, args.k):.4f}",
         flush=True,
     )
 

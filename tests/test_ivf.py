@@ -111,3 +111,52 @@ def test_ivf_f64_pool_rescore():
     np.testing.assert_allclose(d, gd, rtol=1e-12, atol=0)
     agree = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(ids, gt)])
     assert agree >= 0.99
+
+
+def test_ivf_exact_tier_certified():
+    """The exact (approx=False) f32 tier carries a triangle-inequality
+    probe certificate (VERDICT r3 #6, opt-in ``certify=True``): even at a
+    deliberately starved nprobe the returned top-k must equal the
+    exhaustive scan's — flagged
+    queries re-probe until every unprobed cell's lower bound
+    (|q−c| − r_c)² clears the kth distance."""
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+    from annsearch_tpu.utils.data import generate_data
+    from annsearch_tpu.utils.metrics import calculate_recall
+
+    x, _ = generate_data("lowrank", 6000, 16, 8, seed=3, intrinsic_dim=8)
+    rng = np.random.default_rng(5)
+    q = x[rng.choice(6000, 150, replace=False)] + np.float32(0.01)
+    ti, td = ExhaustiveIndex(x, "euclidean").query(q, 10)
+    index = IvfIndex(x, "euclidean", nlist=32, seed=0)
+
+    ai0, _ = index.query(q, 10, nprobe=2)
+    ai, d = index.query(q, 10, nprobe=2, certify=True)
+    assert calculate_recall(ti, ai0, 10) < 1.0  # starved probes DO miss
+    assert calculate_recall(ti, ai, 10) == 1.0
+    np.testing.assert_allclose(d, td, rtol=2e-4, atol=1e-4)
+
+
+def test_ivf_exact_tier_certified_cosine():
+    from annsearch_tpu.models.exhaustive import ExhaustiveIndex
+    from annsearch_tpu.utils.data import generate_data
+    from annsearch_tpu.utils.metrics import calculate_recall
+
+    x, _ = generate_data("lowrank", 6000, 16, 8, seed=3, intrinsic_dim=8)
+    rng = np.random.default_rng(5)
+    q = x[rng.choice(6000, 150, replace=False)] + np.float32(0.01)
+    ti, _ = ExhaustiveIndex(x, "cosine").query(q, 10)
+    index = IvfIndex(x, "cosine", nlist=32, seed=0)
+    ai, _ = index.query(q, 10, nprobe=2, certify=True)
+    assert calculate_recall(ti, ai, 10) == 1.0
+
+
+def test_ivf_certify_rejects_quantised():
+    import pytest
+
+    from annsearch_tpu.models.quantised.ivf import IvfSq8Index
+
+    x, _ = _setup(600, 16)
+    index = IvfSq8Index(x, "euclidean", nlist=8, seed=0)
+    with pytest.raises(ValueError, match="certify"):
+        index.query(x[:10], 5, nprobe=2, certify=True)
