@@ -195,8 +195,14 @@ def query_ivf_index(
     nprobe: int | None = None,
     return_dist: bool = False,
     verbose: bool = False,
+    certify: bool = False,
 ):
-    idx, dist = _query(index, query_mat, verbose, k, nprobe=nprobe)
+    """``certify=True`` runs the exact tier's triangle-inequality probe
+    certificate (provably exact top-k; ``nprobe`` becomes the starting
+    probe count) — see :meth:`IvfBase.query`."""
+    idx, dist = _query(
+        index, query_mat, verbose, k, nprobe=nprobe, certify=certify
+    )
     return _maybe_dist(idx, dist, return_dist)
 
 

@@ -90,6 +90,12 @@ SCALE_CONFIGS = [
     ("ivf", "500000",
      ["--n-queries", "15000",
       "--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),
+    # certified exact tier: triangle-inequality probe certificate —
+    # provably exact top-k (recall 1.0 by construction, not clustering
+    # luck); compare the reference CPU's 639 ms @ 1.0 row
+    ("ivf", "500000",
+     ["--n-queries", "15000", "--certify",
+      "--nlist-sweep", "500", "--nprobe-sweep", "22"]),
     ("ivf-gpu", "500000",
      ["--n-queries", "15000",
       "--nlist-sweep", "500", "--nprobe-sweep", "11", "22"]),

@@ -82,7 +82,10 @@ SWEEPS = {
     "exhaustive": lambda a: [("exhaustive", {})],
     "exhaustive-gpu": lambda a: [("exhaustive-gpu", {})],
     "ivf": lambda a: [
-        (f"ivf nl{nl} np{np_}", {"nlist": nl, "nprobe": np_})
+        (
+            f"ivf{'-cert' if a.certify else ''} nl{nl} np{np_}",
+            {"nlist": nl, "nprobe": np_},
+        )
         for nl in a.nlist_sweep
         for np_ in a.nprobe_sweep
     ],
@@ -203,7 +206,7 @@ def make_runner(kind: str, args, x):
         if kind == "ivf":
             return (
                 lambda: ann.build_ivf_index(x, nlist=cfg.get("nlist"), dist_metric=dist, seed=seed),
-                lambda ix, qq: ann.query_ivf_index(qq, ix, k, nprobe=cfg.get("nprobe"), return_dist=True),
+                lambda ix, qq: ann.query_ivf_index(qq, ix, k, nprobe=cfg.get("nprobe"), return_dist=True, certify=args.certify),
             )
         if kind == "exhaustive-gpu":
             return (
@@ -336,6 +339,11 @@ def main(argv=None):
     p.add_argument("--m-sweep", type=int, nargs="+", default=None)
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--build-reps", type=int, default=1)
+    p.add_argument(
+        "--certify", action="store_true",
+        help="ivf only: run the exact tier's probe certificate "
+        "(provably exact top-k; nprobe = starting probe count)",
+    )
     args = p.parse_args(argv)
 
     if args.n_queries is None:
