@@ -113,6 +113,10 @@ QUICK = [
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--sections", default="main,native,binary,scale",
+        help="comma list of table sections to regenerate",
+    )
     p.add_argument("--n-samples", type=int, default=150_000)
     p.add_argument("--dim", type=int, default=32)
     p.add_argument("--k", type=int, default=15)
@@ -124,6 +128,9 @@ def main(argv=None):
         "--build-reps", "2",
     ]
     configs = QUICK if args.quick else CONFIGS
+    sections = set(args.sections.split(","))
+    if "main" not in sections:
+        configs = []
 
     # preserve appendix sections this script does not generate (the
     # kNN-graph / 10M / quantised-1M sections maintained by the
@@ -179,7 +186,7 @@ def main(argv=None):
             )
         write()  # incremental — a timeout keeps everything finished so far
 
-    if not args.quick:
+    if not args.quick and "native" in sections:
         # native-path appendix: the structures whose queries the
         # small-regime exact fallback supersedes at this workload size
         # (models/base.BRUTE_QUERY_FLOP_BUDGET) — these rows force the
@@ -220,10 +227,11 @@ def main(argv=None):
             write()
         del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
 
-        # binary suite on the reference's binary workload (50k×256d —
+        # (binary suite gated below) (50k×256d —
         # fill_benchmarks.sh:192-216; binarising 32d data is meaningless
         # and the reference never does it). Native paths forced for the
         # same reason as above.
+    if not args.quick and "binary" in sections:
         lines += [
             "",
             "## Binary quantisation suite (50k×256d, k=15 — the reference's "
@@ -260,6 +268,7 @@ def main(argv=None):
             write()
         del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
 
+    if not args.quick and "scale" in sections:
         # scale rows: the reference GPU doc's 250k/500k×64d lowrank suite
         lines += [
             "",
