@@ -218,6 +218,7 @@ class NNDescentIndex(BaseIndex):
         diversify_prob: float = 0.0,
         seed: int = 42,
         verbose: bool = False,
+        has_sentinel: bool = False,
     ):
         """``refine_rounds``: optional two-hop refinement sweeps after
         convergence (reference two_hop_refinement, nndescent_gpu.rs:686-825)
@@ -229,8 +230,17 @@ class NNDescentIndex(BaseIndex):
         kNN-graph edges after build (reference diversify_graph,
         nndescent.rs:954-1010; 0 disables). Pruned slots report the
         sentinel id at +inf distance, exactly like the reference's
-        sentinel-padded rows."""
+        sentinel-padded rows.
+
+        ``has_sentinel=True``: ``mat`` is ``[n+1, dim]`` with a ZERO last
+        row and is adopted as the sentinel-padded vector table WITHOUT the
+        usual concat copy (appending a sentinel to an existing device
+        array transiently doubles residency — 2×5.1 GB at 10M×128d, an
+        OOM; ``utils.data.generate_clustered_data_device(sentinel=True)``
+        emits the padded layout for free)."""
         super().__init__(mat, metric)
+        if has_sentinel:
+            self.n -= 1
         n = self.n
         self.k_build = min(build_k if build_k is not None else 2 * k, max(n - 1, 1))
         self.out_deg = min(
@@ -241,9 +251,12 @@ class NNDescentIndex(BaseIndex):
         )
 
         # sentinel row n for safe gathers
-        vecs = jnp.concatenate(
-            [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
-        )
+        if has_sentinel:
+            vecs = self.vectors
+        else:
+            vecs = jnp.concatenate(
+                [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
+            )
         sq = sq_norms(vecs)
         self.vectors = vecs
         self.sqnorms = sq

@@ -58,8 +58,16 @@ def nav_hl_split(vectors: jax.Array):
     """bf16 hi/lo split of a vector table for beam-search candidate scoring
     (see ``beam_search`` ``vectors_hl``). Returns None off-TPU — XLA:CPU
     cannot run batched bf16 dots, and the gather-bandwidth win is a TPU
-    property."""
+    property. The split costs an extra 2×bf16 copy of the whole table
+    (5.1 GB at 10M×128d) next to the f32 original, so it is gated on an
+    HBM budget like the neighbour packing: ``ANNSEARCH_HL_BYTES``
+    (default 3 GiB; 0 disables)."""
+    import os
+
     if jax.default_backend() != "tpu":
+        return None
+    budget = int(os.environ.get("ANNSEARCH_HL_BYTES", 3 << 30))
+    if 4 * vectors.shape[0] * vectors.shape[1] > budget:
         return None
     from ..utils.dist import mantissa_split
 

@@ -75,7 +75,8 @@ def generate_clustered_data(
 
 
 def generate_clustered_data_device(
-    n_samples: int, dim: int, n_clusters: int, seed: int = 42
+    n_samples: int, dim: int, n_clusters: int, seed: int = 42,
+    sentinel: bool = False,
 ):
     """GaussianNoise suite generated ON DEVICE (same distribution family as
     :func:`generate_clustered_data`: centres U(-7.5, 7.5), stds U(0.5, 2.5),
@@ -84,12 +85,19 @@ def generate_clustered_data_device(
     For benchmark-scale datasets the host→device upload dominates on slow
     links (a 1M×128d matrix is 512 MB); generating on device costs one tiny
     program instead. Returns ``(data [n, d] f32 device array, labels)``.
+
+    ``sentinel=True`` returns ``[n+1, d]`` with a ZERO last row (rows
+    0..n-1 identical to the unpadded call): graph indexes keep a zero
+    sentinel row for safe gathers, and appending one to an existing
+    device array costs a full second copy — 2×5.1 GB transient at
+    10M×128d, which OOMs the chip. Generating the padded layout inside
+    the jit costs nothing (pass ``has_sentinel=True`` to the index).
     """
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-    def _gen(key, n, d, k):
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+    def _gen(key, n, d, k, pad):
         kc, ks, kw, kl, kn = jax.random.split(key, 5)
         centres = jax.random.uniform(kc, (k, d), minval=-7.5, maxval=7.5)
         stds = jax.random.uniform(ks, (k,), minval=0.5, maxval=2.5)
@@ -97,25 +105,36 @@ def generate_clustered_data_device(
         labels = jax.random.categorical(kl, jnp.log(w), shape=(n,))
         noise = jax.random.normal(kn, (n, d))
         data = centres[labels] + noise * stds[labels][:, None]
-        return data.astype(jnp.float32), labels.astype(jnp.int32)
+        data = data.astype(jnp.float32)
+        if pad:
+            # inside the jit this fuses into the output buffer — no
+            # second full-size copy materialises
+            data = jnp.concatenate([data, jnp.zeros((1, d), jnp.float32)])
+        return data, labels.astype(jnp.int32)
 
-    return _gen(jax.random.key(seed), n_samples, dim, n_clusters)
+    return _gen(jax.random.key(seed), n_samples, dim, n_clusters, sentinel)
 
 
-def subsample_with_noise_device(data, n_samples: int, seed: int = 42):
+def subsample_with_noise_device(
+    data, n_samples: int, seed: int = 42, n_rows: int | None = None
+):
     """Device-side noisy query subsample (σ=0.05, seed offset +1000 —
-    mirrors :func:`subsample_with_noise`)."""
+    mirrors :func:`subsample_with_noise`). ``n_rows`` restricts the draw
+    to the first rows (draws are identical to slicing ``data[:n_rows]``
+    first, WITHOUT the eager-slice copy — pass it for sentinel-padded
+    tables)."""
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _sub(key, x, m):
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def _sub(key, x, m, nr):
         ki, kn = jax.random.split(key)
-        idx = jax.random.choice(ki, x.shape[0], (m,), replace=False)
+        idx = jax.random.choice(ki, nr, (m,), replace=False)
         return x[idx] + jax.random.normal(kn, (m, x.shape[1])) * 0.05
 
-    m = min(n_samples, data.shape[0])
-    return _sub(jax.random.key(seed + 1000), data, m)
+    nr = data.shape[0] if n_rows is None else n_rows
+    m = min(n_samples, nr)
+    return _sub(jax.random.key(seed + 1000), data, m, nr)
 
 
 def _separated_centres(
