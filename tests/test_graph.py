@@ -235,3 +235,34 @@ def test_forced_approximate_build_converges(monkeypatch):
         [len(set(got[r]) & set(gt[r])) / k for r in range(0, n, 3)]
     )
     assert rec >= 0.95, rec
+
+
+def test_nndescent_has_sentinel_adoption():
+    """Sentinel-padded generation + zero-copy adoption must reproduce the
+    plain path bit-for-bit (10M×128d OOM fix: appending the sentinel to an
+    existing device array transiently doubles residency)."""
+    import jax.numpy as jnp
+
+    from annsearch_tpu.utils.data import (
+        generate_clustered_data_device,
+        subsample_with_noise_device,
+    )
+
+    xp, _ = generate_clustered_data_device(1500, 16, 5, seed=7, sentinel=True)
+    x0, _ = generate_clustered_data_device(1500, 16, 5, seed=7)
+    assert xp.shape == (1501, 16)
+    np.testing.assert_array_equal(np.asarray(xp[:1500]), np.asarray(x0))
+    assert np.all(np.asarray(xp[1500]) == 0)
+    qp = subsample_with_noise_device(xp, 40, seed=7, n_rows=1500)
+    q0 = subsample_with_noise_device(x0, 40, seed=7)
+    np.testing.assert_array_equal(np.asarray(qp), np.asarray(q0))
+
+    ip = NNDescentIndex(xp, k=6, has_sentinel=True)
+    i0 = NNDescentIndex(x0, k=6)
+    assert ip.n == i0.n == 1500
+    np.testing.assert_array_equal(
+        np.asarray(ip.knn_ids), np.asarray(i0.knn_ids)
+    )
+    idp, _ = ip.query(np.asarray(q0), 5)
+    id0, _ = i0.query(np.asarray(q0), 5)
+    np.testing.assert_array_equal(idp, id0)
