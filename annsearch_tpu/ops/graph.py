@@ -471,15 +471,28 @@ def leaf_join_merge(
     cand_ids = cand_ids.reshape(-1, ksel)
     cand_d = cand_d.reshape(-1, ksel)
     members = leaves.reshape(-1)                        # [g_pad*leaf]
-    cur_ids = graph_ids[jnp.minimum(members, n - 1)]
-    cur_d = graph_dists[jnp.minimum(members, n - 1)]
-    new_ids, new_d = _merge_rows(cur_ids, cur_d, cand_ids, cand_d, kk)
-    # pads scatter OUT of range and are dropped — clamping them to n-1
-    # would collide with (and nondeterministically clobber) the real last
-    # member's update
-    safe_m = jnp.where(members < n, members, n)
-    gi = graph_ids.at[safe_m].set(new_ids, mode="drop")
-    gd = graph_dists.at[safe_m].set(new_d, mode="drop")
+    # merge + scatter in row chunks: one full-width merge materialises
+    # several [n, kk+ksel] sort workspaces at once (~15 GB at 10M·kk32 —
+    # OOM); chunks bound the transient while the scatter stays
+    # collision-free (leaves partition the points, so chunks touch
+    # disjoint rows)
+    total = members.shape[0]
+    row_chunk = min(total, 1 << 21)
+    gi, gd = graph_ids, graph_dists
+    for i0 in range(0, total, row_chunk):
+        i1 = min(i0 + row_chunk, total)
+        m = members[i0:i1]
+        cur_ids = gi[jnp.minimum(m, n - 1)]
+        cur_d = gd[jnp.minimum(m, n - 1)]
+        new_ids, new_d = _merge_rows(
+            cur_ids, cur_d, cand_ids[i0:i1], cand_d[i0:i1], kk
+        )
+        # pads scatter OUT of range and are dropped — clamping them to
+        # n-1 would collide with (and nondeterministically clobber) the
+        # real last member's update
+        safe_m = jnp.where(m < n, m, n)
+        gi = gi.at[safe_m].set(new_ids, mode="drop")
+        gd = gd.at[safe_m].set(new_d, mode="drop")
     return gi, gd
 
 
