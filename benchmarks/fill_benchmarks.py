@@ -115,7 +115,9 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true")
     p.add_argument(
         "--sections", default="main,native,binary,scale",
-        help="comma list of table sections to regenerate",
+        help="comma list of table sections to regenerate — ALSO the run "
+        "order (the file keeps its canonical section order regardless); "
+        "skipped sections are carried over verbatim from the old file",
     )
     p.add_argument("--n-samples", type=int, default=150_000)
     p.add_argument("--dim", type=int, default=32)
@@ -127,16 +129,16 @@ def main(argv=None):
         "--n-clusters", "25", "--k", str(args.k),
         "--build-reps", "2",
     ]
-    configs = QUICK if args.quick else CONFIGS
-    sections = set(args.sections.split(","))
-    if "main" not in sections:
-        configs = []
+    order = [x for x in args.sections.split(",") if x]
+    if args.quick:
+        order = ["main"]
 
     # preserve appendix sections this script does not generate (the
     # kNN-graph / 10M / quantised-1M sections maintained by the
     # bench_knn_graph / bench_ivfpq_scale / bench_quantised_1m /
     # bench_cagra_10m scripts) across full regens
     appendix = ""
+    old = ""
     try:
         with open("docs/benchmarks_tpu.md") as f:
             old = f.read()
@@ -148,155 +150,168 @@ def main(argv=None):
             pos = old.find(marker)
             if pos >= 0:
                 appendix = "\n" + old[pos:].rstrip() + "\n"
+                old = old[:pos]
                 break
     except FileNotFoundError:
         pass
 
-    lines = [
-        "# TPU benchmarks",
-        "",
+    def old_span(start_marker, end_markers):
+        m0 = old.find(start_marker)
+        if m0 < 0:
+            return ""
+        m1 = len(old)
+        for em in end_markers:
+            p_ = old.find(em, m0 + 1)
+            if 0 <= p_ < m1:
+                m1 = p_
+        return old[m0:m1].rstrip()
+
+    MAIN_HEAD = (
+        "| Method | Build (ms) | Query (ms) | Recall@k | Dist ratio "
+        "| Size MB |\n|---|---|---|---|---|---|"
+    )
+    NATIVE_PARA = (
+        "At this workload size every index that keeps full-precision "
+        "rows answers queries through the small-regime exact MXU scan "
+        "(recall 1.0 by construction — see "
+        "`models/base.BRUTE_QUERY_FLOP_BUDGET`). The rows below force "
+        "the native query algorithms (`ANNSEARCH_NO_EXACT_FALLBACK=1`) "
+        "to show structure quality:\n\n"
+        "| Method (native path) | Build (ms) | Query (ms) | Recall@k "
+        "| Dist ratio | Size MB |\n|---|---|---|---|---|---|"
+    )
+    BINARY_HEAD = (
+        "## Binary quantisation suite (50k×256d, k=15 — the reference's "
+        "`benchmarks_binary.md` workload)\n\n"
+        "Size MB here includes the device-resident f32 rerank store "
+        "(51.2 MB at this workload) that the exact-rerank tier scores "
+        "against; the reference keeps the same vectors in an on-disk "
+        "mmap store it does NOT count in its Size column "
+        "(vec_store.rs; exhaustive_binary.rs:575-579 counts codes + "
+        "binariser only). Codes+binariser alone are ~1.9 MB at 256 "
+        "bits — parity with the reference's 1.78 MB.\n\n"
+        "| Method | Data | Build (ms) | Query (ms) | Recall@k | "
+        "Dist ratio | Size MB |\n|---|---|---|---|---|---|---|"
+    )
+    SCALE_HEAD = (
+        "## Scale suite (lowrank 64d, k=15 — the reference's "
+        "`benchmarks_gpu.md` 250k/500k workloads)\n\n"
+        "| Method | n | Build (ms) | Query (ms) | Recall@k | "
+        "Dist ratio | Size MB |\n|---|---|---|---|---|---|---|"
+    )
+
+    # canonical blocks, seeded from the old file: any cutoff leaves a
+    # coherent document (fresh sections where a regen completed, the
+    # previous run's content elsewhere)
+    blocks = {
+        "main": old_span(
+            "| Method |", ("At this workload size", "\n## ")
+        ) or MAIN_HEAD,
+        "native": old_span("At this workload size", ("\n## ",)),
+        "binary": old_span("## Binary quantisation suite", ("\n## Scale",)),
+        "scale": old_span("## Scale suite", ("\n## ",)),
+    }
+
+    header = (
+        "# TPU benchmarks\n\n"
         f"Generated {datetime.datetime.now():%Y-%m-%d %H:%M} on "
         f"{jax.devices()[0].device_kind} "
         "(timings include host work; this environment adds tunnel latency "
         "a production TPU host does not have). Workload: GaussianNoise "
         f"{args.n_samples}×{args.dim}d, 25 clusters, "
         f"{args.n_samples // 10} noisy queries, k={args.k} — the reference's "
-        "default benchmark workload (commons/mod.rs:17-27).",
-        "",
-        "| Method | Build (ms) | Query (ms) | Recall@k | Dist ratio | Size MB |",
-        "|---|---|---|---|---|---|",
-    ]
+        "default benchmark workload (commons/mod.rs:17-27)."
+    )
     os.makedirs("docs", exist_ok=True)
 
     def write():
+        parts = [header, blocks["main"]]
+        for name in ("native", "binary", "scale"):
+            if blocks[name]:
+                parts.append(blocks[name])
         with open("docs/benchmarks_tpu.md", "w") as f:
-            f.write("\n".join(lines) + "\n" + appendix)
+            f.write("\n\n".join(parts) + "\n" + appendix)
 
-    for kind, extra in configs:
-        print(f"=== {kind} ===", flush=True)
+    def sweep(tag, kind, argv_, rows, block_name, fmt):
+        print(f"=== {tag}{kind} ===", flush=True)
         try:
-            results = gridsearch_main(["--index", kind] + base + extra)
+            results = gridsearch_main(argv_)
         except Exception as e:
-            print(f"{kind} FAILED: {e}", flush=True)
-            continue
-        for name, build_ms, query_ms, rec, mdr, size_mb in results:
-            lines.append(
-                f"| {name} | {build_ms:,.0f} | {query_ms:,.0f} | "
-                f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
-            )
-        write()  # incremental — a timeout keeps everything finished so far
+            print(f"{tag}{kind} FAILED: {e}", flush=True)
+            return
+        for r in results:
+            rows.append(fmt(r))
+        blocks[block_name] = "\n".join(rows)
+        write()  # incremental — a cutoff keeps everything finished so far
 
-    if not args.quick and "native" in sections:
-        # native-path appendix: the structures whose queries the
-        # small-regime exact fallback supersedes at this workload size
-        # (models/base.BRUTE_QUERY_FLOP_BUDGET) — these rows force the
-        # native algorithm so structure quality stays visible
-        lines += [
-            "",
-            "At this workload size every index that keeps full-precision "
-            "rows answers queries through the small-regime exact MXU scan "
-            "(recall 1.0 by construction — see "
-            "`models/base.BRUTE_QUERY_FLOP_BUDGET`). The rows below force "
-            "the native query algorithms (`ANNSEARCH_NO_EXACT_FALLBACK=1`) "
-            "to show structure quality:",
-            "",
-            "| Method (native path) | Build (ms) | Query (ms) | Recall@k | Dist ratio | Size MB |",
-            "|---|---|---|---|---|---|",
-        ]
-        write()
+    def row6(r):
+        name, build_ms, query_ms, rec, mdr, size_mb = r
+        return (
+            f"| {name} | {build_ms:,.0f} | {query_ms:,.0f} | "
+            f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
+        )
+
+    def run_main():
+        rows = [MAIN_HEAD]
+        for kind, extra in (QUICK if args.quick else CONFIGS):
+            sweep("", kind, ["--index", kind] + base + extra, rows,
+                  "main", row6)
+
+    def run_native():
+        rows = [NATIVE_PARA]
         os.environ["ANNSEARCH_NO_EXACT_FALLBACK"] = "1"
-        for kind, extra in [
-            ("kmknn", ["--nlist-sweep", "387"]),
-            ("annoy", []),
-            ("hnsw", []),
-            ("vamana", []),
-            ("nndescent", []),
-            ("lsh", []),
-        ]:
-            print(f"=== native {kind} ===", flush=True)
-            try:
-                results = gridsearch_main(["--index", kind] + base + extra)
-            except Exception as e:
-                print(f"native {kind} FAILED: {e}", flush=True)
-                continue
-            for name, build_ms, query_ms, rec, mdr, size_mb in results:
-                lines.append(
-                    f"| {name} | {build_ms:,.0f} | {query_ms:,.0f} | "
-                    f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
-                )
-            write()
-        del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
+        try:
+            for kind, extra in [
+                ("kmknn", ["--nlist-sweep", "387"]),
+                ("annoy", []),
+                ("hnsw", []),
+                ("vamana", []),
+                ("nndescent", []),
+                ("lsh", []),
+            ]:
+                sweep("native ", kind, ["--index", kind] + base + extra,
+                      rows, "native", row6)
+        finally:
+            del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
 
-        # (binary suite gated below) (50k×256d —
-        # fill_benchmarks.sh:192-216; binarising 32d data is meaningless
-        # and the reference never does it). Native paths forced for the
-        # same reason as above.
-    if not args.quick and "binary" in sections:
-        lines += [
-            "",
-            "## Binary quantisation suite (50k×256d, k=15 — the reference's "
-            "`benchmarks_binary.md` workload)",
-            "",
-            "Size MB here includes the device-resident f32 rerank store "
-            "(51.2 MB at this workload) that the exact-rerank tier scores "
-            "against; the reference keeps the same vectors in an on-disk "
-            "mmap store it does NOT count in its Size column "
-            "(vec_store.rs; exhaustive_binary.rs:575-579 counts codes + "
-            "binariser only). Codes+binariser alone are ~1.9 MB at 256 "
-            "bits — parity with the reference's 1.78 MB.",
-            "",
-            "| Method | Data | Build (ms) | Query (ms) | Recall@k | "
-            "Dist ratio | Size MB |",
-            "|---|---|---|---|---|---|---|",
-        ]
-        write()
+    def run_binary():
+        rows = [BINARY_HEAD]
         os.environ["ANNSEARCH_NO_EXACT_FALLBACK"] = "1"
-        for kind, data, extra in BINARY_CONFIGS:
-            print(f"=== binary-suite {kind} ({data}) ===", flush=True)
-            try:
-                results = gridsearch_main(
-                    ["--index", kind, "--data", data] + BINARY_BASE + extra
-                )
-            except Exception as e:
-                print(f"binary-suite {kind} FAILED: {e}", flush=True)
-                continue
-            for name, build_ms, query_ms, rec, mdr, size_mb in results:
-                lines.append(
-                    f"| {name} | {data} | {build_ms:,.0f} | {query_ms:,.0f} | "
-                    f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
-                )
-            write()
-        del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
+        try:
+            for kind, data, extra in BINARY_CONFIGS:
+                def fmt(r, data=data):
+                    name, b, q, rec, mdr, mb = r
+                    return (
+                        f"| {name} | {data} | {b:,.0f} | {q:,.0f} | "
+                        f"{rec:.4f} | {mdr:.4f} | {mb:.2f} |"
+                    )
+                sweep("binary-suite ", f"{kind} ({data})",
+                      ["--index", kind, "--data", data] + BINARY_BASE + extra,
+                      rows, "binary", fmt)
+        finally:
+            del os.environ["ANNSEARCH_NO_EXACT_FALLBACK"]
 
-    if not args.quick and "scale" in sections:
-        # scale rows: the reference GPU doc's 250k/500k×64d lowrank suite
-        lines += [
-            "",
-            "## Scale suite (lowrank 64d, k=15 — the reference's "
-            "`benchmarks_gpu.md` 250k/500k workloads)",
-            "",
-            "| Method | n | Build (ms) | Query (ms) | Recall@k | "
-            "Dist ratio | Size MB |",
-            "|---|---|---|---|---|---|---|",
-        ]
-        write()
+    def run_scale():
+        rows = [SCALE_HEAD]
         for kind, n, extra in SCALE_CONFIGS:
-            print(f"=== scale {kind} ({n}) ===", flush=True)
-            try:
-                results = gridsearch_main(
-                    ["--index", kind, "--data", "lowrank",
-                     "--n-samples", n, "--dim", "64", "--k", "15",
-                     "--intrinsic-dim", "16", "--build-reps", "2"] + extra
+            def fmt(r, n=n):
+                name, b, q, rec, mdr, mb = r
+                return (
+                    f"| {name} | {n} | {b:,.0f} | {q:,.0f} | "
+                    f"{rec:.4f} | {mdr:.4f} | {mb:.2f} |"
                 )
-            except Exception as e:
-                print(f"scale {kind} FAILED: {e}", flush=True)
-                continue
-            for name, build_ms, query_ms, rec, mdr, size_mb in results:
-                lines.append(
-                    f"| {name} | {n} | {build_ms:,.0f} | {query_ms:,.0f} | "
-                    f"{rec:.4f} | {mdr:.4f} | {size_mb:.2f} |"
-                )
-            write()
+            sweep("scale ", f"{kind} ({n})",
+                  ["--index", kind, "--data", "lowrank",
+                   "--n-samples", n, "--dim", "64", "--k", "15",
+                   "--intrinsic-dim", "16", "--build-reps", "2"] + extra,
+                  rows, "scale", fmt)
+
+    runners = {"main": run_main, "native": run_native,
+               "binary": run_binary, "scale": run_scale}
+    write()
+    for name in order:
+        if name in runners:
+            runners[name]()
     print("wrote docs/benchmarks_tpu.md", flush=True)
 
 
