@@ -535,8 +535,16 @@ def kmeans_leaves(
             preferred_element_type=jnp.float32,
         )
         dc = -dots if metric == Dist.COSINE else csq[None, :] - 2.0 * dots
-        _, top = jax.lax.top_k(-dc, j + 1)
-        return top[:, j].astype(jnp.int32), x @ v
+        # (jth+1)-nearest cell via j masked argmin rounds, NOT top_k:
+        # the k=2 top_k variant of this program crashes the XLA:TPU AOT
+        # compile helper (reproducible, 10M×128d shapes), and iterated
+        # argmin is cheaper anyway — the where-mask fuses into the tile
+        for _ in range(j):
+            m = jnp.argmin(dc, axis=1)
+            dc = jnp.where(
+                jnp.arange(dc.shape[1])[None, :] == m[:, None], _INF, dc
+            )
+        return jnp.argmin(dc, axis=1).astype(jnp.int32), x @ v
 
     cells, projs = jax.lax.map(
         blk, jnp.arange(0, n_pad_t, tile, dtype=jnp.int32)
