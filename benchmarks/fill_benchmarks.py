@@ -26,9 +26,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 from benchmarks.gridsearch import main as gridsearch_main
 
 CONFIGS = [
-    # (index kind, extra argv)
+    # (index kind, extra argv) — graph families run FIRST: their build
+    # rows are the ones past rounds left stale, so a cut-off regen must
+    # refresh them before anything else (the table keeps this order)
     ("exhaustive", []),
     ("exhaustive-gpu", []),
+    ("hnsw", []),
+    ("vamana", []),
+    ("nndescent", []),
     ("ivf", ["--nlist-sweep", "387", "--nprobe-sweep", "8", "19"]),
     # GPU-path analogue (fused single-dispatch scan) — compare with the
     # reference's IVF-GPU rows (benchmarks_gpu.md:53: nl273 np16 332 ms)
@@ -37,9 +42,6 @@ CONFIGS = [
     ("annoy", []),
     ("kdtree", []),
     ("balltree", []),
-    ("hnsw", []),
-    ("vamana", []),
-    ("nndescent", []),
     ("lsh", []),
     ("exhaustive-bf16", []),
     ("exhaustive-sq8", []),
