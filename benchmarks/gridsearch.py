@@ -365,6 +365,14 @@ def main(argv=None):
         intrinsic_dim=args.intrinsic_dim, spectral_decay=args.spectral_decay,
     )
     q = subsample_with_noise(x, args.n_queries, args.seed)
+    if args.certify:
+        # certified rows measure in f64 end-to-end: an f32-grade GT flips
+        # sub-grain ties against ANY f32 query path (~4e-4 of recall noise
+        # at the 500k scale workload), so a provably-exact tier still
+        # reads 0.9996 against it. f64 data → f64 pool-rescored GT and
+        # f64-exact certified queries — recall 1.0000 is then meaningful.
+        x = x.astype(np.float64)
+        q = q.astype(np.float64)
 
     print("computing exhaustive ground truth...", flush=True)
     exact = ann.build_exhaustive_index(x, args.distance)
