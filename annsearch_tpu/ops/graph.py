@@ -427,8 +427,6 @@ def leaf_join_merge(
     admits large (MXU-efficient) leaves. Scatters are collision-free —
     leaves partition the points.
     """
-    from ..utils.dist import mantissa_split
-
     n = graph_ids.shape[0]
     g, leaf = leaves.shape
     ksel = min(kk, leaf - 1)
@@ -440,60 +438,69 @@ def leaf_join_merge(
             [leaves, jnp.full((g_pad - g, leaf), n, jnp.int32)]
         )
 
+    # Stream leaf blocks through join+merge+scatter as ONE jitted step per
+    # block: stacking all candidates first ([n, ksel] ids+dists) plus the
+    # full-width merge workspace exceeds large-n HBM budgets (measured
+    # OOM at 10M×128d next to the 5.1 GB vector table), while per-block
+    # transients are a few hundred MB. The scatter stays collision-free —
+    # leaves partition the points, so blocks touch disjoint rows. Blocks
+    # are uniform [bg, leaf], so the step compiles exactly once.
+    n_blocks = g_pad // bg
+    gi, gd = graph_ids, graph_dists
+    blocks = leaves.reshape(n_blocks, bg, leaf)
+    for b in range(n_blocks):
+        gi, gd = _leaf_step(
+            blocks[b], gi, gd, vectors, sqnorms, kk=kk, ksel=ksel,
+            metric=metric,
+        )
+    return gi, gd
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kk", "ksel", "metric")
+)
+def _leaf_step(lv, gi, gd, vectors, sqnorms, *, kk, ksel, metric):
+    """One leaf block of :func:`leaf_join_merge`: all-pairs join on the
+    MXU, top-ksel pre-select, merge into the members' graph rows."""
+    from ..utils.dist import mantissa_split
+
+    n = gi.shape[0]
+    leaf = lv.shape[1]
+    safe = jnp.minimum(lv, n)
+    lv_vecs = vectors[safe]                             # [bg, leaf, d]
+    lv_sq = sqnorms[safe]
+    lh, ll = mantissa_split(lv_vecs, 2)                 # f32-grade pairs
     e = functools.partial(
         jnp.einsum, "gld,gmd->glm", preferred_element_type=jnp.float32
     )
-
-    def ljoin(lv):                                      # [bg, leaf]
-        safe = jnp.minimum(lv, n)
-        lv_vecs = vectors[safe]                         # [bg, leaf, d]
-        lv_sq = sqnorms[safe]
-        lh, ll = mantissa_split(lv_vecs, 2)             # f32-grade pairs
-        dots = e(lh, lh) + e(lh, ll) + e(ll, lh)
-        if metric == Dist.COSINE:
-            d = 1.0 - dots
-        else:
-            d = jnp.maximum(
-                lv_sq[:, :, None] + lv_sq[:, None, :] - 2.0 * dots, 0.0
-            )
-        eye = jnp.eye(leaf, dtype=bool)[None]
-        invalid = (lv[:, None, :] >= n) | (lv[:, :, None] >= n) | eye
-        d = jnp.where(invalid, _INF, d)
-        nd, pos = jax.lax.top_k(-d, ksel)               # [bg, leaf, ksel]
-        cid = jnp.take_along_axis(
-            jnp.broadcast_to(lv[:, None, :], d.shape), pos, axis=-1
+    dots = e(lh, lh) + e(lh, ll) + e(ll, lh)
+    if metric == Dist.COSINE:
+        d = 1.0 - dots
+    else:
+        d = jnp.maximum(
+            lv_sq[:, :, None] + lv_sq[:, None, :] - 2.0 * dots, 0.0
         )
-        return cid, -nd
-
-    cand_ids, cand_d = jax.lax.map(
-        ljoin, leaves.reshape(-1, bg, leaf)
+    eye = jnp.eye(leaf, dtype=bool)[None]
+    invalid = (lv[:, None, :] >= n) | (lv[:, :, None] >= n) | eye
+    d = jnp.where(invalid, _INF, d)
+    nd, pos = jax.lax.top_k(-d, ksel)                   # [bg, leaf, ksel]
+    cid = jnp.take_along_axis(
+        jnp.broadcast_to(lv[:, None, :], d.shape), pos, axis=-1
     )
-    cand_ids = cand_ids.reshape(-1, ksel)
-    cand_d = cand_d.reshape(-1, ksel)
-    members = leaves.reshape(-1)                        # [g_pad*leaf]
-    # merge + scatter in row chunks: one full-width merge materialises
-    # several [n, kk+ksel] sort workspaces at once (~15 GB at 10M·kk32 —
-    # OOM); chunks bound the transient while the scatter stays
-    # collision-free (leaves partition the points, so chunks touch
-    # disjoint rows)
-    total = members.shape[0]
-    row_chunk = min(total, 1 << 21)
-    gi, gd = graph_ids, graph_dists
-    for i0 in range(0, total, row_chunk):
-        i1 = min(i0 + row_chunk, total)
-        m = members[i0:i1]
-        cur_ids = gi[jnp.minimum(m, n - 1)]
-        cur_d = gd[jnp.minimum(m, n - 1)]
-        new_ids, new_d = _merge_rows(
-            cur_ids, cur_d, cand_ids[i0:i1], cand_d[i0:i1], kk
-        )
-        # pads scatter OUT of range and are dropped — clamping them to
-        # n-1 would collide with (and nondeterministically clobber) the
-        # real last member's update
-        safe_m = jnp.where(m < n, m, n)
-        gi = gi.at[safe_m].set(new_ids, mode="drop")
-        gd = gd.at[safe_m].set(new_d, mode="drop")
-    return gi, gd
+    m = lv.reshape(-1)
+    cur_ids = gi[jnp.minimum(m, n - 1)]
+    cur_d = gd[jnp.minimum(m, n - 1)]
+    new_ids, new_d = _merge_rows(
+        cur_ids, cur_d, cid.reshape(-1, ksel), (-nd).reshape(-1, ksel), kk
+    )
+    # pads scatter OUT of range and are dropped — clamping them to n-1
+    # would collide with (and nondeterministically clobber) the real last
+    # member's update
+    safe_m = jnp.where(m < n, m, n)
+    return (
+        gi.at[safe_m].set(new_ids, mode="drop"),
+        gd.at[safe_m].set(new_d, mode="drop"),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("jth", "leaf", "metric", "tile"))
