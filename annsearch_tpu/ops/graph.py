@@ -532,6 +532,13 @@ def kmeans_leaves(
     csq = sq_norms(centroids)
     cb = centroids.astype(jnp.bfloat16)
 
+    # bound the [tile, nc] distance transients: the iterated-argmin
+    # rounds (jth > 0) keep up to jth+1 copies live — the sequential
+    # mask chain breaks XLA's matmul→reduce fusion — and nc grows with n
+    # (19.5k cells at 10M ⇒ 10 GB per copy at the default tile; measured
+    # OOM at pass 3). ~640 MB per copy keeps the worst case under 2 GB.
+    tile = min(tile, max(8192, ((5 << 27) // (4 * nc)) // 8192 * 8192))
+
     n_pad_t = -(-n // tile) * tile
 
     def blk(i0):
