@@ -29,12 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.graph import (
+    NND_R_NEW,
+    NND_R_OLD,
     add_reverse_edges,
     beam_search,
     cagra_prune,
     diversify_graph,
     kmeans_leaves,
     leaf_join_merge,
+    nnd_cand_width,
     nnd_round_chunked,
     random_init_graph,
     rp_forest_round,
@@ -121,18 +124,23 @@ def approx_knn_graph(
     flags = jnp.ones((n, kk), bool)  # everything starts new
     quiet = 0
     rate = 1.0
-    base_w = kk + 16                 # kk + nnd_round's r_slots
+    base_w = kk + NND_R_NEW + NND_R_OLD   # every block selectable
     full = True
+    # bound each dispatch's candidate traffic (~width·d·chunk): full-width
+    # rounds move ~10× the data of sampled ones, and at ≥ 8M rows even the
+    # 131k chunk produced multi-minute dispatches that wedge the tunnelled
+    # worker (round-4 10M campaign) — quarter the chunk there
+    full_chunk = 131_072 if n < 8_000_000 else 32_768
+    samp_chunk = 1_048_576 if n < 8_000_000 else 262_144
     for r in range(max_rounds):
         key, kr = jax.random.split(key)
         full = full and rate >= 0.02
         c_act = (base_w if full else 4) * kk
         ids, dists, upd, flags = nnd_round_chunked(
             kr, vecs, sq, ids, dists, kk, metric,
-            new_in=flags, c_active=c_act, tile=_nnd_tile(c_act + 16, dim),
-            # bound each dispatch's candidate traffic (~width·d·chunk):
-            # full-width rounds move ~8× the data of sampled ones
-            row_chunk=131_072 if full else 1_048_576,
+            new_in=flags, c_active=c_act,
+            tile=_nnd_tile(nnd_cand_width(kk, c_act), dim),
+            row_chunk=full_chunk if full else samp_chunk,
         )
         rate = float(upd) / max(total_edges, 1)
         if verbose:
@@ -237,7 +245,16 @@ class NNDescentIndex(BaseIndex):
         usual concat copy (appending a sentinel to an existing device
         array transiently doubles residency — 2×5.1 GB at 10M×128d, an
         OOM; ``utils.data.generate_clustered_data_device(sentinel=True)``
-        emits the padded layout for free)."""
+        emits the padded layout for free). Host (numpy) inputs are
+        validated; device-array inputs are TRUSTED — a nonzero last row
+        would silently corrupt sentinel distances, and reading it back
+        through the device link on every build defeats the zero-copy
+        point."""
+        if has_sentinel and isinstance(mat, np.ndarray):
+            if mat.shape[0] < 1 or np.any(mat[-1]):
+                raise ValueError(
+                    "has_sentinel=True requires a zero last row"
+                )
         super().__init__(mat, metric)
         if has_sentinel:
             self.n -= 1
@@ -278,7 +295,7 @@ class NNDescentIndex(BaseIndex):
                 seed=seed, verbose=verbose,
             )
 
-            base_w = self.k_build + 16        # kk + nnd_round's r_slots
+            base_w = self.k_build + NND_R_NEW + NND_R_OLD
             for r in range(refine_rounds):
                 key, kr = jax.random.split(key)
                 # all-new flags + full block budget ≡ an unfiltered two-hop
@@ -290,8 +307,10 @@ class NNDescentIndex(BaseIndex):
                     kr, vecs, sq, ids, dists, self.k_build, self.metric,
                     new_in=jnp.ones((n, self.k_build), bool),
                     c_active=c_act,
-                    tile=_nnd_tile(c_act + 16, self.dim),
-                    row_chunk=131_072,
+                    tile=_nnd_tile(
+                        nnd_cand_width(self.k_build, c_act), self.dim
+                    ),
+                    row_chunk=131_072 if n < 8_000_000 else 32_768,
                 )
                 if verbose:
                     print(

@@ -473,7 +473,9 @@ class IvfBase(BaseIndex):
         recompiles). The re-query's probe set supersets the original
         (same routing, larger top-k), so flagged rows are overwritten,
         not merged. Loops until every query certifies or probes reach
-        nlist. The reference's exact path is exact by scanning the same
+        nlist (warns — instead of silently returning — in the
+        cannot-happen case of residual flags at the pass cap). Exactness
+        is at f32-selection grain within probed cells; see ``query``. The reference's exact path is exact by scanning the same
         scalar kernels for GT and query (ivf.rs); on TPU GT and query
         take different numeric paths, so exactness is *certified*
         geometrically instead."""
@@ -484,7 +486,12 @@ class IvfBase(BaseIndex):
         nq = q.shape[0]
         npr_used = np.full(nq, npr, np.int32)
         sel = np.arange(nq)
-        for _ in range(5):
+        # the loop terminates provably: each pass at least doubles the
+        # flagged rows' probe count (want > npr_used, pow2 rounding), so
+        # it exits — flag-free or via a full scan — within log2(nlist)+2
+        # passes; the hard cap only guards against an invariant bug
+        max_passes = max(int(self.nlist).bit_length() + 2, 8)
+        for p in range(max_passes):
             qs = q[jnp.asarray(sel)]
             pad = (1 << max(len(sel) - 1, 0).bit_length()) - len(sel) if len(sel) > 1 else 0
             if pad:
@@ -541,6 +548,16 @@ class IvfBase(BaseIndex):
             sel = rows
             if npr2 >= self.nlist:
                 break
+        else:
+            import warnings
+
+            warnings.warn(
+                "certify=True: probe certificate still flagged "
+                f"{len(sel)} queries after {max_passes} passes — result "
+                "returned uncertified (this indicates a certificate "
+                "invariant bug; please report)",
+                RuntimeWarning,
+            )
         return ids, d
 
     def query(
@@ -577,10 +594,14 @@ class IvfBase(BaseIndex):
         (``models.base.rescore_f64_pool``).
 
         ``certify=True`` (exact f32 tier only) upgrades "exact within the
-        probed cells" to provably exact top-k: a triangle-inequality
-        certificate over the routing geometry (:func:`_cert_flags`)
-        re-probes any query whose kth distance an unprobed cell could
-        still beat. ``nprobe`` then sets the STARTING probe count, not the
+        probed cells" to provably exact top-k *at f32-selection grain*: a
+        triangle-inequality certificate over the routing geometry
+        (:func:`_cert_flags`) re-probes any query whose kth distance an
+        unprobed cell could still beat. The certificate bounds UNPROBED
+        cells only — within probed cells the scan's f32-grade selection
+        is trusted, so sub-f32-grain ties can still order arbitrarily
+        (the f64 path rescores the pool and is exact at f64 grain, same
+        caveat as the q64 pool rescore). ``nprobe`` then sets the STARTING probe count, not the
         recall — the reference's exact CPU path gets 1.0 only when its
         clustering happens to trap every neighbour (ivf.rs); this makes
         it unconditional. Plain ``nprobe`` queries keep reference

@@ -68,13 +68,45 @@ def nav_hl_split(vectors: jax.Array):
         return None
     budget = int(os.environ.get("ANNSEARCH_HL_BYTES", 3 << 30))
     if 4 * vectors.shape[0] * vectors.shape[1] > budget:
+        # recall-affecting fallback (candidate scoring drops to a single
+        # bf16 pass) — say so once, so mid-size-table recall regressions
+        # trace to the gate instead of being debugged blind
+        global _HL_GATE_WARNED
+        if not _HL_GATE_WARNED:
+            _HL_GATE_WARNED = True
+            print(
+                "annsearch: hi/lo split table skipped "
+                f"({4 * vectors.shape[0] * vectors.shape[1] / 2**30:.1f} "
+                f"GiB > ANNSEARCH_HL_BYTES budget {budget / 2**30:.1f} "
+                "GiB) — beam candidate scoring falls back to single-pass "
+                "bf16",
+                flush=True,
+            )
         return None
     from ..utils.dist import mantissa_split
 
     return mantissa_split(vectors, 2)
 
+
+_HL_GATE_WARNED = False
+
 _INF = jnp.float32(jnp.inf)
 _BIG = jnp.float32(1e30)
+
+#: default reverse-sample widths of :func:`nnd_round` — NEW-edge reverse
+#: slots (hop blocks + sibling lists) and OLD-edge reverse slots (the
+#: second half of two-sided new×old joins)
+NND_R_NEW = 16
+NND_R_OLD = 8
+
+
+def nnd_cand_width(kk: int, c_active: int, r_slots: int = NND_R_NEW,
+                   r_old: int = NND_R_OLD) -> int:
+    """Per-row candidate width of a flagged :func:`nnd_round` call — for
+    sizing the gather tile (see ``models/graph._nnd_tile``)."""
+    base_w = kk + r_slots + r_old
+    s_blk = max(1, min(c_active // kk, base_w))
+    return s_blk * (kk + r_slots) + r_slots + r_old
 
 
 def neighbor_pack_bytes(n: int, deg: int, d: int) -> int:
@@ -596,7 +628,7 @@ def _reverse_sample(
 @functools.partial(
     jax.jit,
     static_argnames=("kk", "metric", "tile", "fof_sample", "r_slots",
-                     "c_active", "n_rows"),
+                     "r_old", "c_active", "n_rows"),
 )
 def nnd_round(
     key: jax.Array,
@@ -608,7 +640,8 @@ def nnd_round(
     metric: Dist,
     tile: int = 256,
     fof_sample: int = 0,     # 0 → all kk² neighbours-of-neighbours
-    r_slots: int = 16,
+    r_slots: int = NND_R_NEW,
+    r_old: int = NND_R_OLD,
     new_in: jax.Array | None = None,  # [n, kk] bool — edges added last round
     c_active: int | None = None,      # compacted candidate width with flags
     n_rows: int | None = None,        # rows per call (None = all n)
@@ -617,14 +650,29 @@ def nnd_round(
     """One NN-descent expansion round.
 
     Candidate generation is *both-ways* (reference local joins propose each
-    pair to both endpoints, nndescent.rs:849-917): node u expands two hops
-    through the bidirectional adjacency ``B(u) = N(u) ∪ R(u)`` — forward
-    neighbours AND a reverse sample. The ``N(R(u))`` term is the gather-form
-    equivalent of the reference's reverse proposals: when a join at node p
-    would propose pair (u, q) to u (u, q ∈ N(p)), here u reaches q as
-    p ∈ R(u), q ∈ N(p). Without it, improvements discovered elsewhere can
-    only reach u through the r-slot 1-hop reverse sample and rounds stall
-    (measured: update rate 0.60 after 10 rounds at 1M — VERDICT r2).
+    pair to both endpoints over the union adjacency, nndescent.rs:849-917):
+    the join at node v pairs up ``B(v) = N(v) ∪ R(v)``, so in gather form
+    node u's candidate pool is ``B(B(u))``. Three channels realise it:
+
+      * ``N(blocks)`` — forward lists of the expanded blocks (N ∪ R);
+      * ``R(blocks)`` — *sibling* lists: the reverse samples of the
+        expanded blocks. Two nodes pointing at the same neighbour are each
+        other's best proposals in a converging kNN graph (the reference's
+        in-list pair joins); without this channel those pairs are only
+        reachable when an edge happens to point back. Rev slots are drawn
+        from NEW edges, so every sibling pair has a new member — always
+        relevant under the incremental filter.
+      * ``R_old(u)`` — ``r_old`` reverse slots sampled from OLD edges
+        whose source row gained new edges. Reference new×old joins update
+        BOTH endpoints; the old endpoint c of a pair (u, c) joined at v
+        (v→u new, v→c old) cannot see u through new-edge reverse samples —
+        this channel delivers v to c with relevance = v's new mask.
+
+    Without the reverse channels, improvements discovered elsewhere can
+    only reach u through its own forward expansion and rounds stall
+    (measured: update rate 0.60 after 10 rounds at 1M — VERDICT r2; the
+    two-sided channels moved forced-1M convergence from the 0.96 class
+    toward the reference's 0.999 class, round 5).
 
     With ``new_in`` flags, implements the reference's incremental new/old
     candidate scheme (nndescent.rs:706-801 — edges are marked old once their
@@ -651,6 +699,8 @@ def nnd_round(
         jnp.where(new_in, graph_ids, n) if new_in is not None else graph_ids
     )
     rev = _reverse_sample(k_rev, rev_src, n, r_slots)
+    # sentinel-padded reverse table for sibling gathers (R(blocks))
+    rev_x = jnp.concatenate([rev, jnp.full((1, r_slots), n, jnp.int32)])
 
     # pad graph with a sentinel row for safe two-hop gathers
     gid_x = jnp.concatenate(
@@ -665,17 +715,29 @@ def nnd_round(
         row_any_new = jnp.concatenate(
             [jnp.any(new_in, axis=1), jnp.zeros((1,), bool)]
         )
+        # OLD edges from rows that gained new edges — the delivery path
+        # for the old endpoint of new×old joins (docstring channel 3)
+        k_rev2 = jax.random.fold_in(k_rev, 1)
+        rev2 = _reverse_sample(
+            k_rev2,
+            jnp.where(~new_in & row_any_new[:n, None], graph_ids, n),
+            n, r_old,
+        )
 
     rows = n_rows if n_rows is not None else n
     rows_pad = -(-rows // tile) * tile
     r0 = row_start if row_start is not None else jnp.int32(0)
-    base_w = kk + r_slots
+    base_w = kk + r_slots + (r_old if new_in is not None else 0)
 
     def block(u):
         u_safe = jnp.minimum(u, n - 1)
         fwd = graph_ids[u_safe]                      # [t, kk]
         rv = rev[u_safe]                             # [t, r]
-        base = jnp.concatenate([fwd, rv], axis=-1)   # [t, kk+r]
+        if new_in is not None:
+            rv2 = rev2[u_safe]                       # [t, r_old]
+            base = jnp.concatenate([fwd, rv, rv2], axis=-1)
+        else:
+            base = jnp.concatenate([fwd, rv], axis=-1)
         expanded = None
         if new_in is not None:
             # BLOCK-level sampling (the reference's join granularity,
@@ -702,7 +764,8 @@ def nnd_round(
                 0.0,
             )
             pri_rev = jnp.where(rv < n, 2.0, 0.0)
-            pri = jnp.concatenate([pri_fwd, pri_rev], axis=-1)
+            pri_rev2 = jnp.where(rv2 < n, 2.0, 0.0)
+            pri = jnp.concatenate([pri_fwd, pri_rev, pri_rev2], axis=-1)
             kb = jax.random.fold_in(k_fof, u[0])
             noise = jax.random.uniform(kb, pri.shape)
             score = jnp.where(pri > 0, pri + noise, 0.0)
@@ -710,17 +773,28 @@ def nnd_round(
             sel_pri = jnp.take_along_axis(pri, bidx, axis=-1)
             sel_base = jnp.take_along_axis(base, bidx, axis=-1)
             sel_safe = jnp.minimum(sel_base, n)
-            fof = gid_x[sel_safe]                    # [t, s_blk, kk]
-            # within an OLD selected block only fresh targets are untried
+            fof_f = gid_x[sel_safe]                  # [t, s_blk, kk]
+            # within an OLD selected block only fresh targets are untried;
+            # rev_old blocks (sel_new1 = False) deliver EXACTLY the new
+            # out-edges of the block row
             sel_new1 = jnp.take_along_axis(
                 jnp.concatenate(
-                    [new1, jnp.ones((tile, r_slots), bool)], axis=-1
+                    [new1, jnp.ones((tile, r_slots), bool),
+                     jnp.zeros((tile, r_old), bool)], axis=-1
                 ),
                 bidx, axis=-1,
             )
             rel = sel_new1[:, :, None] | new_x[sel_safe]
             rel = rel & (sel_pri > 0)[:, :, None]
-            fof = jnp.where(rel, fof, n).reshape(tile, s_blk * kk)
+            fof_f = jnp.where(rel, fof_f, n)
+            # sibling lists: reverse samples of the selected blocks — every
+            # entry is a NEW edge's source, so every sibling pair is untried
+            fof_s = jnp.where(
+                (sel_pri > 0)[:, :, None], rev_x[sel_safe], n
+            )                                        # [t, s_blk, r]
+            fof = jnp.concatenate([fof_f, fof_s], axis=-1).reshape(
+                tile, s_blk * (kk + r_slots)
+            )
             # expanded fwd slots: their (u,v) pair joins happened — flip old
             expanded = jnp.any(
                 (bidx[:, :, None] == jnp.arange(kk, dtype=bidx.dtype)[
@@ -729,25 +803,33 @@ def nnd_round(
                 axis=1,
             )                                        # [t, kk]
         else:
-            fof = gid_x[jnp.minimum(base, n)]        # [t, kk+r, kk]
-            fof = fof.reshape(tile, base_w * kk)
-            if fof_sample and fof_sample < base_w * kk:
+            bs = jnp.minimum(base, n)
+            # forward + sibling lists of every block (see docstring)
+            fof = jnp.concatenate(
+                [gid_x[bs], rev_x[bs]], axis=-1
+            ).reshape(tile, base_w * (kk + r_slots))
+            if fof_sample and fof_sample < fof.shape[1]:
                 cols = jax.random.randint(
-                    k_fof, (fof_sample,), 0, base_w * kk
+                    k_fof, (fof_sample,), 0, fof.shape[1]
                 )
                 fof = fof[:, cols]
-        cand = jnp.concatenate([fof, rv], axis=-1)   # [t, C]
+        # reverse hops are direct candidates too (edge v→u means v scored
+        # u once, but u's row never saw v)
+        hops = [fof, rv] if new_in is None else [fof, rv, rv2]
+        cand = jnp.concatenate(hops, axis=-1)        # [t, C]
         safe_c = jnp.minimum(cand, n)
         cv = vectors[safe_c]
         d = _tile_dists(
             vectors[u_safe], cv, sqnorms[u_safe], sqnorms[safe_c], metric
         )
         d = jnp.where((cand >= n) | (cand == u[:, None]), _INF, d)
-        # pre-select top-kk candidates BEFORE the dedup merge: the dedup
+        # pre-select top-2kk candidates BEFORE the dedup merge: the dedup
         # over the full C width dominates round time; top-k first shrinks
-        # the dedup to 2·kk (duplicate candidates surviving the pre-select
-        # merely waste a few of the kk slots for one round)
-        ncd, ci = jax.lax.top_k(-d, min(kk, d.shape[1]))
+        # the dedup to 3·kk. 2·kk (not kk) because the sibling/reverse
+        # channels reach the same candidate along several paths — at kk a
+        # near-converged row's pre-select fills with duplicate copies of
+        # the few nearest candidates and the merge pool starves
+        ncd, ci = jax.lax.top_k(-d, min(2 * kk, d.shape[1]))
         cand_top = jnp.take_along_axis(cand, ci, axis=-1)
         cur_ids, cur_d = graph_ids[u_safe], graph_dists[u_safe]
         new_ids, new_d = _merge_rows(cur_ids, cur_d, cand_top, -ncd, kk)

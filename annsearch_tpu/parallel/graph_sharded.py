@@ -242,15 +242,18 @@ class ShardedGraphIndex:
                 # carry the quadratic-convergence phase, sampled blocks
                 # polish the tail
                 from ..models.graph import _nnd_tile
+                from ..ops.graph import (
+                    NND_R_NEW, NND_R_OLD, nnd_cand_width,
+                )
 
-                base_w = kk + 16
+                base_w = kk + NND_R_NEW + NND_R_OLD
                 for r in range(rounds):
                     key, kr = jax.random.split(key)
                     c_act = (base_w if r < 3 else 4) * kk
                     ids, dists, _, flags = nnd_round(
                         kr, vecs, sq, ids, dists, kk, self.metric,
                         new_in=flags, c_active=c_act,
-                        tile=_nnd_tile(c_act + 16, self.dim),
+                        tile=_nnd_tile(nnd_cand_width(kk, c_act), self.dim),
                     )
                 # drop edges into pad rows (their vectors are zeros)
                 pad_edge = ids >= local_valid
