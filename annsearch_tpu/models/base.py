@@ -60,6 +60,15 @@ def rescore_f64_pool(
     else:
         diff = q64[:, None, :] - x64[pool]
         dx = np.einsum("qpd,qpd->qp", diff, diff)
+    # duplicate pool entries (clipped sentinel slots, multi-path candidate
+    # pools) must not surface as duplicate output ids — keep one copy
+    order_ids = np.argsort(pool, axis=1, kind="stable")
+    sorted_pool = np.take_along_axis(pool, order_ids, axis=1)
+    dup_sorted = np.zeros(pool.shape, bool)
+    dup_sorted[:, 1:] = sorted_pool[:, 1:] == sorted_pool[:, :-1]
+    dup = np.zeros(pool.shape, bool)
+    np.put_along_axis(dup, order_ids, dup_sorted, axis=1)
+    dx = np.where(dup, np.inf, dx)
     order = np.argsort(dx, axis=1)[:, :k]
     return (
         np.take_along_axis(pool, order, axis=1),
@@ -120,6 +129,10 @@ class BaseIndex:
     #: projections or rerank-store rows)
     _persist_extra_arrays: tuple[str, ...] = ()
 
+    #: host f64 copy for the f64 rescore path (load() bypasses __init__,
+    #: so loaded indexes answer at f32 grade until rebuilt from f64 data)
+    _x64 = None
+
     def __init__(self, mat: Any, metric: str | Dist):
         arr = as_f32_matrix(mat)
         self.metric = parse_ann_dist(metric)
@@ -147,6 +160,46 @@ class BaseIndex:
         storage — e.g. IVF's cluster-contiguous layout — override this);
         row i corresponds to the id i returned by ``query``."""
         return np.asarray(self.vectors)
+
+    # -- f64 rescore path -------------------------------------------------
+    #
+    # Reference distance kernels are generic over f32/f64
+    # (dist.rs:113-2263); the MXU has no f64 path, so f64 grade comes from
+    # a widened device pre-selection + a host f64 rescore of the pool.
+    # Raw-row families opt in with three lines in __init__/query:
+    #
+    #     self._capture_f64(mat)                      # constructor
+    #     r = self._f64_roundtrip(query_mat, k, ...)  # top of query()
+    #     if r is not None: return r
+
+    def _capture_f64(self, mat: Any) -> None:
+        """Keep a host f64 copy when the build input is f64."""
+        self._x64 = (
+            np.ascontiguousarray(mat)
+            if isinstance(mat, np.ndarray) and mat.dtype == np.float64
+            else None
+        )
+
+    def _f64_roundtrip(
+        self, query_mat: Any, k: int, **query_kw
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """f64-grade answer via recursion: re-enter ``query`` with the f32
+        cast of the batch and a 2k pool, then rescore the pool on the host
+        in f64. Returns None when the batch should take the normal path."""
+        if (
+            getattr(self, "_x64", None) is None
+            or not isinstance(query_mat, np.ndarray)
+            or query_mat.dtype != np.float64
+        ):
+            return None
+        kc = max(1, min(int(k), self.n))
+        pool_k = min(2 * kc, self.n)
+        q32 = np.ascontiguousarray(query_mat, dtype=np.float32)
+        pool, _ = self.query(q32, pool_k, **query_kw)
+        return rescore_f64_pool(
+            self._x64, query_mat, np.clip(pool, 0, self.n - 1),
+            kc, self.metric,
+        )
 
     # -- small-regime exact fallback -------------------------------------
 

@@ -255,6 +255,7 @@ class NNDescentIndex(BaseIndex):
                 raise ValueError(
                     "has_sentinel=True requires a zero last row"
                 )
+        self._capture_f64(mat)  # f64 rescore path (models/base)
         super().__init__(mat, metric)
         if has_sentinel:
             self.n -= 1
@@ -402,6 +403,9 @@ class NNDescentIndex(BaseIndex):
         BEAM_WIDTH 16·auto-scale, MAX_BEAM_ITERS≈3·bw, 8 random entries,
         cagra_gpu_search.rs:21-124). Small regimes route through the exact
         MXU scan (models/base.BRUTE_QUERY_FLOP_BUDGET economics inversion)."""
+        r = self._f64_roundtrip(query_mat, k, beam=beam, iters=iters, expand=expand, n_entries=n_entries, seed=seed, query_block=query_block, exact_fallback=exact_fallback)
+        if r is not None:
+            return r
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):

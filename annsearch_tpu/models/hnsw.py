@@ -107,6 +107,7 @@ class HnswIndex(BaseIndex):
         seed: int = 42,
         verbose: bool = False,
     ):
+        self._capture_f64(mat)  # f64 rescore path (models/base)
         super().__init__(mat, metric)
         n = self.n
         self.m = m
@@ -256,6 +257,9 @@ class HnswIndex(BaseIndex):
         exact_fallback: bool = True,
         expand: int = 4,
     ) -> tuple[np.ndarray, np.ndarray]:
+        r = self._f64_roundtrip(query_mat, k, ef_search=ef_search, query_block=query_block, exact_fallback=exact_fallback, expand=expand)
+        if r is not None:
+            return r
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):

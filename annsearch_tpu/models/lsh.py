@@ -186,6 +186,7 @@ class LSHIndex(BaseIndex):
     ):
         if bits_per_hash > 30:
             raise ValueError("bits_per_hash must be ≤ 30 (int32 hash space)")
+        self._capture_f64(mat)  # f64 rescore path (models/base)
         super().__init__(mat, metric)
         n = self.n
         self.num_tables = num_tables
@@ -258,6 +259,9 @@ class LSHIndex(BaseIndex):
         """``uniform_probes``: flip probe bits in fixed index order instead
         of uncertainty rank — the reference's self-query behaviour
         (lsh.rs:510-522); ``generate_knn`` sets it."""
+        r = self._f64_roundtrip(query_mat, k, n_probes=n_probes, query_block=query_block, exact_fallback=exact_fallback, uniform_probes=uniform_probes)
+        if r is not None:
+            return r
         q = self._prep_queries(query_mat)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, self._clamp_k(k))

@@ -213,6 +213,7 @@ class _ForestIndex(BaseIndex):
         seed: int = 42,
         verbose: bool = False,
     ):
+        self._capture_f64(mat)  # f64 rescore path (models/base)
         super().__init__(mat, metric)
         vecs = jnp.concatenate(
             [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
@@ -404,6 +405,9 @@ class _ForestIndex(BaseIndex):
     ) -> tuple[np.ndarray, np.ndarray]:
         """Candidate budget ≈ n_trees · n_probes · leaf (the reference's
         search_k knob, annoy.rs:532)."""
+        r = self._f64_roundtrip(query_mat, k, n_probes=n_probes, query_block=query_block, exact_fallback=exact_fallback)
+        if r is not None:
+            return r
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
@@ -590,6 +594,7 @@ class BallTreeIndex(BaseIndex):
         seed: int = 42,
         verbose: bool = False,
     ):
+        self._capture_f64(mat)  # f64 rescore path (models/base)
         super().__init__(mat, metric)
         vecs = jnp.concatenate(
             [self.vectors, jnp.zeros((1, self.dim), jnp.float32)]
@@ -670,6 +675,9 @@ class BallTreeIndex(BaseIndex):
         5%·n, ball_tree.rs:767). ``query_block`` matches the forest
         indexes — 256-row blocks paid ~4× the per-dispatch overhead for
         the same rerank volume."""
+        r = self._f64_roundtrip(query_mat, k, budget=budget, query_block=query_block, exact_fallback=exact_fallback)
+        if r is not None:
+            return r
         q = self._prep_queries(query_mat)
         k = self._clamp_k(k)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):

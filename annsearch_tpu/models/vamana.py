@@ -162,6 +162,7 @@ class VamanaIndex(BaseIndex):
         seed: int = 42,
         verbose: bool = False,
     ):
+        self._capture_f64(mat)  # f64 rescore path (models/base)
         super().__init__(mat, metric)
         n = self.n
         self.r_degree = min(r_degree, max(n - 1, 1))
@@ -371,6 +372,9 @@ class VamanaIndex(BaseIndex):
         """Routed-entry beam search; medoid kept as one entry
         (vamana.rs:781-865 walks from the single medoid — see
         ``_vamana_query`` for why routing replaces the long descent)."""
+        r = self._f64_roundtrip(query_mat, k, beam=beam, iters=iters, expand=expand, n_entries=n_entries, query_block=query_block, exact_fallback=exact_fallback)
+        if r is not None:
+            return r
         q = self._prep_queries(query_mat)
         if exact_fallback and self._exact_fallback_ok(q.shape[0]):
             return self._exact_query_small(q, self._clamp_k(k))
