@@ -211,13 +211,15 @@ def _fused_exact_query_e2e(
     cluster_ids, lists, gmap = build_probe_lists_device(
         seg_probes, nseg, maxq, R
     )
-    kp = min(2 * k, 128) if mode == "f32" else k
+    kp = min(2 * k, 128) if mode in ("f32", "bf16") else k
     d, i = fused_ivf_scan(
         q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
         seg_offsets, seg_counts, seg_cents, kp, metric, mode, scales, kb,
         interpret=interpret, layout=layout, selection="exact",
     )
-    if mode == "f32":
+    if mode in ("f32", "bf16"):
+        # bf16 storage rescored at f32 arithmetic over the bf16 rows —
+        # exact at storage precision, like the XLA bf16 scan's semantics
         d, i = _exact_rescore(q, storage, d, i, k, metric)
     return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
@@ -247,13 +249,15 @@ def _fused_exact_compact_scan(
     cluster_ids, lists, gmap = build_probe_lists_compact(
         probes, cluster_ptr, P, T_g, nseg, maxq, R
     )
-    kp = min(2 * k, 128) if mode == "f32" else k
+    kp = min(2 * k, 128) if mode in ("f32", "bf16") else k
     d, i = fused_ivf_scan(
         q_enc, cluster_ids, lists, gmap, blocks, sn_blocks,
         seg_offsets, seg_counts, seg_cents, kp, metric, mode, scales, kb,
         interpret=interpret, layout=layout, selection="exact",
     )
-    if mode == "f32":
+    if mode in ("f32", "bf16"):
+        # bf16 storage rescored at f32 arithmetic over the bf16 rows —
+        # exact at storage precision, like the XLA bf16 scan's semantics
         d, i = _exact_rescore(q, storage, d, i, k, metric)
     return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
@@ -714,7 +718,7 @@ class IvfBase(BaseIndex):
         if (
             not approx
             and q_eff is None
-            and eff_mode in ("f32", "sq8")
+            and eff_mode in ("f32", "bf16", "sq8")
             and fused_eligible(
                 eff_mode, self.seg_size, int(self.storage.shape[1]), k
             )
@@ -725,10 +729,11 @@ class IvfBase(BaseIndex):
             nseg = int(self.seg_offsets.shape[0])
             s_max = self._seg_s_max()
             blocks, sn_blocks = self._fused_blocks()
-            # f32: +8 per-segment margin so precision rank-flips can't push
-            # a true top-k member out of the pool (see _exact_rescore);
-            # sq8 distances are bit-exact in integer space — no margin
-            margin = 8 if eff_mode == "f32" else 0
+            # f32/bf16: +8 per-segment margin so precision rank-flips
+            # can't push a true top-k member out of the pool (see
+            # _exact_rescore); sq8 distances are bit-exact in integer
+            # space — no margin
+            margin = 8 if eff_mode in ("f32", "bf16") else 0
             kb = min(max(8, -(-(k + margin) // 8) * 8), 128)
             interp = jax.default_backend() != "tpu"
             if s_max == 1:
