@@ -45,13 +45,17 @@ __all__ = ["IvfBase", "route_to_cells"]
 
 
 def route_to_cells(
-    q: jax.Array, centroids: jax.Array, nprobe: int, metric: Dist
+    q: jax.Array, centroids: jax.Array, nprobe: int, metric: Dist,
+    precision=None,
 ) -> jax.Array:
     """Top-nprobe nearest centroids per query (one [nq, nlist] matmul +
-    top_k; replaces per-query select_nth, k_means_utils.rs:56-108)."""
+    top_k; replaces per-query select_nth, k_means_utils.rs:56-108).
+    ``precision=HIGHEST`` makes routing ranks agree with the certificate's
+    HIGHEST-precision ranking (certified queries route this way so the
+    certificate needs no rank margin — the routing matmul is tiny)."""
     dots = jax.lax.dot_general(
         q, centroids, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     if metric == Dist.COSINE:
         d = 1.0 - dots
@@ -120,8 +124,9 @@ def _seg_radii(storage, sqn, seg_cents, row_seg, *, nseg):
     return jax.ops.segment_max(d2, row_seg, num_segments=nseg + 1)[:nseg]
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def _cert_flags(q, centroids, radii, dk, npr_used, *, metric):
+@functools.partial(jax.jit, static_argnames=("metric", "rank_margin"))
+def _cert_flags(q, centroids, radii, dk, npr_used, *, metric,
+                rank_margin=2):
     """Triangle-inequality exactness certificate (one dispatch, tiny
     readback). A vector x in cell c satisfies ``|q−x| ≥ |q−c| − r_c``
     (``r_c`` = cell radius), so a cell with ``(|q−c| − r_c)² > d_k``
@@ -155,11 +160,14 @@ def _cert_flags(q, centroids, radii, dk, npr_used, *, metric):
     viol_sorted = jnp.take_along_axis(viol, order, axis=1)
     idx = jnp.arange(dc.shape[1])[None, :]
     m_need = jnp.max(jnp.where(viol_sorted, idx + 1, 0), axis=1)
-    # −2 rank margin: the scan routed at DEFAULT (bf16-grade) matmul
-    # precision while this program ranks at HIGHEST, so near-tie cells can
-    # swap a couple of ranks across the probe boundary — only trust the
-    # probe set up to npr−2 and re-probe the rest
-    return m_need, m_need > jnp.maximum(npr_used - 2, 1)
+    # rank margin: a scan routed at DEFAULT (bf16-grade) matmul precision
+    # while this program ranks at HIGHEST can swap near-tie cells a couple
+    # of ranks across the probe boundary — only trust the probe set up to
+    # npr−margin and re-probe the rest. Certified queries route at HIGHEST
+    # (route_hi), so their ranks agree exactly and margin drops to 0 —
+    # without it, every query with a borderline-but-SCANNED cell re-probed
+    # for nothing (the bulk of the certificate's old 2.3× cost).
+    return m_need, m_need > jnp.maximum(npr_used - rank_margin, 1)
 
 
 def _exact_rescore(q, storage, d, i, k, metric):
@@ -189,13 +197,13 @@ def _exact_rescore(q, storage, d, i, k, metric):
     jax.jit,
     static_argnames=(
         "nprobe", "nseg", "s_max", "maxq", "R", "k", "metric", "mode", "kb",
-        "interpret", "layout",
+        "interpret", "layout", "route_hi",
     ),
 )
 def _fused_exact_query_e2e(
     q, q_enc, centroids, cluster_ptr, blocks, sn_blocks, seg_offsets,
     seg_counts, seg_cents, scales, storage, *, nprobe, nseg, s_max, maxq,
-    R, k, metric, mode, kb, interpret, layout="plain",
+    R, k, metric, mode, kb, interpret, layout="plain", route_hi=False,
 ):
     """Recall-1.0 fused tier: route to CLUSTERS (reference nprobe semantics,
     ivf.rs:261) → device segment expansion → task-list inversion → fused
@@ -204,7 +212,10 @@ def _fused_exact_query_e2e(
     candidates (``_exact_rescore``). Split cells' sentinel expansion slots
     cost only the kernel's ``cnt == 0`` masked-write branch (no matmul),
     unlike the XLA scan which pays them as real scan rows."""
-    probes = route_to_cells(q, centroids, nprobe, metric)
+    probes = route_to_cells(
+        q, centroids, nprobe, metric,
+        precision=jax.lax.Precision.HIGHEST if route_hi else None,
+    )
     seg_probes = expand_probes_device(
         probes.astype(jnp.int32), cluster_ptr, s_max, nseg
     )
@@ -224,9 +235,12 @@ def _fused_exact_query_e2e(
     return jnp.concatenate([d, i.astype(jnp.float32)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
-def _route_probes(q, centroids, *, nprobe, metric):
-    return route_to_cells(q, centroids, nprobe, metric)
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric", "route_hi"))
+def _route_probes(q, centroids, *, nprobe, metric, route_hi=False):
+    return route_to_cells(
+        q, centroids, nprobe, metric,
+        precision=jax.lax.Precision.HIGHEST if route_hi else None,
+    )
 
 
 @functools.partial(
@@ -266,13 +280,13 @@ def _fused_exact_compact_scan(
     jax.jit,
     static_argnames=(
         "nprobe", "nseg", "s_max", "maxq", "R", "k", "metric", "cap",
-        "mode", "approx",
+        "mode", "approx", "route_hi",
     ),
 )
 def _exact_query_e2e(
     q, q_enc, centroids, cluster_ptr, storage, sqnorms, seg_offsets,
     seg_counts, scan_cents, codebooks, aux, *, nprobe, nseg, s_max, maxq,
-    R, k, metric, cap, mode, approx,
+    R, k, metric, cap, mode, approx, route_hi=False,
 ):
     """Route (to CLUSTERS — reference nprobe semantics) → device segment
     expansion → device task-list inversion → exact XLA cluster scan, one
@@ -281,7 +295,10 @@ def _exact_query_e2e(
     (~0.5–0.8 s of the measured 1.15 s exact-query floor at 500k×64d;
     the scan itself runs 0.67 s). Packed [nq, 2k] readback as in
     `_fused_query_e2e` (ids as exact f32 VALUES, < 2²⁴)."""
-    probes = route_to_cells(q, centroids, nprobe, metric)
+    probes = route_to_cells(
+        q, centroids, nprobe, metric,
+        precision=jax.lax.Precision.HIGHEST if route_hi else None,
+    )
     seg_probes = expand_probes_device(
         probes.astype(jnp.int32), cluster_ptr, s_max, nseg
     )
@@ -519,7 +536,7 @@ class IvfBase(BaseIndex):
             )
             m_need, flags = _cert_flags(
                 qs, self.centroids, radii, jnp.asarray(dk),
-                jnp.asarray(nu), metric=self.metric,
+                jnp.asarray(nu), metric=self.metric, rank_margin=0,
             )
             flags = np.asarray(flags)[: len(sel)]
             if not flags.any():
@@ -538,7 +555,9 @@ class IvfBase(BaseIndex):
                 [rows, np.zeros(nf_pad - nf, rows.dtype)]
             )
             qf = q[jnp.asarray(rows_p)]
-            ids2, d2 = self._query_prepped(qf, k, npr2, k_scan, False, q_split)
+            ids2, d2 = self._query_prepped(
+                qf, k, npr2, k_scan, False, q_split, route_hi=True
+            )
             if q64 is not None:
                 from .base import rescore_f64_pool
 
@@ -620,7 +639,10 @@ class IvfBase(BaseIndex):
             q64 = query_mat
             k_scan = min(2 * self._clamp_k(k), self.n)
         q = self._prep_queries(query_mat)
-        ids, d = self._query_prepped(q, k, nprobe, k_scan, approx, q_split)
+        route_hi = bool(certify) and not approx and self.mode == "f32"
+        ids, d = self._query_prepped(
+            q, k, nprobe, k_scan, approx, q_split, route_hi=route_hi
+        )
         if q64 is not None:
             from .base import rescore_f64_pool
 
@@ -651,7 +673,7 @@ class IvfBase(BaseIndex):
 
     def _scan(
         self, q, k, nprobe, mode=None, q_eff=None, approx=False,
-        q_split=None,
+        q_split=None, route_hi=False,
     ):
         """Route → segment task lists → cluster-major scan. Returns
         (dists [nq, k], sorted-storage positions [nq, k])."""
@@ -763,6 +785,7 @@ class IvfBase(BaseIndex):
                     kb=kb,
                     interpret=interp,
                     layout=self._fused_layout(),
+                    route_hi=route_hi,
                 )
             else:
                 # split cells: dense [nq, nprobe·s_max] expansion explodes
@@ -771,7 +794,8 @@ class IvfBase(BaseIndex):
                 # routing stats, then run the compact-pair scan sized
                 # exactly to the real (query, segment) pairs
                 probes = _route_probes(
-                    q, self.centroids, nprobe=nprobe, metric=self.metric
+                    q, self.centroids, nprobe=nprobe, metric=self.metric,
+                    route_hi=route_hi,
                 )
                 stats = np.asarray(
                     route_pair_stats(probes, self._cluster_ptr_dev())
@@ -842,10 +866,14 @@ class IvfBase(BaseIndex):
                 cap=self.seg_size,
                 mode=eff_mode,
                 approx=approx,
+                route_hi=route_hi,
             )
             arr = np.asarray(packed)
             return arr[:, :k], arr[:, k:].astype(np.int32)
-        probes = route_to_cells(q, self.centroids, nprobe, self.metric)
+        probes = route_to_cells(
+            q, self.centroids, nprobe, self.metric,
+            precision=jax.lax.Precision.HIGHEST if route_hi else None,
+        )
         from .kmeans import SegmentLayout  # local import to avoid cycle
 
         layout_stub = SegmentLayout(
@@ -877,14 +905,15 @@ class IvfBase(BaseIndex):
         return best_d, best_i
 
     def _query_prepped(
-        self, q, k, nprobe, k_scan=None, approx=False, q_split=None
+        self, q, k, nprobe, k_scan=None, approx=False, q_split=None,
+        route_hi=False,
     ):
         k = self._clamp_k(k)
         nprobe = self.default_nprobe() if nprobe is None else nprobe
         nprobe = max(1, min(nprobe, self.nlist))
         d, i = self._scan(
             q, k if k_scan is None else k_scan, nprobe, approx=approx,
-            q_split=q_split,
+            q_split=q_split, route_hi=route_hi,
         )
         d = np.asarray(d)
         i = np.asarray(i)
