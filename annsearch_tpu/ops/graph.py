@@ -1205,8 +1205,18 @@ def beam_search(
     #   select  = first `expand` unexpanded lanes of a sorted beam (cumsum)
     #   merge   = bitonic sort of C candidates + log2 bitonic merge
     # (lax.top_k + payload gathers were ~75% of iteration time.)
+    #
+    # P is the BEAM's pow2, not max(beam, C): candidates sort at their own
+    # width CP and are then sliced to their best P lanes before the merge —
+    # lossless, because only `beam` ≤ P entries ever survive a merge, and
+    # the best P of the sorted candidates supersets any candidate that
+    # could make the kept set. At the hnsw default (beam 100, C 192) the
+    # old max() rule ran every beam-side network at 256 lanes for a
+    # 128-lane beam — double-width sorts/merges/selects for lanes that
+    # were inf by construction.
     C = expand * deg
-    P = max(_next_pow2(beam), _next_pow2(C))
+    P = _next_pow2(beam)
+    CP = _next_pow2(C)
 
     def trim(dd, ids_, exp_):
         # lanes ≥ beam are parked at inf so they never displace real
@@ -1270,9 +1280,15 @@ def beam_search(
         nd = jnp.where(in_beam, _INF, nd)
         nd = _row_dedup_inf(nbrs, nd)
 
-        nd = _pad_row(nd, P, _INF)
-        nbrs = _pad_row(nbrs, P, jnp.int32(n))
+        nd = _pad_row(nd, CP, _INF)
+        nbrs = _pad_row(nbrs, CP, jnp.int32(n))
         nd, nbrs = bitonic_sort(nd, nbrs)
+        if CP > P:
+            # best P of the sorted candidates — lossless (see P/CP note)
+            nd, nbrs = nd[:, :P], nbrs[:, :P]
+        elif CP < P:
+            nd = _pad_row(nd, P, _INF)
+            nbrs = _pad_row(nbrs, P, jnp.int32(n))
         md, mids, mexp = bitonic_merge_sorted(
             d, nd, [ids, exp], [nbrs, jnp.zeros_like(nbrs, bool)]
         )
@@ -1293,9 +1309,22 @@ def beam_search(
         trail_ids = jnp.moveaxis(t_ids, 0, 1).reshape(bq, iters * expand)
         trail_d = jnp.moveaxis(t_d, 0, 1).reshape(bq, iters * expand)
     else:
-        ids, d, _ = jax.lax.fori_loop(
-            0, iters, lambda _, s: body_core(s)[0],
-            (init_ids, init_d, init_exp),
+        # while_loop with an all-expanded early exit: once every beam lane
+        # is expanded the body is a no-op (nothing left to select), but a
+        # fori_loop still pays full gather+sort cost for the remaining
+        # iterations — at recall-saturating iteration counts the whole
+        # batch converges well before the cap (identical final state, so
+        # recall is bit-identical to the fori_loop's)
+        def cond(carry):
+            it, (ids_, d_, exp_) = carry
+            return (it < iters) & jnp.any(~exp_)
+
+        def body(carry):
+            it, state = carry
+            return it + 1, body_core(state)[0]
+
+        _, (ids, d, _) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), (init_ids, init_d, init_exp))
         )
     # beam is sorted ascending — final top-k is a slice
     if k <= P:
