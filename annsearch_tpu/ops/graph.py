@@ -693,23 +693,20 @@ def nnd_round(
     see :func:`nnd_round_chunked` for why rounds are split into bounded
     dispatches at large n.
     """
+    # HBM discipline: at 10M×kk24 every whole-graph-sized copy is ~1 GB
+    # next to the 5.1 GB vector table, and sentinel-row concats of
+    # graph/flags plus a second reverse buffer measurably OOM round 1
+    # (round-5 10M campaign). So: block gathers CLAMP to n−1 and mask by
+    # block validity instead of reading a sentinel row (no graph/flag
+    # copies), and the reverse table exists once ([n, r], no padded twin).
     n = graph_ids.shape[0]
     k_rev, k_fof = jax.random.split(key)
     rev_src = (
         jnp.where(new_in, graph_ids, n) if new_in is not None else graph_ids
     )
     rev = _reverse_sample(k_rev, rev_src, n, r_slots)
-    # sentinel-padded reverse table for sibling gathers (R(blocks))
-    rev_x = jnp.concatenate([rev, jnp.full((1, r_slots), n, jnp.int32)])
 
-    # pad graph with a sentinel row for safe two-hop gathers
-    gid_x = jnp.concatenate(
-        [graph_ids, jnp.full((1, kk), n, jnp.int32)], axis=0
-    )
     if new_in is not None:
-        new_x = jnp.concatenate(
-            [new_in, jnp.zeros((1, kk), bool)], axis=0
-        )
         # block-level "has any new out-edge" — cheap relevance bound for
         # old hop-1 edges whose target rows gained edges elsewhere
         row_any_new = jnp.concatenate(
@@ -753,7 +750,7 @@ def nnd_round(
             # a block is actually expanded, so no information is lost.
             s_blk = max(1, min((c_active if c_active else 4 * kk) // kk,
                                base_w))
-            new1 = new_x[u_safe]                     # [t, kk]
+            new1 = new_in[u_safe]                    # [t, kk]
             # priority: untried pairs (new fwd edge, or rev hop — sampled
             # from new edges so (v→u) is new) rank above old edges with
             # fresh targets; exhausted blocks rank nowhere
@@ -772,8 +769,11 @@ def nnd_round(
             _, bidx = jax.lax.top_k(score, s_blk)    # [t, s_blk]
             sel_pri = jnp.take_along_axis(pri, bidx, axis=-1)
             sel_base = jnp.take_along_axis(base, bidx, axis=-1)
-            sel_safe = jnp.minimum(sel_base, n)
-            fof_f = gid_x[sel_safe]                  # [t, s_blk, kk]
+            # clamped gathers (see HBM note): invalid blocks (sel_pri == 0,
+            # includes every sel_base ≥ n) read row n−1's junk and are
+            # masked to the sentinel below
+            sel_c = jnp.minimum(sel_base, n - 1)
+            fof_f = graph_ids[sel_c]                 # [t, s_blk, kk]
             # within an OLD selected block only fresh targets are untried;
             # rev_old blocks (sel_new1 = False) deliver EXACTLY the new
             # out-edges of the block row
@@ -784,13 +784,13 @@ def nnd_round(
                 ),
                 bidx, axis=-1,
             )
-            rel = sel_new1[:, :, None] | new_x[sel_safe]
+            rel = sel_new1[:, :, None] | new_in[sel_c]
             rel = rel & (sel_pri > 0)[:, :, None]
             fof_f = jnp.where(rel, fof_f, n)
             # sibling lists: reverse samples of the selected blocks — every
             # entry is a NEW edge's source, so every sibling pair is untried
             fof_s = jnp.where(
-                (sel_pri > 0)[:, :, None], rev_x[sel_safe], n
+                (sel_pri > 0)[:, :, None], rev[sel_c], n
             )                                        # [t, s_blk, r]
             fof = jnp.concatenate([fof_f, fof_s], axis=-1).reshape(
                 tile, s_blk * (kk + r_slots)
@@ -803,11 +803,13 @@ def nnd_round(
                 axis=1,
             )                                        # [t, kk]
         else:
-            bs = jnp.minimum(base, n)
-            # forward + sibling lists of every block (see docstring)
-            fof = jnp.concatenate(
-                [gid_x[bs], rev_x[bs]], axis=-1
-            ).reshape(tile, base_w * (kk + r_slots))
+            # clamped block gathers + validity mask (see HBM note): blocks
+            # that are sentinel edges (value n) read row n−1's junk and
+            # are masked to the sentinel before scoring
+            bsc = jnp.minimum(base, n - 1)
+            fof3 = jnp.concatenate([graph_ids[bsc], rev[bsc]], axis=-1)
+            fof3 = jnp.where((base < n)[:, :, None], fof3, n)
+            fof = fof3.reshape(tile, base_w * (kk + r_slots))
             if fof_sample and fof_sample < fof.shape[1]:
                 cols = jax.random.randint(
                     k_fof, (fof_sample,), 0, fof.shape[1]
@@ -841,7 +843,7 @@ def nnd_round(
             # surviving edges that were new and NOT expanded this round
             # carry their newness forward — their pair joins are still owed
             carried = jnp.any(
-                eq & (new_x[u_safe] & ~expanded)[:, None, :], axis=-1
+                eq & (new_in[u_safe] & ~expanded)[:, None, :], axis=-1
             )
             flags = fresh | carried
         upd = jnp.sum(
