@@ -609,19 +609,40 @@ def kmeans_leaves(
 
 
 def _reverse_sample(
-    key: jax.Array, graph_ids: jax.Array, n: int, r_slots: int
+    key: jax.Array, graph_ids: jax.Array, n: int, r_slots: int,
+    new_in: jax.Array | None = None, invert: bool = False,
 ) -> jax.Array:
     """[n, r] reverse-neighbour sample: scatter each edge (u→v) into a
     hashed slot of v's reverse list (collisions overwrite — cheap reservoir;
-    GPU reference uses an xorshift reservoir, nndescent_gpu.rs:289)."""
+    GPU reference uses an xorshift reservoir, nndescent_gpu.rs:289).
+
+    ``new_in`` filters the scattered edges: NEW ones only (default), or
+    with ``invert=True`` OLD edges from rows holding ≥1 new edge (the
+    rev_old channel). Filtering happens per block so no [n, kk]-sized
+    ``where`` copy ever materialises. Edges are scattered in fixed 2M-row
+    blocks with per-block keys — the [n·kk] src/dst/slot arrays of a
+    single whole-graph scatter are a ~3 GB transient at 10M×24 that OOMs
+    next to the vector table."""
     kk = graph_ids.shape[1]
-    src = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], graph_ids.shape
-    ).reshape(-1)
-    dst = graph_ids.reshape(-1)
-    slot = jax.random.randint(key, (n * kk,), 0, r_slots)
     rev = jnp.full((n + 1, r_slots), n, jnp.int32)
-    rev = rev.at[jnp.minimum(dst, n), slot].set(src, mode="drop")
+    BLK = 1 << 21
+    for i, b0 in enumerate(range(0, n, BLK)):
+        blk = min(BLK, n - b0)
+        g = jax.lax.slice_in_dim(graph_ids, b0, b0 + blk)
+        if new_in is not None:
+            nb = jax.lax.slice_in_dim(new_in, b0, b0 + blk)
+            if invert:
+                g = jnp.where((~nb) & jnp.any(nb, axis=1)[:, None], g, n)
+            else:
+                g = jnp.where(nb, g, n)
+        src = jnp.broadcast_to(
+            b0 + jnp.arange(blk, dtype=jnp.int32)[:, None], g.shape
+        ).reshape(-1)
+        dst = g.reshape(-1)
+        slot = jax.random.randint(
+            jax.random.fold_in(key, i), (blk * kk,), 0, r_slots
+        )
+        rev = rev.at[jnp.minimum(dst, n), slot].set(src, mode="drop")
     return rev[:n]
 
 
@@ -646,6 +667,8 @@ def nnd_round(
     c_active: int | None = None,      # compacted candidate width with flags
     n_rows: int | None = None,        # rows per call (None = all n)
     row_start: jax.Array | None = None,  # first row (traced; with n_rows)
+    rev: jax.Array | None = None,     # precomputed [n, r_slots] rev sample
+    rev2: jax.Array | None = None,    # precomputed [n, r_old] old-rev sample
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One NN-descent expansion round.
 
@@ -701,25 +724,26 @@ def nnd_round(
     # copies), and the reverse table exists once ([n, r], no padded twin).
     n = graph_ids.shape[0]
     k_rev, k_fof = jax.random.split(key)
-    rev_src = (
-        jnp.where(new_in, graph_ids, n) if new_in is not None else graph_ids
-    )
-    rev = _reverse_sample(k_rev, rev_src, n, r_slots)
-
+    if rev is None:
+        # chunked rounds precompute rev/rev2 ONCE per round and pass them
+        # in (same keys + same sampler ⇒ bit-identical): re-sampling the
+        # whole reverse table inside every chunk dispatch is both the
+        # dominant scatter cost (306 chunks × n·kk edges at 10M) and a
+        # per-chunk transient spike
+        rev = _reverse_sample(k_rev, graph_ids, n, r_slots, new_in=new_in)
     if new_in is not None:
         # block-level "has any new out-edge" — cheap relevance bound for
         # old hop-1 edges whose target rows gained edges elsewhere
         row_any_new = jnp.concatenate(
             [jnp.any(new_in, axis=1), jnp.zeros((1,), bool)]
         )
-        # OLD edges from rows that gained new edges — the delivery path
-        # for the old endpoint of new×old joins (docstring channel 3)
-        k_rev2 = jax.random.fold_in(k_rev, 1)
-        rev2 = _reverse_sample(
-            k_rev2,
-            jnp.where(~new_in & row_any_new[:n, None], graph_ids, n),
-            n, r_old,
-        )
+        if rev2 is None:
+            # OLD edges from rows that gained new edges — the delivery
+            # path for the old endpoint of new×old joins (channel 3)
+            rev2 = _reverse_sample(
+                jax.random.fold_in(k_rev, 1), graph_ids, n, r_old,
+                new_in=new_in, invert=True,
+            )
 
     rows = n_rows if n_rows is not None else n
     rows_pad = -(-rows // tile) * tile
@@ -860,6 +884,15 @@ def nnd_round(
     return ids, dists, jnp.sum(upd), fresh
 
 
+@functools.partial(jax.jit, static_argnames=("r_slots", "invert"))
+def _sample_revs(key, graph_ids, new_in, *, r_slots, invert=False):
+    """Jitted once-per-round reverse sampling for the chunked rounds."""
+    n = graph_ids.shape[0]
+    return _reverse_sample(
+        key, graph_ids, n, r_slots, new_in=new_in, invert=invert
+    )
+
+
 def nnd_round_chunked(
     key: jax.Array,
     vectors: jax.Array,
@@ -880,30 +913,59 @@ def nnd_round_chunked(
     dispatch — measured to crash the TPU worker ("kernel fault") twice at
     the same spot, while the identical per-step program at 250k runs fine.
     Chunking rows keeps each dispatch tens of seconds and is semantically
-    identical: every chunk expands candidates from the round-start graph
-    snapshot (exactly what the single-dispatch map reads) and merges only
-    into its own rows. ``n_updates`` sums over chunks."""
+    identical below 8M rows: every chunk expands candidates from the
+    round-start graph snapshot (exactly what the single-dispatch map
+    reads) and merges only into its own rows; the reverse tables are
+    sampled ONCE per round and passed into every chunk (same keys + same
+    sampler as nnd_round's internal path ⇒ bit-identical results).
+
+    At n ≥ 8M the round runs IN-PLACE (Gauss-Seidel): each chunk's rows
+    overwrite the live graph, so later chunks expand against a mix of
+    round-start and fresh rows. Async updates are standard NN-descent
+    (the reference's parallel joins see mixed state the same way,
+    nndescent.rs:849-917) and converge at least as fast; the point here
+    is memory — a Jacobi round holds TWO full graphs (old + accumulating
+    new: 2×~2 GB at 10M×24) next to the 5.1 GB vector table, which OOMs
+    the chip. ``n_updates`` sums over chunks either way."""
     n = graph_ids.shape[0]
     if n <= row_chunk:
         return nnd_round(
             key, vectors, sqnorms, graph_ids, graph_dists, kk, metric,
             tile=tile, new_in=new_in, c_active=c_active,
         )
+    k_rev, _ = jax.random.split(key)
+    rev = _sample_revs(k_rev, graph_ids, new_in, r_slots=NND_R_NEW)
+    rev2 = _sample_revs(
+        jax.random.fold_in(k_rev, 1), graph_ids, new_in,
+        r_slots=NND_R_OLD, invert=True,
+    )
+    inplace = n >= 8_000_000
+    ids_b, d_b, f_b = graph_ids, graph_dists, new_in
     out_ids = []
     out_d = []
     out_f = []
     upd_total = jnp.int32(0)
     for r0 in range(0, n, row_chunk):
         ci, cd, cu, cf = nnd_round(
-            key, vectors, sqnorms, graph_ids, graph_dists, kk, metric,
-            tile=tile, new_in=new_in, c_active=c_active,
+            key, vectors, sqnorms, ids_b, d_b, kk, metric,
+            tile=tile, new_in=f_b, c_active=c_active,
             n_rows=row_chunk, row_start=jnp.int32(r0),
+            rev=rev, rev2=rev2,
         )
         take = min(row_chunk, n - r0)
-        out_ids.append(ci[:take])
-        out_d.append(cd[:take])
-        out_f.append(cf[:take])
         upd_total = upd_total + cu
+        if inplace:
+            ids_b = jax.lax.dynamic_update_slice_in_dim(
+                ids_b, ci[:take], r0, 0
+            )
+            d_b = jax.lax.dynamic_update_slice_in_dim(d_b, cd[:take], r0, 0)
+            f_b = jax.lax.dynamic_update_slice_in_dim(f_b, cf[:take], r0, 0)
+        else:
+            out_ids.append(ci[:take])
+            out_d.append(cd[:take])
+            out_f.append(cf[:take])
+    if inplace:
+        return ids_b, d_b, upd_total, f_b
     return (
         jnp.concatenate(out_ids),
         jnp.concatenate(out_d),
