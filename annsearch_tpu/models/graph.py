@@ -132,9 +132,14 @@ def approx_knn_graph(
     # worker (round-4 10M campaign) — quarter the chunk there
     full_chunk = 131_072 if n < 8_000_000 else 32_768
     samp_chunk = 1_048_576 if n < 8_000_000 else 262_144
+    # at ≥8M rows hold the full-width phase one threshold longer: sampled
+    # tail rounds move ~120k edges/round at 10M and cannot recover a
+    # too-early switch (measured 0.83 graph recall at bk24 with the 0.02
+    # latch vs 0.99 at 1M where 0.02 suffices)
+    full_latch = 0.02 if n < 8_000_000 else 0.01
     for r in range(max_rounds):
         key, kr = jax.random.split(key)
-        full = full and rate >= 0.02
+        full = full and rate >= full_latch
         c_act = (base_w if full else 4) * kk
         ids, dists, upd, flags = nnd_round_chunked(
             kr, vecs, sq, ids, dists, kk, metric,

@@ -99,6 +99,10 @@ _BIG = jnp.float32(1e30)
 NND_R_NEW = 16
 NND_R_OLD = 8
 
+#: rows above which chunked NN-descent rounds merge IN PLACE
+#: (Gauss-Seidel) — see :func:`nnd_round_chunked`
+NND_INPLACE_MIN_N = 8_000_000
+
 
 def nnd_cand_width(kk: int, c_active: int, r_slots: int = NND_R_NEW,
                    r_old: int = NND_R_OLD) -> int:
@@ -884,6 +888,15 @@ def nnd_round(
     return ids, dists, jnp.sum(upd), fresh
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _upd_rows(buf, chunk, r0):
+    """Donated in-place row update — without donation every chunk's
+    dynamic_update_slice allocates a second full-graph buffer next to the
+    live one (a 1.3 GB spike per array at 10M×32 that puts the
+    Gauss-Seidel rounds back over the HBM ceiling)."""
+    return jax.lax.dynamic_update_slice_in_dim(buf, chunk, r0, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("r_slots", "invert"))
 def _sample_revs(key, graph_ids, new_in, *, r_slots, invert=False):
     """Jitted once-per-round reverse sampling for the chunked rounds."""
@@ -939,7 +952,7 @@ def nnd_round_chunked(
         jax.random.fold_in(k_rev, 1), graph_ids, new_in,
         r_slots=NND_R_OLD, invert=True,
     )
-    inplace = n >= 8_000_000
+    inplace = n >= NND_INPLACE_MIN_N
     ids_b, d_b, f_b = graph_ids, graph_dists, new_in
     out_ids = []
     out_d = []
@@ -955,11 +968,10 @@ def nnd_round_chunked(
         take = min(row_chunk, n - r0)
         upd_total = upd_total + cu
         if inplace:
-            ids_b = jax.lax.dynamic_update_slice_in_dim(
-                ids_b, ci[:take], r0, 0
-            )
-            d_b = jax.lax.dynamic_update_slice_in_dim(d_b, cd[:take], r0, 0)
-            f_b = jax.lax.dynamic_update_slice_in_dim(f_b, cf[:take], r0, 0)
+            r0j = jnp.int32(r0)
+            ids_b = _upd_rows(ids_b, ci[:take], r0j)
+            d_b = _upd_rows(d_b, cd[:take], r0j)
+            f_b = _upd_rows(f_b, cf[:take], r0j)
         else:
             out_ids.append(ci[:take])
             out_d.append(cd[:take])

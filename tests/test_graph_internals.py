@@ -297,3 +297,31 @@ def test_nnd_round_chunked_matches_single_dispatch():
     assert int(a[2]) == int(b[2])                # update count
     assert bool(jnp.all(a[3] == b[3]))           # new-edge flags
     assert int(a[2]) > 0                         # the round did something
+
+
+def test_nnd_round_chunked_inplace_improves(monkeypatch):
+    """Gauss-Seidel (in-place) chunked rounds — the ≥8M memory path —
+    must improve the graph like Jacobi rounds do (later chunks seeing
+    earlier updates is standard async NN-descent)."""
+    from annsearch_tpu.ops import graph as og
+
+    monkeypatch.setattr(og, "NND_INPLACE_MIN_N", 1000)
+    n, d, kk = 3000, 16, 8
+    vecs = jax.random.normal(jax.random.key(0), (n + 1, d), jnp.float32)
+    vecs = vecs.at[n].set(0.0)
+    sq = jnp.sum(vecs * vecs, axis=1)
+    ids, dists = og.random_init_graph(
+        jax.random.key(1), vecs, sq, kk, Dist.EUCLIDEAN
+    )
+    before = float(jnp.mean(dists[jnp.isfinite(dists)]))
+    flags = jnp.ones((n, kk), bool)
+    for r in range(3):
+        ids, dists, upd, flags = og.nnd_round_chunked(
+            jax.random.key(2 + r), vecs, sq, ids, dists, kk,
+            Dist.EUCLIDEAN, tile=256, new_in=flags,
+            c_active=(kk + 24) * kk, row_chunk=1024,
+        )
+    after = float(jnp.mean(dists[jnp.isfinite(dists)]))
+    assert after < before
+    assert ids.shape == (n, kk) and dists.shape == (n, kk)
+    assert int(upd) > 0
