@@ -8,15 +8,16 @@ search kernel (``src/gpu/cagra_gpu_search.rs``: one workgroup per query,
 candidate queue + visited hash). None of those shapes map to XLA, so the
 algorithms are reformulated:
 
-  * **construction** uses *one-sided* neighbourhood expansion: each round,
-    node u scores candidates N(u) ∪ N(N(u)) ∪ rev-sample(u) against itself
-    and merges into its own row only. Every step is a contiguous-tile gather
-    + batched distance einsum + per-row sort-dedup-top-k — no proposal
-    scatters, no locks (the reference's disjoint-segment writes,
-    nndescent.rs:160-169, become "each node owns its row" by construction).
-    Reverse edges are sampled with a single hashed scatter per round
-    (collision-overwrite ≈ reservoir sampling, like the GPU xorshift
-    reservoir, nndescent_gpu.rs:189).
+  * **construction** is gather-form NN-descent: each round, node u scores
+    candidates from the two-hop union adjacency B(B(u)) (forward lists,
+    sibling/reverse lists, and an old-edge reverse channel — see
+    ``nnd_round``) against itself and merges into its own row only. Every
+    step is a contiguous-tile gather + batched distance einsum + per-row
+    sort-dedup-top-k — no proposal scatters, no locks (the reference's
+    disjoint-segment writes, nndescent.rs:160-169, become "each node owns
+    its row" by construction). Reverse edges are sampled with blocked
+    hashed scatters per round (collision-overwrite ≈ reservoir sampling,
+    like the GPU xorshift reservoir, nndescent_gpu.rs:189).
   * **RP-forest init** exploits that a random-projection tree over a 1-D
     projection is contiguous ranges of the sort order: L levels of
     sort-by-(group, projection) produce leaves; intra-leaf all-pairs
