@@ -1409,6 +1409,29 @@ def beam_search(
     else:
         top_d, pos = jax.lax.top_k(-d, k)
         out = -top_d, jnp.take_along_axis(ids, pos, axis=-1)
+    if vectors_hl is None and packed_nbrs is None:
+        # Both f32-grade scoring paths are gated off (the ≥ 3–4 GiB table
+        # regime, e.g. 10M×128d past the ANNSEARCH_HL_BYTES /
+        # ANNSEARCH_NBR_PACK_BYTES budgets): the walk scored candidates in
+        # single-pass bf16 (~‖q‖‖x‖·2⁻⁹ dot error), which mis-selects and
+        # mis-orders near-tie neighbours in the FINAL top-k even when the
+        # trajectory itself is fine. Re-score a 2k-wide pool of the final
+        # sorted beam ELEMENTWISE in f32 (VPU — exact at any table size,
+        # ~2k·d flops/query, one tiny gather) and re-select k at f32 grade.
+        pool = min(P, max(k, 2 * k))
+        if k <= P:
+            pd, pi = d[:, :pool], ids[:, :pool]
+        else:
+            pd, pi = out
+            pool = k
+        rows = vectors[jnp.minimum(pi, n)]
+        if metric == Dist.COSINE:
+            rd = 1.0 - jnp.sum(q[:, None, :] * rows, axis=-1)
+        else:
+            rd = jnp.sum(jnp.square(q[:, None, :] - rows), axis=-1)
+        rd = jnp.where(pi >= n, _INF, rd)
+        nt, npos = jax.lax.top_k(-rd, k)
+        out = -nt, jnp.take_along_axis(pi, npos, axis=-1)
     if return_trail:
         return out[0], out[1], trail_d, trail_ids
     return out

@@ -124,3 +124,51 @@ def test_maybe_pack_respects_budget(small_graph, monkeypatch):
     assert maybe_pack_neighbors(vectors, sqn, graph) is None
     monkeypatch.delenv("ANNSEARCH_NBR_PACK_BYTES")
     assert maybe_pack_neighbors(vectors, sqn, graph) is not None
+
+
+@pytest.mark.parametrize("metric", [Dist.EUCLIDEAN, Dist.COSINE])
+def test_beam_bf16_path_rescores_f32_exact(small_graph, metric):
+    """With BOTH f32-grade scoring paths gated off (no hi/lo split, no
+    packed rows — the ≥3 GiB-table regime, e.g. 10M×128d), the walk scores
+    candidates in single-pass bf16 but the returned top-k must be
+    re-selected and re-ordered at f32 grade: distances are elementwise-f32
+    exact and recall matches the f32-grade packed path."""
+    x, vectors, sqn, graph = small_graph
+    n, d = x.shape
+    if metric == Dist.COSINE:
+        vn = np.asarray(vectors)
+        norms = np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-12)
+        vectors = jnp.asarray(vn / norms)
+        vectors = vectors.at[n].set(0.0)
+        sqn = sq_norms(vectors)
+    q = jnp.asarray(
+        subsample_with_noise(np.asarray(vectors[:n]), 64, seed=3)
+    )
+    entries = jnp.tile(jnp.arange(4, dtype=jnp.int32)[None, :], (64, 1))
+    kw = dict(k=10, beam=32, iters=12, metric=metric, expand=4)
+    db, ib = beam_search(q, vectors, sqn, graph, entries, **kw)
+    # exact f32 distances on the returned ids (sentinel slots excluded)
+    qn = np.asarray(q)
+    ia = np.asarray(ib)
+    da = np.asarray(db)
+    sel = np.asarray(vectors)[np.clip(ia, 0, n)]
+    if metric == Dist.COSINE:
+        dtrue = 1.0 - np.einsum("qd,qkd->qk", qn, sel)
+    else:
+        diff = qn[:, None, :] - sel
+        dtrue = np.sum(diff * diff, axis=-1)
+    finite = np.isfinite(da) & (ia < n)
+    np.testing.assert_allclose(da[finite], dtrue[finite], rtol=1e-5,
+                               atol=1e-6)
+    # ascending order preserved
+    assert np.all(np.diff(np.where(np.isfinite(da), da, np.inf),
+                          axis=-1) >= -1e-6)
+    # recall parity with the f32-grade hi/lo path on the same walk params
+    from annsearch_tpu.ops.graph import pack_neighbor_table
+
+    packed = pack_neighbor_table(vectors, sqn, graph, chunk=128)
+    dp, ip = beam_search(
+        q, vectors, sqn, graph, entries, packed_nbrs=packed, **kw
+    )
+    overlap = calculate_recall(np.asarray(ip), ia, 10)
+    assert overlap >= 0.95
