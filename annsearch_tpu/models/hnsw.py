@@ -255,7 +255,7 @@ class HnswIndex(BaseIndex):
         ef_search: int | None = None,
         query_block: int = 1024,
         exact_fallback: bool = True,
-        expand: int = 4,
+        expand: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self._f64_roundtrip(query_mat, k, ef_search=ef_search, query_block=query_block, exact_fallback=exact_fallback, expand=expand)
         if r is not None:
@@ -271,7 +271,24 @@ class HnswIndex(BaseIndex):
         # 150k×32d: recall 0.9998 already at ef=50 with 8 iterations — the
         # old 3·beam/8 formula over-iterated ~3× for the same recall)
         beam = min(ef, self.n)
-        iters = max(8, beam // 8)
+        # Iteration economics: each beam iteration is a serial
+        # gather+bitonic round — the measured latency floor of the graph
+        # query (docs/benchmarks_tpu.md native table). At wide beams the
+        # SAME total expansions at expand=8 over HALF the iterations read
+        # identical recall (0.9995 at m16 ef100 on 150k×32d for
+        # (expand=4, iters=12) vs (expand=8, iters=6)) while halving the
+        # serial depth; per-iteration sort width doubles (CP 256 vs 128)
+        # but the gather volume is unchanged and lands in fewer, larger
+        # DMAs. Auto-widen only when the caller left expand at default.
+        if expand is None:
+            if beam >= 64:
+                expand = 8
+                iters = max(6, beam // 16)
+            else:
+                expand = 4
+                iters = max(8, beam // 8)
+        else:
+            iters = max(8, beam // 8)
 
         if not hasattr(self, "_nav_hl"):
             from ..ops.graph import nav_hl_split
